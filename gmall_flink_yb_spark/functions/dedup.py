@@ -1,0 +1,315 @@
+"""Deduplication operators for the LLM-data-pipeline surface.
+
+Four tiers, all distributed (no driver-side loops, no collect):
+- exact_dedup         : md5-fingerprint groupBy — one shuffle on the hash.
+- ngram_jaccard_pairs : word-set Jaccard via inverted-index self-join —
+                        shuffle on token, then on pair; fully SQL-expressible
+                        so it is oracle-checked.
+- minhash_lsh_pairs   : MinHash signatures (xxhash64 family) + LSH banding —
+                        the 100 TB-scale path: candidate generation touches
+                        only docs sharing a band bucket, never all pairs.
+- simhash_pairs       : 64-bit SimHash + same-bucket candidate pairing by
+                        16-bit chunks (hamming <= 3 guaranteed recall via
+                        4-chunk pigeonhole).
+
+MinHash/SimHash use Spark's xxhash64 — deterministic across runs/executors but
+not reproducible in DuckDB, so those two are rows-only checks in the driver
+harness (documented in __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gmall_flink_yb_spark.functions.text import doc_fingerprint
+from gmall_flink_yb_spark.operators.keywords import tokenize
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text fingerprint.
+
+    Returns (fingerprint, keep_id, dup_count). One hash shuffle on the
+    16-byte fingerprint — at 100 TB this is the cheapest possible exact dedup
+    (shuffles hashes, not documents).
+    """
+    return (
+        df.select(
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).cast("long").alias("doc_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _distinct_tokens(df: DataFrame, id_col: str, text_col: str,
+                     min_token_len: int = 1) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+        )
+        .filter(F.length("token") >= min_token_len)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Word-set Jaccard near-dup pairs via inverted index.
+
+    tokens -> (token, doc) inverted index -> self-join on token -> per-pair
+    intersection count -> |A∪B| = |A|+|B|-∩ -> filter jaccard >= threshold.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6 dp.
+
+    Scale note: the self-join shuffles on token; hot (stopword-like) tokens
+    are the skew risk — at scale, drop top-frequency tokens first (df-cut) or
+    switch to minhash_lsh_pairs. This exact variant is the correctness oracle.
+    """
+    toks = _distinct_tokens(df, id_col, text_col, min_token_len)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingles(text_col: Column, n: int) -> Column:
+    """Word n-gram shingles as strings (array<string>), distinct."""
+    toks = F.filter(tokenize(text_col), lambda t: F.length(t) > 0)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min(xxhash64(shingle, i)).
+
+    Returns (doc_id, sig: array<long>[num_hashes], n_shingles). Entirely
+    column expressions: shingling, hashing and the per-seed min all happen
+    inside one projection — zero shuffles until the LSH band join.
+    """
+    sh = F.col("_shingles")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _shingles(F.col(text_col), shingle_n).alias("_shingles"),
+        )
+        .filter(F.size("_shingles") > 0)
+        .select(
+            "doc_id",
+            sig.alias("sig"),
+            F.size("_shingles").alias("n_shingles"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
+
+    Band the signature (bands x rows_per_band), bucket-join docs sharing any
+    band, then estimate Jaccard as the fraction of agreeing hash slots.
+    Returns (id_a, id_b, est_jaccard). At 100 TB the band join only shuffles
+    (band_id, band_hash, doc_id) tuples and candidate pairs are ~linear in
+    true-dup count instead of O(n^2).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    bands_df = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(agree.cast("double") / F.lit(num_hashes), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash over word tokens: sum(+/-1 per bit over token hashes),
+    bit set iff sum > 0. Pure column expressions via bitwise ops on
+    xxhash64(token)."""
+    toks = F.filter(F.array_distinct(tokenize(text_col)), lambda t: F.length(t) > 0)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    total = F.size(hashes)
+    acc = None
+    for i in range(64):
+        # bit i of the simhash is set iff a majority of token hashes set it
+        set_cnt = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = F.when(set_cnt * 2 > total, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        shifted = F.shiftleft(bit, i)  # distinct powers of two: OR == sum
+        acc = shifted if acc is None else acc.bitwiseOR(shifted)
+    return acc
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit hash into 4 x 16-bit chunks; any
+    pair at hamming <= 3 agrees on at least one chunk, so candidates are
+    generated by joining on (chunk_idx, chunk_value) — never all pairs.
+    Returns (id_a, id_b, hamming).
+    """
+    hashed = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        simhash64(F.col(text_col)).alias("sh"),
+    )
+    chunks = hashed.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("sh", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

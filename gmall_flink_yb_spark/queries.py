@@ -1,0 +1,805 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the LLM-pipeline
+surface) expressed as a (spark_fn, oracle_sql) pair over the driver testdata.
+
+Conventions for cross-engine hash equality (driver compares row count, schema,
+and an order-insensitive value hash against DuckDB):
+- dates/times are emitted as formatted strings;
+- money/ratio aggregates are cast to DECIMAL before SUM (exact, associative,
+  order-insensitive) and only the FINAL value is cast to double;
+- per-row doubles are rounded to 6 dp at the output boundary;
+- counts are BIGINT on both sides (DuckDB integer SUMs are cast from HUGEINT);
+- every computed column is aliased identically in Spark and SQL.
+
+The Spark side always routes through the engine's operator modules — these
+queries are the driver-facing proof that the operators work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from gmall_flink_yb_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from gmall_flink_yb_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_bucket_topk,
+)
+from gmall_flink_yb_spark.functions.text import (
+    LANG_MARKERS,
+    language_id,
+    quality_features,
+)
+from gmall_flink_yb_spark.operators.bounce import flag_bounce_batch
+from gmall_flink_yb_spark.operators.keywords import keyword_counts
+from gmall_flink_yb_spark.operators.order_wide import enrich_dims, interval_join
+from gmall_flink_yb_spark.operators.routing import route_cdc
+from gmall_flink_yb_spark.operators.visitor import unique_visitors_batch
+from gmall_flink_yb_spark.operators.windows import tumbling_agg
+from gmall_flink_yb_spark.schemas import TABLE_PROCESS_SCHEMA
+from gmall_flink_yb_spark.sources.readers import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+DEC = DecimalType(18, 2)
+DEC4 = DecimalType(18, 4)
+DEC6 = DecimalType(18, 6)
+RATIO_DEC = DecimalType(12, 6)
+
+# revenue per TPC-H: extendedprice * (1 - discount); the double product is
+# bit-identical across engines, the DECIMAL(18,4) cast makes the SUM exact
+# and order-insensitive.
+_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+def _dt(col: str = "ts") -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# DWM: daily unique visitors (ST2 — UniqueVisitApp.java:53-102)
+# ---------------------------------------------------------------------------
+
+def q_uv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    uv = unique_visitors_batch(
+        ev, key_col="user_id", ts_col="ts", order_cols=["event_id"]
+    )
+    return (
+        uv.groupBy(F.date_format("_uv_date", "yyyy-MM-dd").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("uv"))
+    )
+
+
+SQL_UV_DAILY = """
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS dt,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uv
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# DWD: new-visitor correction (ST1 — BaseLogApp.java:73-101): an event is
+# genuinely "new" iff it is the first ever for its device/user.
+# ---------------------------------------------------------------------------
+
+def q_new_visitor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .groupBy(_dt().alias("dt"))
+        .agg(
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("new_visitors"),
+            F.count(F.lit(1)).alias("total_events"),
+        )
+    )
+
+
+SQL_NEW_VISITOR_DAILY = """
+WITH r AS (
+  SELECT ts, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS dt,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_visitors,
+       CAST(count(*) AS BIGINT) AS total_events
+FROM r GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# DWM: bounce detection (ST3 — UserJumpDetailApp.java:58-120). Session entry
+# := event_type='view'; bounce := entry followed by nothing within 10 s
+# (timeout) or by another entry (matched pattern).
+# ---------------------------------------------------------------------------
+
+def q_bounce_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    flagged = flag_bounce_batch(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        is_entry=F.col("event_type") == "view",
+        window_seconds=10,
+        order_cols=["event_id"],
+    )
+    return flagged.groupBy(_dt().alias("dt")).agg(
+        F.sum(F.col("is_entry").cast("int")).cast("long").alias("entries"),
+        F.sum(F.col("is_bounce").cast("int")).cast("long").alias("bounces"),
+    )
+
+
+SQL_BOUNCE_DAILY = """
+WITH e AS (
+  SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+         (event_type = 'view') AS is_entry
+  FROM events
+), o AS (
+  SELECT ts, is_entry,
+         lead(ts) OVER w AS nts,
+         lead(is_entry) OVER w AS nentry
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS dt,
+       CAST(SUM(CASE WHEN is_entry THEN 1 ELSE 0 END) AS BIGINT) AS entries,
+       CAST(SUM(CASE WHEN is_entry AND (nts IS NULL
+                 OR epoch(nts) - epoch(ts) > 10.0
+                 OR nentry) THEN 1 ELSE 0 END) AS BIGINT) AS bounces
+FROM o GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# DWD: per-type split counts (P1 fan-out accounting — BaseLogApp.java:149-151)
+# ---------------------------------------------------------------------------
+
+def q_events_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_SPLIT_COUNTS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# DWD: JSON props extraction (T2 — fastjson parse, BaseDBLog.java:59)
+# ---------------------------------------------------------------------------
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# DWS: tumbling-window aggregation (§2.9 intended ClickHouse rollups)
+# ---------------------------------------------------------------------------
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    agg = tumbling_agg(
+        ev,
+        ts_col="ts",
+        window_duration="1 hour",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        ],
+    )
+    return agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+SQL_TUMBLING_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# TPC-H-style pricing summary (SQL surface the reference intended via the
+# unused Blink planner dep — SURVEY.md §2.8/§2.9)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    # charge's true value has 6 decimal digits (2dp price x 2dp disc x 2dp
+    # tax) — cast at (18,6) so no rounding happens and engines agree; a 4dp
+    # cast would hit exact .xxxx50 ties that Spark (HALF_UP) and DuckDB
+    # (HALF_EVEN) round differently.
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc.cast(DEC6)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(DEC6)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# DWM order-wide (J1 equi-part + J2 chained broadcast dim enrichment —
+# OrderWideApp.java:89-121; dims snowflake customer->nation->region plays
+# user/province/... from OrderWide.java:40-53)
+# ---------------------------------------------------------------------------
+
+def q_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    facts = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    wide = enrich_dims(
+        facts,
+        [
+            (c, "o_custkey", "c_custkey", ["c_name", "c_nationkey"]),
+            (n, "c_nationkey", "n_nationkey", ["n_name", "n_regionkey"]),
+            (r, "n_regionkey", "r_regionkey", ["r_name"]),
+        ],
+    )
+    return wide.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.col("c_name").alias("customer_name"),
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+        F.expr(_REV).cast("double").alias("revenue"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+SQL_ORDER_WIDE = f"""
+SELECT o.o_orderkey AS orderkey,
+       CAST(l.l_linenumber AS BIGINT) AS linenumber,
+       o.o_orderstatus AS orderstatus,
+       c.c_name AS customer_name,
+       n.n_name AS nation_name,
+       r.r_name AS region_name,
+       CAST({_REV} AS DOUBLE) AS revenue,
+       strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') AS ship_date
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+# ---------------------------------------------------------------------------
+# Revenue by nation (q5-style multi-join rollup)
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    facts = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    wide = enrich_dims(
+        facts,
+        [
+            (c, "o_custkey", "c_custkey", ["c_nationkey"]),
+            (n, "c_nationkey", "n_nationkey", ["n_name", "n_regionkey"]),
+            (r, "n_regionkey", "r_regionkey", ["r_name"]),
+        ],
+        how="inner",
+    )
+    return wide.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.sum(F.expr(_REV)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Top-k: brand revenue leaderboard (sort/limit surface; deterministic ranks)
+# ---------------------------------------------------------------------------
+
+def q_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    agg = joined.groupBy("p_brand").agg(
+        F.sum(F.expr(_REV)).alias("_rev_dec"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    w = Window.orderBy(F.col("_rev_dec").desc(), F.col("p_brand").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "p_brand",
+            F.col("_rev_dec").cast("double").alias("revenue"),
+            "n_items",
+            "rnk",
+        )
+    )
+
+
+SQL_TOP_BRANDS = f"""
+WITH a AS (
+  SELECT p.p_brand, SUM({_REV}) AS rev_dec, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, CAST(rev_dec AS DOUBLE) AS revenue, n_items,
+       CAST(row_number() OVER (ORDER BY rev_dec DESC, p_brand) AS INTEGER) AS rnk
+FROM a QUALIFY rnk <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# J1 proper interval join: lineitems shipped within 30 days of order date
+# (the ±5 s Flink interval join, OrderWideApp.java:89-97, at analytics scale)
+# ---------------------------------------------------------------------------
+
+def q_interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    j = interval_join(
+        o,
+        li,
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lower_seconds=0.0,
+        upper_seconds=30 * 24 * 3600.0,
+    )
+    return j.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_shipped_30d"),
+        F.sum(F.expr(_REV)).cast("double").alias("revenue"),
+    )
+
+
+SQL_INTERVAL_JOIN_SHIPMENTS = f"""
+SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+       CAST(count(*) AS BIGINT) AS n_shipped_30d,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND epoch(l.l_shipdate) >= epoch(o.o_orderdate)
+ AND epoch(l.l_shipdate) <= epoch(o.o_orderdate) + 2592000.0
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# CDC routing engine (S3+T4+T5+P2+K2 — TableProcessFunction.java:55-82,
+# 183-195; BaseDBLog.java:60-66,100-105). The orders table plays the binlog:
+# status O->insert, F->update, P->delete (delete dropped per :63-64).
+# ---------------------------------------------------------------------------
+
+_CDC_CONFIG_ROWS = [
+    ("order_info", "insert", "kafka", "dwd_order_info", "id,custkey,total", "id", None),
+    ("order_info", "update", "hbase", "dim_order_info", "id,status", "id", None),
+]
+
+
+def _orders_as_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        F.lit("gmall2021").alias("database"),
+        F.lit("order_info").alias("tableName"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.create_map(
+            F.lit("id"), F.col("o_orderkey").cast("string"),
+            F.lit("custkey"), F.col("o_custkey").cast("string"),
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("total"), F.col("o_totalprice").cast(DEC).cast("string"),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ).alias("after"),
+        F.when(F.col("o_orderstatus") == "O", "insert")
+        .when(F.col("o_orderstatus") == "F", "update")
+        .otherwise("delete")
+        .alias("type"),
+    )
+
+
+def q_cdc_route_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _orders_as_cdc(spark, sf_dir)
+    config = spark.createDataFrame(_CDC_CONFIG_ROWS, TABLE_PROCESS_SCHEMA)
+    kafka = route_cdc(env, config)["kafka"]
+    return kafka.select(
+        F.col("sinkTable").alias("sink_table"),
+        F.element_at("after", "id").cast("long").alias("id"),
+        F.element_at("after", "custkey").cast("long").alias("custkey"),
+        F.element_at("after", "total").alias("total"),
+        F.element_at("after", "status").alias("status"),  # pruned -> NULL
+    )
+
+
+SQL_CDC_ROUTE_KAFKA = """
+SELECT 'dwd_order_info' AS sink_table,
+       o_orderkey AS id,
+       o_custkey AS custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+       CAST(NULL AS VARCHAR) AS status
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_cdc_route_hbase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _orders_as_cdc(spark, sf_dir)
+    config = spark.createDataFrame(_CDC_CONFIG_ROWS, TABLE_PROCESS_SCHEMA)
+    hbase = route_cdc(env, config)["hbase"]
+    return hbase.select(
+        F.col("sinkTable").alias("sink_table"),
+        F.element_at("after", "id").cast("long").alias("id"),
+        F.element_at("after", "status").alias("status"),
+        F.element_at("after", "total").alias("total"),  # pruned -> NULL
+    )
+
+
+SQL_CDC_ROUTE_HBASE = """
+SELECT 'dim_order_info' AS sink_table,
+       o_orderkey AS id,
+       o_orderstatus AS status,
+       CAST(NULL AS VARCHAR) AS total
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+# ---------------------------------------------------------------------------
+# Keyword analysis (§2.9 — tokenizer + explode + count)
+# ---------------------------------------------------------------------------
+
+def q_keyword_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = keyword_counts(docs, "text")
+    w = Window.orderBy(F.col("token_count").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select("token", "token_count", "rnk")
+    )
+
+
+SQL_KEYWORD_TOP100 = """
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS token_count
+  FROM t WHERE length(token) >= 1 GROUP BY token
+)
+SELECT token, token_count,
+       CAST(row_number() OVER (ORDER BY token_count DESC, token) AS INTEGER) AS rnk
+FROM c QUALIFY rnk <= 100
+"""
+
+# ---------------------------------------------------------------------------
+# Text quality scoring (LLM-pipeline surface)
+# ---------------------------------------------------------------------------
+
+_ALL_MARKERS = sorted({w for ms in LANG_MARKERS.values() for w in ms})
+_MARKER_SQL_LIST = ", ".join(f"'{w}'" for w in _ALL_MARKERS)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    feat = quality_features(docs, "text")
+    return feat.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum(F.col("punct_ratio").cast(RATIO_DEC))
+        .cast("double")
+        .alias("sum_punct_ratio"),
+        F.sum(F.col("stopword_ratio").cast(RATIO_DEC))
+        .cast("double")
+        .alias("sum_stopword_ratio"),
+        F.sum("quality_ok").cast("long").alias("n_quality_ok"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH feat AS (
+  SELECT lang, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0)) AS n_tokens,
+         length(text) AS n_chars_m,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x IN ({_MARKER_SQL_LIST}))) AS stop_hits
+  FROM documents
+), scored AS (
+  SELECT lang, source, n_tokens,
+         round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 6) AS punct_ratio,
+         round(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio
+  FROM feat
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(punct_ratio AS DECIMAL(12,6))) AS DOUBLE) AS sum_punct_ratio,
+       CAST(SUM(CAST(stopword_ratio AS DECIMAL(12,6))) AS DOUBLE) AS sum_stopword_ratio,
+       CAST(SUM(CASE WHEN n_tokens >= 5 AND punct_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+FROM scored GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Language ID (LLM-pipeline surface): heuristic prediction vs labeled lang
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", language_id(F.col("text")))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        f"x -> x IN ({words})))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT lang,
+         regexp_matches(text, '[一-鿿]') AS has_cjk,
+         {_lang_hits_sql('de')} AS h_de,
+         {_lang_hits_sql('en')} AS h_en,
+         {_lang_hits_sql('es')} AS h_es,
+         {_lang_hits_sql('fr')} AS h_fr
+  FROM documents
+), p AS (
+  SELECT lang,
+         CASE WHEN has_cjk THEN 'zh'
+              WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+              WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+              WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_en AND h_es >= h_fr THEN 'es'
+              WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+              ELSE 'und' END AS pred_lang
+  FROM h
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Dedup: exact (md5 fingerprint)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Dedup: word-set Jaccard near-dup pairs (exact inverted-index variant)
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.8
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '[^a-z0-9]+'))) AS token
+  FROM documents
+), toks_f AS (
+  SELECT doc_id, token FROM toks WHERE length(token) >= 1
+), sizes AS (
+  SELECT doc_id, count(*) AS set_size FROM toks_f GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks_f a JOIN toks_f b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i), 6) >= {_JACCARD_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k (oracle via DuckDB
+# list_cosine_similarity on DOUBLE[], bit-identical to the sequential
+# double fold — verified)
+# ---------------------------------------------------------------------------
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(emb, queries, k=5)
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+), s AS (
+  SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS cs
+  FROM q CROSS JOIN c WHERE q_id <> n_id
+)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS INTEGER) AS rnk,
+       round(cs, 6) AS cos_sim
+FROM s QUALIFY rnk <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+# testdata embeddings are near-random (max pairwise cosine ~0.48 at sf0.001)
+# — 0.35 keeps the output non-trivial but bounded
+_COS_THRESHOLD = 0.35
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=_COS_THRESHOLD)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_COS_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle — xxhash64-based signatures are not
+# reproducible in DuckDB; the driver records a rows-only check and the judge
+# sees which, per the repo contract)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "uv_daily": q_uv_daily,
+    "new_visitor_daily": q_new_visitor_daily,
+    "bounce_daily": q_bounce_daily,
+    "events_split_counts": q_events_split_counts,
+    "events_json_extract": q_events_json_extract,
+    "tumbling_hourly": q_tumbling_hourly,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "order_wide": q_order_wide,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_brands": q_top_brands,
+    "interval_join_shipments": q_interval_join_shipments,
+    "cdc_route_kafka": q_cdc_route_kafka,
+    "cdc_route_hbase": q_cdc_route_hbase,
+    "keyword_top100": q_keyword_top100,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "similarity_topk": q_similarity_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    # rows-only (non-SQL-reproducible hashing):
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "uv_daily": SQL_UV_DAILY,
+    "new_visitor_daily": SQL_NEW_VISITOR_DAILY,
+    "bounce_daily": SQL_BOUNCE_DAILY,
+    "events_split_counts": SQL_EVENTS_SPLIT_COUNTS,
+    "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "tumbling_hourly": SQL_TUMBLING_HOURLY,
+    "q1_pricing_summary": SQL_Q1_PRICING_SUMMARY,
+    "order_wide": SQL_ORDER_WIDE,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "top_brands": SQL_TOP_BRANDS,
+    "interval_join_shipments": SQL_INTERVAL_JOIN_SHIPMENTS,
+    "cdc_route_kafka": SQL_CDC_ROUTE_KAFKA,
+    "cdc_route_hbase": SQL_CDC_ROUTE_HBASE,
+    "keyword_top100": SQL_KEYWORD_TOP100,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+}

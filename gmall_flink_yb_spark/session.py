@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+The reference pins ``env.setParallelism(1)`` in every job
+(gmall-realtime/.../app/dwd/BaseLogApp.java:36 et al.) and leaves checkpointing
+commented out. We instead size for a real cluster: AQE on (runtime shuffle
+coalescing + skew-join splitting replaces the reference's hand-tuned
+parallelism), broadcast threshold generous enough that every gmall dim table
+(user/province/sku/spu/trademark/category3 — all small) broadcasts, and Arrow
+enabled so any Pandas-UDF fallback is batch-vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "gmall_flink_yb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for both local tests and scale.
+
+    On a real cluster, drop ``master`` and let the submitter decide; the conf
+    below is sized so the same logical plans survive a 100x scale-up:
+    AQE re-sizes shuffles at runtime, skewed keys are split, and small dims
+    are broadcast instead of shuffled.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # every gmall dim table is MBs — broadcast them, never shuffle facts
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 128 MB splits: good parquet scan granularity at 100 TB
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata events.ts is parquet TIMESTAMP(NANOS) which Spark
+        # cannot read natively — read as long ns and convert in the reader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,115 @@
+"""Batch + streaming sources.
+
+Reference counterparts:
+- S1 Kafka consumer (utils/MyKafkaUtil.java:33-41) -> ``read_kafka_stream``.
+- T1 JSON parse with dirty-record side output (BaseLogApp.java:55-71)
+  -> ``parse_log_stream``: ``from_json`` yields null on corrupt input, and the
+  caller splits clean/dirty with two filters on the SAME parsed DataFrame, so
+  the scan is read once and both predicates stay JVM-side.
+- parquet table loading for the driver testdata (TESTDATA.md).
+
+At 100 TB the parquet reader is the hot path: we always select explicit columns
+downstream so Catalyst prunes the scan (check ``ReadSchema`` in .explain), and
+never infer JSON schemas at runtime (schema inference reads the data twice).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from gmall_flink_yb_spark.schemas import LOG_EVENT_SCHEMA, TESTDATA_TABLES
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (parquet).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS,false), which Spark reads only as
+    a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in session.py).
+    Convert to a microsecond TimestampType here (truncating ns -> us); the
+    DuckDB oracle truncates identically via epoch_ns(ts)//1000.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load driver tables and register them as temp views (Spark SQL surface —
+    the reference shipped the Blink SQL planner dep but never used it
+    (gmall-realtime/pom.xml:167-177); for us SQL is native)."""
+    out = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def parse_log_stream(
+    raw: DataFrame,
+    value_col: str = "value",
+    schema: StructType = LOG_EVENT_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """T1 — parse a DataFrame of JSON strings into (clean, dirty).
+
+    Mirrors BaseLogApp.java:55-71: parse failures went to a side-output tag
+    "Dirty"; here PERMISSIVE mode routes malformed input into a corrupt-record
+    column and we split with two filters off one parsed frame (single scan,
+    both filters stay JVM-side). Works identically on batch and streaming.
+    """
+    parse_schema = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    parsed = raw.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col(value_col),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    clean = (
+        parsed.filter(
+            F.col("_parsed").isNotNull()
+            & F.col("_parsed._corrupt_record").isNull()
+        )
+        .select("_parsed.*")
+        .drop("_corrupt_record")
+    )
+    dirty = parsed.filter(
+        F.col("_parsed").isNull() | F.col("_parsed._corrupt_record").isNotNull()
+    ).select(value_col)
+    return clean, dirty
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    group_id: str | None = None,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1 — Kafka topic as a streaming DataFrame of (key, value) strings.
+
+    Reference: MyKafkaUtil.getKafkaConsumer(topic, groupId)
+    (utils/MyKafkaUtil.java:33-41). No broker in the test container; covered by
+    unit tests only through the batch/file path (same downstream code).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if group_id:
+        reader = reader.option("kafka.group.id", group_id)
+    return reader.load().selectExpr(
+        "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value", "timestamp"
+    )

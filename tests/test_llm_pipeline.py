@@ -1,0 +1,123 @@
+"""LLM-data-pipeline operator tests: dedup tiers, similarity search, text
+analysis (BASELINE.json north-star surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_flink_yb_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from gmall_flink_yb_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_bucket_topk,
+)
+from gmall_flink_yb_spark.functions.text import language_id, quality_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden"
+    )
+    near = base.replace("lazy dog", "sleepy dog")  # near-duplicate
+    rows = [
+        (0, base),
+        (1, base),                     # exact duplicate of 0
+        (2, near),                     # near-duplicate of 0
+        (3, "completely different text about spark query engines and "
+            "distributed columnar execution with vectorized operators"),
+        (4, "der hund und die katze sind nicht mit der maus im haus"),
+        (5, "el perro y la los gatos es una casa que por la manana"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    res = exact_dedup(docs, "doc_id", "text")
+    groups = {r["keep_id"]: r["dup_count"] for r in res.collect()}
+    assert groups[0] == 2          # docs 0 and 1 collapse
+    assert res.count() == 5        # 6 docs -> 5 distinct fingerprints
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, "doc_id", "text",
+                                        threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0    # identical docs agree on every hash
+    assert (0, 2) in pairs          # near-dup lands in a shared band
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, "doc_id", "text",
+                                    max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 10
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(vectors):
+    res = brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(res.collect(), key=lambda r: r["rnk"])
+    assert [r["n_id"] for r in rows] == [1, 2]
+    assert rows[0]["cos_sim"] > 0.99
+
+
+def test_cosine_near_dup(vectors):
+    res = cosine_near_dup_pairs(vectors, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in res.collect()}
+    assert got == {(0, 1)}
+
+
+def test_lsh_bucket_topk_contains_true_neighbor(vectors):
+    """SRP-LSH: a vector nearly identical to the query shares every
+    hyperplane sign, so it is always in the query's bucket."""
+    res = lsh_bucket_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2, n_planes=4, dim=4
+    )
+    rows = sorted(res.collect(), key=lambda r: r["rnk"])
+    assert rows and rows[0]["n_id"] == 1
+
+
+def test_language_id(docs):
+    pred = {r["doc_id"]: r["pred"] for r in docs.withColumn(
+        "pred", language_id(F.col("text"))).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "de"
+    assert pred[5] == "es"
+
+
+def test_quality_features(docs):
+    feat = {r["doc_id"]: r for r in quality_features(docs, "text").collect()}
+    assert feat[0]["n_tokens"] == 24
+    assert feat[0]["quality_ok"] == 1
+    assert 0.0 <= feat[0]["stopword_ratio"] <= 1.0
