@@ -46,35 +46,31 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _distinct_tokens(df: DataFrame, id_col: str, text_col: str,
-                     min_token_len: int = 1) -> DataFrame:
-    return (
-        df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
-        )
-        .filter(F.length("token") >= min_token_len)
-    )
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    min_token_len: int = 1,
+    n: int = 3,
 ) -> DataFrame:
-    """Word-set Jaccard near-dup pairs via inverted index.
+    """Word n-gram (shingle) Jaccard near-dup pairs via inverted index.
 
-    tokens -> (token, doc) inverted index -> self-join on token -> per-pair
-    intersection count -> |A∪B| = |A|+|B|-∩ -> filter jaccard >= threshold.
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6 dp.
+    shingles -> (shingle, doc) inverted index -> self-join on shingle ->
+    per-pair intersection count -> |A∪B| = |A|+|B|-∩ -> filter jaccard >=
+    threshold. Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard
+    rounded to 6 dp.
 
-    Scale note: the self-join shuffles on token; hot (stopword-like) tokens
-    are the skew risk — at scale, drop top-frequency tokens first (df-cut) or
-    switch to minhash_lsh_pairs. This exact variant is the correctness oracle.
+    Shingles (not single words) keep the inverted index sparse: a shared
+    n-gram is rare unless documents genuinely overlap, so the shuffle carries
+    ~(true near-dup pairs), not (every pair sharing a stopword). Residual hot
+    shingles (boilerplate) are the skew risk at 100 TB — df-cut them or
+    switch to minhash_lsh_pairs. This exact variant is the correctness
+    oracle.
     """
-    toks = _distinct_tokens(df, id_col, text_col, min_token_len)
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("token"),
+    )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.alias("a")
     b = toks.alias("b")

@@ -62,19 +62,24 @@ def brute_force_topk(
     The corpus side is broadcast when small; for big corpora prefer
     lsh_bucket_topk.
     """
+    # norms are computed ONCE per row before the crossJoin (n+m norm folds
+    # instead of n*m) — the cosine value is bit-identical to the inline form
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
     c = embeddings.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    )
+    ).withColumn("n_norm", _norm(F.col("n_vec")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("q_id") != F.col("n_id"))
         .select(
             "q_id",
             "n_id",
-            cosine(F.col("q_vec"), F.col("n_vec")).alias("_cos"),
+            (
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("_cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id").asc())
@@ -101,17 +106,19 @@ def cosine_near_dup_pairs(
     LSH blocking."""
     a = embeddings.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
-    )
+    ).withColumn("na", _norm(F.col("va")))
     b = embeddings.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
-    )
+    ).withColumn("nb", _norm(F.col("vb")))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -163,16 +170,31 @@ def lsh_bucket_topk(
     the same exact cosine. Recall < 1.0 by design (approximate) — rows-only
     correctness check, benched for speed.
     """
-    c = embeddings.select(
-        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    ).withColumn("bucket", _srp_bucket(F.col("n_vec"), n_planes, dim))
-    q = queries.select(
-        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("bucket", _srp_bucket(F.col("q_vec"), n_planes, dim))
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+        )
+        .withColumn("bucket", _srp_bucket(F.col("n_vec"), n_planes, dim))
+        .withColumn("n_norm", _norm(F.col("n_vec")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("bucket", _srp_bucket(F.col("q_vec"), n_planes, dim))
+        .withColumn("q_norm", _norm(F.col("q_vec")))
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("_cos"))
+        .select(
+            "q_id",
+            "n_id",
+            (
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("_cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id").asc())
     return (

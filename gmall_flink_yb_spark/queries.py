@@ -647,20 +647,35 @@ FROM documents GROUP BY 1
 # Dedup: word-set Jaccard near-dup pairs (exact inverted-index variant)
 # ---------------------------------------------------------------------------
 
-_JACCARD_THRESHOLD = 0.8
+_JACCARD_THRESHOLD = 0.1
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD, n=3
+    )
 
+
+# word 3-gram shingles: generate_series over token positions, 1-based
+# inclusive list slice — mirrors dedup._shingles exactly (short docs yield
+# one truncated shingle on both sides)
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS token
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> length(x) > 0) AS toks
+    FROM documents
+  )
+"""
 
 SQL_DEDUP_JACCARD = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '[^a-z0-9]+'))) AS token
-  FROM documents
-), toks_f AS (
-  SELECT doc_id, token FROM toks WHERE length(token) >= 1
+WITH toks_f AS (
+{_SHINGLES_SQL}
 ), sizes AS (
   SELECT doc_id, count(*) AS set_size FROM toks_f GROUP BY 1
 ), inter AS (

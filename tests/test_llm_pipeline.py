@@ -51,7 +51,8 @@ def test_ngram_jaccard_finds_near_dup(docs):
              for r in ngram_jaccard_pairs(docs, "doc_id", "text",
                                           threshold=0.5).collect()}
     assert pairs[(0, 1)] == 1.0
-    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8
+    # one changed word breaks 3 of ~22 shingles -> jaccard ~0.76
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
     assert (0, 3) not in pairs
 
 
