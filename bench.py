@@ -30,6 +30,11 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query times measure the
     # queries, not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm the Python workers too (daemon fork + pandas/numpy import is a
+    # one-time ~10 s cost across 32 workers, not a property of any query)
+    spark.range(1024).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

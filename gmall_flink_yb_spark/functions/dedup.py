@@ -19,6 +19,7 @@ harness (documented in __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,10 +68,9 @@ def ngram_jaccard_pairs(
     switch to minhash_lsh_pairs. This exact variant is the correctness
     oracle.
     """
-    toks = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(_shingles(F.col(text_col), n)).alias("token"),
-    )
+    # persisted: read 3x (sizes + both join sides); at production scale this
+    # inverted index would be checkpointed to a table
+    toks = shingle_rows(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -104,7 +104,13 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def _shingles(text_col: Column, n: int) -> Column:
-    """Word n-gram shingles as strings (array<string>), distinct."""
+    """Word n-gram shingles as strings (array<string>), distinct.
+
+    Column-expression variant for per-row use. The pair/signature operators
+    use shingle_rows instead: higher-order array functions evaluate
+    interpreted (outside whole-stage codegen), measured ~15x slower than the
+    exploded-row formulation on the same data.
+    """
     toks = F.filter(tokenize(text_col), lambda t: F.length(t) > 0)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
@@ -115,6 +121,49 @@ def _shingles(text_col: Column, n: int) -> Column:
     )
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (doc_id, token) word n-gram shingle rows — the scale path.
+
+    posexplode the token array, then assemble each shingle from the n-1
+    following tokens with window ``lead`` — every step is codegen'd; the only
+    exchanges are the per-doc sort for ``lead`` and the distinct. Docs shorter
+    than n tokens yield their single truncated shingle (``concat_ws`` skips
+    null leads), matching _shingles; docs with no tokens yield no rows.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "w"),
+        )
+        .filter(F.length("w") > 0)
+    )
+    leads = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("token"),
+            (F.row_number().over(w) - 1).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("cnt"),
+        )
+        .filter(F.col("rn") <= F.greatest(F.col("cnt") - n, F.lit(0)))
+        .select("doc_id", "token")
+        .dropDuplicates(["doc_id", "token"])
+    )
+
+
+def _mix(i: int) -> Column:
+    """Hash-family member i derived from two base hashes: h1 XOR rotl(h2, i).
+
+    One string hash pass instead of ``num_hashes`` (Carter-Wegman-style
+    2-universal derivation) — pure long bit ops, fully codegen'd.
+    """
+    if i == 0:
+        return F.col("h1").bitwiseXOR(F.col("h2"))
+    rot = F.shiftleft("h2", i).bitwiseOR(F.shiftrightunsigned("h2", 64 - i))
+    return F.col("h1").bitwiseXOR(rot)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -122,29 +171,32 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: for seed i, min(xxhash64(shingle, i)).
+    """MinHash signature per doc: for family member i, min_s mix_i(hash(s)).
 
-    Returns (doc_id, sig: array<long>[num_hashes], n_shingles). Entirely
-    column expressions: shingling, hashing and the per-seed min all happen
-    inside one projection — zero shuffles until the LSH band join.
+    Returns (doc_id, sig: array<long>[num_hashes], n_shingles).
+
+    Shape chosen for scale: shingles are EXPLODED to rows, each shingle is
+    string-hashed exactly twice (xxhash64 with two seeds), and the per-member
+    minima run as ``num_hashes`` codegen'd MIN aggregates with map-side
+    partial aggregation — the shuffle carries one row of ``num_hashes`` longs
+    per doc per map partition, never the shingles themselves. (The obvious
+    alternative — per-row array lambdas — evaluates interpreted, not
+    codegen'd, and re-hashes every shingle ``num_hashes`` times: measured 8x
+    slower at sf0.1.) Docs with zero shingles are dropped, as before.
     """
-    sh = F.col("_shingles")
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    hashed = shingle_rows(df, id_col, text_col, shingle_n).select(
+        "doc_id",
+        F.xxhash64("token").alias("h1"),
+        F.xxhash64("token", F.lit(1)).alias("h2"),
     )
+    aggs = [F.min(_mix(i)).alias(f"_m{i}") for i in range(num_hashes)]
     return (
-        df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            _shingles(F.col(text_col), shingle_n).alias("_shingles"),
-        )
-        .filter(F.size("_shingles") > 0)
+        hashed.groupBy("doc_id")
+        .agg(*aggs, F.count(F.lit(1)).alias("n_shingles"))
         .select(
             "doc_id",
-            sig.alias("sig"),
-            F.size("_shingles").alias("n_shingles"),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+            "n_shingles",
         )
     )
 
@@ -167,7 +219,12 @@ def minhash_lsh_pairs(
     true-dup count instead of O(n^2).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # persisted: the band join reads the signatures on BOTH sides — without
+    # this the whole shingle+hash subtree executes twice. At production scale
+    # signatures would be checkpointed to a table and reused across runs.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands_df = sigs.select(
         "doc_id",
         "sig",
@@ -253,6 +310,41 @@ def simhash64(text_col: Column) -> Column:
     return acc
 
 
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, sh): 64-bit SimHash per doc, bit-identical to ``simhash64``.
+
+    Scale shape (same rationale as minhash_signatures): tokens exploded to
+    rows, hashed once in a codegen'd projection, then 64 codegen'd SUM
+    aggregates (one per bit) with map-side partial aggregation — the shuffle
+    carries 64 longs per doc per map partition. Docs with zero tokens are
+    dropped (the column variant yields sh=0 for them; an empty doc is not a
+    meaningful near-dup candidate).
+    """
+    hashed = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+        .select("doc_id", F.xxhash64("t").alias("h"))
+    )
+    aggs = [
+        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)).cast("long")).alias(
+            f"_b{i}"
+        )
+        for i in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("_n"))
+    acc = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(bit, i)
+        acc = shifted if acc is None else acc.bitwiseOR(shifted)
+    return agg.select("doc_id", acc.alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -266,9 +358,10 @@ def simhash_pairs(
     generated by joining on (chunk_idx, chunk_value) — never all pairs.
     Returns (id_a, id_b, hamming).
     """
-    hashed = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        simhash64(F.col(text_col)).alias("sh"),
+    # persisted: the chunk join reads the hashes on both sides (see
+    # minhash_lsh_pairs for the scale rationale)
+    hashed = simhash_table(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     chunks = hashed.select(
         "doc_id",

@@ -3,23 +3,31 @@
 LLM-data-pipeline surface (no reference counterpart; BASELINE.json north star).
 
 - brute_force_topk      : exact cosine top-k per query — the correctness
-                          baseline. Dot products run as sequential
-                          ``aggregate(zip_with(...))`` folds in DOUBLE, which
-                          DuckDB reproduces bit-for-bit (list_dot_product on
-                          DOUBLE[]), so this is oracle-checkable.
+                          baseline, executed as distributed blocked matrix
+                          multiply (Arrow -> numpy GEMM inside
+                          ``applyInPandas``), then a global per-query top-k.
 - cosine_near_dup_pairs : all pairs above a cosine threshold (embedding-based
-                          near-dup detection).
-- lsh_bucket_topk       : the 100 TB scale path — sign-random-projection LSH
-                          buckets (deterministic hyperplanes from xxhash64),
-                          candidates only within matching buckets.
+                          near-dup detection) — same blocked-GEMM engine over
+                          block pairs (ba <= bb), so each unordered pair is
+                          scored exactly once.
+- lsh_bucket_topk       : the 100 TB approximate path — sign-random-projection
+                          buckets (deterministic hyperplanes), candidates only
+                          within matching buckets.
 
-Everything is column expressions; no UDF, no collect. At scale the brute-force
-variant is a crossJoin (quadratic — only for small query sets); the LSH
-variant shuffles each side once on the bucket key.
+Exact all-pairs cosine is inherently O(n*m) dot products; the scalable way to
+run it on Spark is NOT per-pair column expressions (interpreted higher-order
+functions, one lambda eval per element — measured ~20x slower) but blocking:
+hash-partition rows into NB blocks, replicate each row to its NB block-pairs
+via a broadcast join (no shuffle for the replication itself), then one shuffle
+on (ba, bb) feeds each block pair to a vectorized numpy GEMM. Shuffle volume
+is NB x input (choose NB so a block fits executor memory: ~5-20k rows);
+every score stays executor-side — no collect, no driver loop.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,40 +55,88 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _blocked(df: DataFrame, id_col: str, vec_col: str, n_blocks: int) -> DataFrame:
+    """(id, vec, blk): rows hash-assigned to one of n_blocks blocks."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+
+
+def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+    """Match Spark/DuckDB ROUND (half away from zero), not numpy's
+    half-to-even."""
+    p = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Returns (q_id, n_id, rank, cos_sim) — rank 1..k by (cosine desc, n_id asc),
+    Returns (q_id, n_id, rnk, cos_sim) — rank 1..k by (cosine desc, n_id asc),
     self-matches excluded, cos_sim rounded to 6 dp for cross-engine hashing.
 
-    The corpus side is broadcast when small; for big corpora prefer
-    lsh_bucket_topk.
+    Execution: the corpus is hash-split into n_blocks; queries are replicated
+    to every block (queries are the small side — the mirror of a broadcast
+    join); each (corpus-block x all-queries) group runs one numpy GEMM and
+    emits only its LOCAL top-k per query, so the final global top-k window
+    sees n_blocks*k candidates per query instead of the whole corpus.
     """
-    # norms are computed ONCE per row before the crossJoin (n+m norm folds
-    # instead of n*m) — the cosine value is bit-identical to the inline form
-    q = queries.select(
-        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("q_norm", _norm(F.col("q_vec")))
-    c = embeddings.select(
-        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    ).withColumn("n_norm", _norm(F.col("n_vec")))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            (
-                _dot(F.col("q_vec"), F.col("n_vec"))
-                / (F.col("q_norm") * F.col("n_norm"))
-            ).alias("_cos"),
+    spark = embeddings.sparkSession
+    c = _blocked(embeddings, id_col, vec_col, n_blocks).withColumn(
+        "side", F.lit(1)
+    )
+    blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
+    q = (
+        queries.select(
+            F.col(id_col).cast("long").alias("id"),
+            _as_double(F.col(vec_col)).alias("vec"),
         )
+        .crossJoin(F.broadcast(blocks))
+        .withColumn("side", F.lit(0))
+    )
+    both = c.select("blk", "side", "id", "vec").unionByName(
+        q.select("blk", "side", "id", "vec")
+    )
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["side"] == 0]
+        cs = pdf[pdf["side"] == 1]
+        if len(qs) == 0 or len(cs) == 0:
+            return pd.DataFrame({"q_id": [], "n_id": [], "_cos": []}).astype(
+                {"q_id": "int64", "n_id": "int64", "_cos": "float64"}
+            )
+        A = np.stack(qs["vec"].to_numpy())
+        B = np.stack(cs["vec"].to_numpy())
+        S = (A @ B.T) / np.outer(
+            np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+        )
+        q_ids = qs["id"].to_numpy()
+        n_ids = cs["id"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(q_ids):
+            s = S[i].copy()
+            s[n_ids == qid] = -np.inf  # exclude self-match
+            order = np.lexsort((n_ids, -s))[:k]
+            keep = order[np.isfinite(s[order])]
+            out_q.extend([qid] * len(keep))
+            out_n.extend(n_ids[keep])
+            out_s.extend(s[keep])
+        return pd.DataFrame(
+            {"q_id": out_q, "n_id": out_n, "_cos": out_s}
+        ).astype({"q_id": "int64", "n_id": "int64", "_cos": "float64"})
+
+    scored = both.groupBy("blk").applyInPandas(
+        local_topk, "q_id long, n_id long, _cos double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id").asc())
     return (
@@ -100,27 +156,69 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold — embedding-space
-    near-duplicate detection. Quadratic: use for modest corpora or after
-    LSH blocking."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
-    ).withColumn("na", _norm(F.col("va")))
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
-    ).withColumn("nb", _norm(F.col("vb")))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos_sim"),
+    near-duplicate detection.
+
+    Execution: blocked GEMM over block pairs (ba <= bb). Each row joins the
+    broadcast block-pair table twice (as left member, as right member), one
+    shuffle on (ba, bb) groups the two member sets, and numpy scores the
+    block pair in one matrix multiply. Diagonal blocks score their
+    upper-triangular half so every unordered pair is emitted exactly once.
+    Work is inherently O(n^2/2) dot products — choose n_blocks so a block
+    fits executor memory; only pairs >= threshold leave the executor.
+    """
+    spark = embeddings.sparkSession
+    e = _blocked(embeddings, id_col, vec_col, n_blocks)
+    bp = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "ba int, bb int",
+    )
+    lhs = e.join(F.broadcast(bp), e["blk"] == bp["ba"]).select(
+        "ba", "bb", F.lit(0).alias("side"), "id", "vec"
+    )
+    rhs = e.join(F.broadcast(bp), e["blk"] == bp["bb"]).select(
+        "ba", "bb", F.lit(1).alias("side"), "id", "vec"
+    )
+    both = lhs.unionByName(rhs)
+    thr = float(threshold)
+
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
         )
-        .filter(F.col("cos_sim") >= threshold)
+        L = pdf[pdf["side"] == 0]
+        R = L if ba == bb else pdf[pdf["side"] == 1]
+        if len(L) == 0 or len(R) == 0:
+            return empty
+        A = np.stack(L["vec"].to_numpy())
+        B = np.stack(R["vec"].to_numpy())
+        S = (A @ B.T) / np.outer(
+            np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+        )
+        if ba == bb:
+            ii, jj = np.triu_indices(len(L), k=1)
+        else:
+            ii, jj = np.meshgrid(
+                np.arange(len(L)), np.arange(len(R)), indexing="ij"
+            )
+            ii, jj = ii.ravel(), jj.ravel()
+        cs = _round_half_up(S[ii, jj], 6)
+        mask = cs >= thr
+        ia = L["id"].to_numpy()[ii[mask]]
+        ib = R["id"].to_numpy()[jj[mask]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos_sim": cs[mask],
+            }
+        )
+
+    return both.groupBy("ba", "bb").applyInPandas(
+        gemm, "id_a long, id_b long, cos_sim double"
     )
 
 

@@ -658,8 +658,8 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # word 3-gram shingles: generate_series over token positions, 1-based
-# inclusive list slice — mirrors dedup._shingles exactly (short docs yield
-# one truncated shingle on both sides)
+# inclusive list slice — mirrors dedup.shingle_rows exactly (short docs yield
+# one truncated shingle on both sides; docs with zero tokens yield no rows)
 _SHINGLES_SQL = """
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -671,6 +671,7 @@ _SHINGLES_SQL = """
                        x -> length(x) > 0) AS toks
     FROM documents
   )
+  WHERE len(toks) > 0
 """
 
 SQL_DEDUP_JACCARD = f"""
