@@ -1,0 +1,270 @@
+"""End-to-end streaming wiring: sources, fan-outs, routing, sinks.
+
+Every transformation here reuses the batch operators unchanged — the point of
+the Spark-first design is that the SAME logical plan runs under readStream.
+What this module adds is the wiring Flink expressed imperatively:
+
+- P1 fan-out (BaseLogApp.java:149-151, three Kafka sinks off one stream):
+  one ``foreachBatch`` that persists the micro-batch, splits it, writes all
+  three outputs — single source read per batch (SURVEY.md §7.4.3).
+- P2/ST4 CDC routing (BaseDBLog.java:68-93): the table_process config is
+  re-read at the START of every micro-batch — identical freshness to Flink
+  broadcast state ("latest config wins"), with no custom state plumbing.
+- K2 per-row-topic Kafka sink with exactly-once intent: checkpointed
+  ``foreachBatch`` + idempotent (batchId-keyed) writes replace Flink's
+  two-phase-commit producer (MyKafkaUtil.java:23-31; SURVEY.md §7.4.4).
+- K3 dim upsert (DimSinkFunction.java:40-70): MERGE-by-pk emulated on plain
+  parquet (anti-join old ∪ new, overwrite). On a real deployment this is one
+  Delta ``MERGE INTO dim USING updates ON pk``; parquet keeps the test
+  container dependency-free. The reference's Redis cache + invalidation
+  (DimUtil.java:15-19, DimSinkFunction.java:56-58) is unnecessary here: the
+  stream-static join re-reads the dim snapshot every micro-batch (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from gmall_flink_yb_spark.operators.log_split import split_log_stream
+from gmall_flink_yb_spark.operators.order_wide import interval_join
+from gmall_flink_yb_spark.operators.routing import route_cdc, to_kafka_payload
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    glob: str | None = None,
+) -> DataFrame:
+    """File-based streaming source (the test-harness stand-in for S1 Kafka:
+    same downstream code, SURVEY.md §1.3). ``max_files_per_trigger=1`` turns
+    a directory of files into a sequence of micro-batches, which is how the
+    streaming-parity tests exercise cross-batch state."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.format(fmt).load(path)
+
+
+# ---------------------------------------------------------------------------
+# DWM streaming forms (declarative — no custom state)
+# ---------------------------------------------------------------------------
+
+
+def unique_visitors_stream(
+    events: DataFrame,
+    key_col: str = "mid",
+    ts_col: str = "ts",
+    entry_filter=None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """ST2 streaming — first session-entry per (device, civil day).
+
+    Reference: UniqueVisitApp.java:53-102 (keyed last-seen-date ValueState,
+    TTL 24 h). Spark-first: watermark + dropDuplicates on (key, date) — state
+    for a (device, day) pair is evicted once the watermark passes the day,
+    the declarative analogue of the 24 h TTL (SURVEY.md §7.4.2).
+    """
+    df = events if entry_filter is None else events.filter(entry_filter)
+    df = df.withColumn("_uv_date", F.to_date(F.col(ts_col)))
+    return df.withWatermark(ts_col, watermark).dropDuplicates(
+        [key_col, "_uv_date"]
+    )
+
+
+def order_wide_stream(
+    info: DataFrame,
+    detail: DataFrame,
+    delay: str = "5 seconds",
+    window_seconds: float = 5.0,
+) -> DataFrame:
+    """J1 streaming — watermarked stream-stream interval join.
+
+    Reference: OrderWideApp.java:89-97 (keyBy(id) ⋈ keyBy(order_id), between
+    ±5 s). Watermarks on BOTH sides bound the join state: Spark evicts
+    buffered rows once the watermark passes ts + window, exactly the
+    state-cleanup Flink's interval join does internally (SURVEY.md §4.1).
+    The reference uses monotonic watermarks (zero lateness, :63-69); ``delay``
+    widens that for out-of-order sources.
+    """
+    i = info.withWatermark("create_ts", delay)
+    d = detail.withWatermark("create_ts", delay)
+    return interval_join(
+        i,
+        d,
+        left_key="id",
+        right_key="order_id",
+        left_ts="create_ts",
+        right_ts="create_ts",
+        lower_seconds=-window_seconds,
+        upper_seconds=window_seconds,
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — 3-way log split fan-out (one read, three sinks)
+# ---------------------------------------------------------------------------
+
+
+def start_log_split_fanout(
+    clean: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """BaseLogApp's three Kafka sinks (dwd_start_log / dwd_page_log /
+    dwd_display_log, BaseLogApp.java:149-151) as ONE foreachBatch: the
+    micro-batch is persisted, split three ways, and each part written —
+    the source is read once per batch instead of once per sink
+    (three independent writeStream queries would re-read it; SURVEY §7.4.3).
+    Parquet directories stand in for the topics."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name, part in split_log_stream(batch_df).items():
+                part.write.mode("append").parquet(
+                    os.path.join(out_dir, f"dwd_{name}_log")
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        clean.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/ST4/K2/K3 — CDC routing with per-batch config refresh
+# ---------------------------------------------------------------------------
+
+
+def upsert_dim_parquet(
+    spark: SparkSession, new_rows: DataFrame, path: str, pk: str = "id"
+) -> None:
+    """K3 — MERGE-by-pk onto a parquet dim table (DimSinkFunction.java:74-81
+    built Phoenix UPSERTs; Delta ``MERGE INTO ... ON pk`` in production).
+    Keeps the LAST version of each pk: old rows not in the update survive,
+    updated pks are replaced."""
+    new_rows = new_rows.dropDuplicates([pk])
+    if os.path.exists(path):
+        old = spark.read.parquet(path)
+        merged = old.join(new_rows, pk, "left_anti").unionByName(new_rows)
+    else:
+        merged = new_rows
+    # two-phase write: parquet can't overwrite a dir being read
+    tmp = path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+
+
+def start_cdc_routing(
+    envelope_stream: DataFrame,
+    config_loader: Callable[[], DataFrame],
+    out_dir: str,
+    checkpoint_dir: str,
+    dim_pk: str = "id",
+) -> StreamingQuery:
+    """BaseDBLog.java:54-105 end-to-end: per micro-batch, reload the
+    table_process config (= Flink broadcast-state freshness, ST4), route rows
+    kafka/hbase (P2), write the kafka side as per-row-topic payloads (K2) and
+    upsert each hbase-side sinkTable as a dim table (K3).
+
+    Exactly-once intent: the checkpoint makes batch replay deterministic and
+    the writes are batchId-keyed (kafka payload partition dir) or idempotent
+    (dim upsert by pk), replacing the reference's EXACTLY_ONCE producer
+    (MyKafkaUtil.java:29).
+    """
+    spark = envelope_stream.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cfg = config_loader()  # latest config wins, per batch (ST4)
+        batch_df.persist()
+        try:
+            routed = route_cdc(batch_df, cfg)
+            to_kafka_payload(routed["kafka"]).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(os.path.join(out_dir, "kafka_out"))
+            hbase = routed["hbase"].persist()
+            sink_tables = [
+                r["sinkTable"]
+                for r in hbase.select("sinkTable").distinct().collect()
+            ]
+            for tbl in sink_tables:
+                rows = (
+                    hbase.filter(F.col("sinkTable") == tbl)
+                    .select(
+                        F.col("after").getItem(dim_pk).alias(dim_pk),
+                        F.to_json("after").alias("payload"),
+                    )
+                )
+                upsert_dim_parquet(
+                    spark, rows, os.path.join(out_dir, f"dim_{tbl}"), dim_pk
+                )
+            hbase.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        envelope_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kafka sinks (wiring only — no broker in the test container)
+# ---------------------------------------------------------------------------
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """K1 — fixed-topic Kafka producer (MyKafkaUtil.java:17-21): serialize
+    every column to one JSON value (T7, map(JSONAware::toJSONString))."""
+    return (
+        df.select(F.to_json(F.struct("*")).alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def write_kafka_dynamic_topic(
+    routed: DataFrame,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """K2 — per-record-topic producer (MyKafkaUtil.java:23-31): Spark's Kafka
+    sink natively honors a per-row ``topic`` column, so the dynamic routing
+    needs no custom serializer at all."""
+    return (
+        to_kafka_payload(routed)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,305 @@
+"""Streaming parity tests (SURVEY.md §5.2.4): the same inputs through the
+Structured Streaming forms must equal the batch answers.
+
+File sources + Trigger.AvailableNow stand in for Kafka (same downstream
+code); maxFilesPerTrigger=1 turns multi-file inputs into multi-micro-batch
+runs so cross-batch state (ST1/ST3) is genuinely exercised.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from gmall_flink_yb_spark.operators.bounce import detect_bounce_batch
+from gmall_flink_yb_spark.operators.routing import route_cdc
+from gmall_flink_yb_spark.operators.visitor import (
+    correct_is_new_batch,
+    unique_visitors_batch,
+)
+from gmall_flink_yb_spark.schemas import (
+    CDC_ENVELOPE_SCHEMA,
+    TABLE_PROCESS_SCHEMA,
+)
+from gmall_flink_yb_spark.sources.readers import parse_log_stream, read_table
+from gmall_flink_yb_spark.streaming.pipelines import (
+    read_file_stream,
+    start_cdc_routing,
+    start_log_split_fanout,
+    unique_visitors_stream,
+    order_wide_stream,
+)
+from gmall_flink_yb_spark.streaming.stateful import (
+    correct_is_new_stream,
+    detect_bounce_stream,
+)
+
+FLAT_EVENT_SCHEMA = StructType(
+    [
+        StructField("mid", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("is_new", StringType()),
+        StructField("is_entry", BooleanType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+def _ts(s: float):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(s, datetime.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+@pytest.fixture(scope="module")
+def flat_events(spark, tmp_path_factory):
+    """Two files -> two micro-batches. Device m1 appears in both batches
+    (its batch-2 event must be corrected to is_new=0 via state); m2 bounces
+    by re-entry; m3 bounces by timeout; m4 has a continuing session."""
+    rows_b1 = [
+        ("m1", _ts(100.0), "1", True, 1),
+        ("m1", _ts(103.0), "1", True, 2),   # re-entry at +3s: ev1 bounced
+        ("m2", _ts(100.0), "0", True, 3),
+        ("m2", _ts(105.0), "0", True, 4),   # re-entry: ev3 bounced
+        ("m4", _ts(100.0), "1", True, 5),
+        ("m4", _ts(102.0), "1", False, 6),  # session continued: no bounce
+    ]
+    rows_b2 = [
+        ("m1", _ts(200.0), "1", True, 7),   # state says m1 seen: is_new -> 0
+        ("m3", _ts(210.0), "1", True, 8),   # then silence: timeout bounce
+        # watermark movers (non-entries far in the future, separate device)
+        ("wm", _ts(500.0), "0", False, 9),
+    ]
+    rows_b3 = [
+        ("wm", _ts(900.0), "0", False, 10),  # advances watermark past all timers
+    ]
+    d = tmp_path_factory.mktemp("flat_events")
+    for i, rows in enumerate([rows_b1, rows_b2, rows_b3]):
+        spark.createDataFrame(rows, FLAT_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}"))
+        # move files into one dir with ordered names so maxFilesPerTrigger=1
+        # processes them in event order
+        part = [f for f in os.listdir(d / f"batch_{i}") if f.endswith(".parquet")]
+        os.rename(d / f"batch_{i}" / part[0], d / f"{i:02d}.parquet")
+    all_df = spark.read.schema(FLAT_EVENT_SCHEMA).parquet(str(d))
+    return str(d), all_df
+
+
+def _run_to_memory(stream_df, spark, name, max_wait=120):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(max_wait)
+    return spark.table(name)
+
+
+def test_is_new_correction_stream_matches_batch(spark, flat_events):
+    path, all_df = flat_events
+    stream = read_file_stream(
+        spark, path, FLAT_EVENT_SCHEMA, max_files_per_trigger=1, glob="*.parquet"
+    )
+    got = _run_to_memory(
+        correct_is_new_stream(stream, "mid", "ts", "is_new"), spark, "isnew_s"
+    )
+    expect = correct_is_new_batch(
+        all_df, key_col="mid", ts_col="ts", is_new_col="is_new",
+        row_id_col="event_id",
+    )
+    g = {r["event_id"]: r["is_new_fixed"] for r in got.collect()}
+    e = {r["event_id"]: r["is_new_fixed"] for r in expect.collect()}
+    assert g == e
+    assert g[1] == "1" and g[2] == "0" and g[7] == "0"
+
+
+def test_bounce_stream_matches_batch(spark, flat_events):
+    path, all_df = flat_events
+    stream = read_file_stream(
+        spark, path, FLAT_EVENT_SCHEMA, max_files_per_trigger=1, glob="*.parquet"
+    )
+    events = stream.withWatermark("ts", "1 second")  # W1: 1 s lateness
+    got = _run_to_memory(
+        detect_bounce_stream(events, "mid", "ts", "is_entry", 10),
+        spark,
+        "bounce_s",
+    )
+    got_pairs = {(r["mid"], r["ts"]) for r in got.collect()}
+    expect = detect_bounce_batch(
+        all_df, key_col="mid", ts_col="ts", is_entry=F.col("is_entry"),
+        window_seconds=10, order_cols=["event_id"],
+    )
+    exp_pairs = {(r["mid"], r["ts"]) for r in expect.collect()}
+    assert got_pairs == exp_pairs
+    mids = {m for m, _ in got_pairs}
+    assert mids == {"m1", "m2", "m3"}  # m3 only via event-time timeout
+
+
+def test_uv_stream_matches_batch_daily_counts(spark, sf_dir):
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long ns
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        read_file_stream(
+            spark, sf_dir, raw_schema, glob="events.parquet"
+        )
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("user_id", F.col("user_id").cast("string"))
+    )
+    uv = unique_visitors_stream(stream, key_col="user_id", ts_col="ts")
+    got = (
+        _run_to_memory(uv, spark, "uv_s")
+        .groupBy("_uv_date").count().orderBy("_uv_date")
+    )
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+    expect = (
+        unique_visitors_batch(events, key_col="user_id", ts_col="ts")
+        .groupBy("_uv_date").count().orderBy("_uv_date")
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in expect.collect()
+    ]
+
+
+def test_order_wide_stream_matches_batch(spark, tmp_path):
+    info_rows = [
+        Row(id=1, user_id=10, create_ts=_ts(1000.0)),
+        Row(id=2, user_id=20, create_ts=_ts(2000.0)),
+    ]
+    detail_rows = [
+        Row(detail_id=100, order_id=1, sku_id=7, create_ts=_ts(1003.0)),  # +3s
+        Row(detail_id=101, order_id=1, sku_id=8, create_ts=_ts(1008.0)),  # +8s out
+        Row(detail_id=102, order_id=2, sku_id=9, create_ts=_ts(1996.0)),  # -4s in
+    ]
+    info_dir, detail_dir = str(tmp_path / "info"), str(tmp_path / "detail")
+    spark.createDataFrame(info_rows).write.parquet(info_dir)
+    spark.createDataFrame(detail_rows).write.parquet(detail_dir)
+    info_s = read_file_stream(
+        spark, info_dir, spark.read.parquet(info_dir).schema
+    )
+    detail_s = read_file_stream(
+        spark, detail_dir, spark.read.parquet(detail_dir).schema
+    )
+    wide = order_wide_stream(info_s, detail_s).select(
+        "id", "detail_id", "sku_id"
+    )
+    got = {tuple(r) for r in _run_to_memory(wide, spark, "ow_s").collect()}
+    assert got == {(1, 100, 7), (2, 102, 9)}
+
+
+def test_log_split_fanout_single_read(spark, tmp_path):
+    events = [
+        {"common": {"mid": "m1", "is_new": "1"}, "start": {"entry": "icon"},
+         "ts": 1000},
+        {"common": {"mid": "m1", "is_new": "0"},
+         "page": {"page_id": "home", "last_page_id": None},
+         "displays": [{"item": "sku1", "item_type": "sku_id", "order": 1},
+                      {"item": "sku2", "item_type": "sku_id", "order": 2}],
+         "ts": 2000},
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    raw = (
+        spark.readStream.schema("value string").format("text").load(src)
+    )
+    clean, _dirty = parse_log_stream(raw)
+    out = str(tmp_path / "out")
+    q = start_log_split_fanout(clean, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    start = spark.read.parquet(os.path.join(out, "dwd_start_log"))
+    page = spark.read.parquet(os.path.join(out, "dwd_page_log"))
+    display = spark.read.parquet(os.path.join(out, "dwd_display_log"))
+    assert start.count() == 1
+    assert page.count() == 1
+    assert display.count() == 2  # explode over displays, page_id attached
+    assert display.select("page_id").distinct().first()[0] == "home"
+
+
+def test_cdc_routing_stream_refreshes_config(spark, tmp_path):
+    """Config re-read per micro-batch: a table routed nowhere in batch 1 is
+    routed after the config gains its row (ST4 'latest config wins')."""
+    env_rows_1 = [
+        Row(database="gmall", tableName="order_info",
+            before=None, after={"id": "1", "amount": "10"}, type="insert"),
+        Row(database="gmall", tableName="user_info",
+            before=None, after={"id": "7", "name": "ann"}, type="insert"),
+    ]
+    env_rows_2 = [
+        Row(database="gmall", tableName="user_info",
+            before=None, after={"id": "7", "name": "bob"}, type="update"),
+    ]
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    for i, rows in enumerate([env_rows_1, env_rows_2]):
+        spark.createDataFrame(rows, CDC_ENVELOPE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage{i}"))
+        part = [
+            f
+            for f in os.listdir(tmp_path / f"stage{i}")
+            if f.endswith(".parquet")
+        ]
+        os.rename(tmp_path / f"stage{i}" / part[0], os.path.join(src, f"{i:02d}.parquet"))
+
+    cfg_rows = [
+        Row(sourceTable="order_info", operateType="insert", sinkType="kafka",
+            sinkTable="dwd_order_info", sinkColumns="id,amount",
+            sinkPk="id", sinkExtend=None),
+        Row(sourceTable="user_info", operateType="insert", sinkType="hbase",
+            sinkTable="dim_user_info", sinkColumns="id,name",
+            sinkPk="id", sinkExtend=None),
+        Row(sourceTable="user_info", operateType="update", sinkType="hbase",
+            sinkTable="dim_user_info", sinkColumns="id,name",
+            sinkPk="id", sinkExtend=None),
+    ]
+    cfg = spark.createDataFrame(cfg_rows, TABLE_PROCESS_SCHEMA)
+
+    stream = read_file_stream(
+        spark, src, CDC_ENVELOPE_SCHEMA, max_files_per_trigger=1,
+        glob="*.parquet",
+    )
+    out = str(tmp_path / "routed")
+    q = start_cdc_routing(
+        stream, lambda: cfg, out, str(tmp_path / "cdc_ckpt")
+    )
+    q.awaitTermination(120)
+
+    kafka_out = spark.read.parquet(os.path.join(out, "kafka_out"))
+    assert kafka_out.count() == 1
+    r = kafka_out.first()
+    assert r["topic"] == "dwd_order_info"
+    assert json.loads(r["value"]) == {"id": "1", "amount": "10"}
+
+    dim = spark.read.parquet(os.path.join(out, "dim_dim_user_info"))
+    assert dim.count() == 1  # insert then update upserted by pk
+    assert json.loads(dim.first()["payload"])["name"] == "bob"
