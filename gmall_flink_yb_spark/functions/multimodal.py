@@ -1,0 +1,190 @@
+"""Multimodal (image/audio/video) column plumbing for the LLM-data pipeline.
+
+No reference counterpart (BASELINE.json north star). Media is carried as an
+opaque ``binary`` column plus typed metadata — the Spark-native layout for
+payloads the engine moves but does not interpret:
+
+    media_id: long, media_type: string, content: binary,
+    meta: struct<width int, height int, sample_rate int, duration_ms long>
+
+Every transform is a ``mapInPandas`` stage: Arrow moves the binary batches to
+Python zero-copy, the pandas function works on a whole batch, and the output
+schema is declared up front so Catalyst keeps planning around the stage.
+At 100 TB the content column dominates I/O — transforms that only need
+metadata (routing, filtering, sampling decisions) must select around
+``content`` so the parquet scan prunes it (binary columns are only fetched
+when referenced).
+
+The actual codec work (JPEG decode, audio resample, video frame extraction)
+requires libraries not present in this container; those calls are STUBBED
+behind ``use_real_codecs=True`` -> NotImplementedError, and the default path
+uses a deterministic fake payload format (FAKE_HEADER below) so the
+Spark-side plumbing — schema, batching, partitioning, multi-row emission —
+is real and testable end-to-end.
+
+Fake payload format (deterministic, oracle-friendly):
+    bytes 0..3   magic b"FMM1"
+    bytes 4..5   width  (big-endian uint16)   -- images/video
+    bytes 6..7   height (big-endian uint16)
+    bytes 8..    body (opaque)
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAKE_MAGIC = b"FMM1"
+HEADER_LEN = 8
+
+MEDIA_SCHEMA = (
+    "media_id long, media_type string, content binary, "
+    "width int, height int, sample_rate int, duration_ms long"
+)
+
+
+def synthesize_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic fake media table from the documents fixture: the text
+    bytes become the payload body, width/height derive arithmetically from
+    the id (reproducible in any engine — the decode query is oracle-checked).
+    Pure column expressions; the header is assembled JVM-side."""
+    width = (F.lit(64) + F.pmod(F.col(id_col), F.lit(32)) * 16).cast("int")
+    height = (F.lit(64) + F.pmod(F.col(id_col), F.lit(24)) * 16).cast("int")
+    # header assembled as hex -> unhex: magic 464D4D31 ("FMM1") + two
+    # big-endian uint16 fields
+    header = F.unhex(
+        F.concat(
+            F.lit(FAKE_MAGIC.hex().upper()),
+            F.lpad(F.hex(width), 4, "0"),
+            F.lpad(F.hex(height), 4, "0"),
+        )
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.concat(header, F.encode(F.col(text_col), "UTF-8")).alias("content"),
+    )
+
+
+def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """Parse each payload's header into typed metadata columns.
+
+    With real codecs this is where PIL/libav would run; the container has
+    neither, so that path raises (clearly-marked stub). The fake-format path
+    exercises identical plumbing: binary in, struct-typed metadata out,
+    batch-at-a-time over Arrow.
+    """
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image/audio codecs are not available in this environment; "
+            "install pillow/av and implement the codec branch here"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id", "media_type", "content"]].copy()
+            widths, heights, n_bytes = [], [], []
+            for buf in pdf["content"]:
+                b = bytes(buf)
+                if len(b) >= HEADER_LEN and b[:4] == FAKE_MAGIC:
+                    w, h = struct.unpack(">HH", b[4:8])
+                else:
+                    w, h = 0, 0  # undecodable -> zeroed metadata, kept row
+                widths.append(w)
+                heights.append(h)
+                n_bytes.append(max(len(b) - HEADER_LEN, 0))
+            out["width"] = pd.Series(widths, dtype="int32")
+            out["height"] = pd.Series(heights, dtype="int32")
+            out["body_bytes"] = pd.Series(n_bytes, dtype="int64")
+            yield out
+
+    return df.mapInPandas(
+        decode,
+        "media_id long, media_type string, content binary, "
+        "width int, height int, body_bytes long",
+    )
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, use_real_codecs: bool = False
+) -> DataFrame:
+    """Rewrite each image payload's header to the target dimensions (the fake
+    analogue of a real resize; body carried through untouched). Only
+    media_type == 'image' rows are transformed; others pass through."""
+    if use_real_codecs:
+        raise NotImplementedError("real resize needs pillow; see decode_media")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = FAKE_MAGIC + struct.pack(">HH", target_w, target_h)
+        for pdf in batches:
+            out = pdf.copy()
+            is_img = out["media_type"] == "image"
+            out.loc[is_img, "content"] = out.loc[is_img, "content"].map(
+                lambda b: header + bytes(b)[HEADER_LEN:]
+            )
+            yield out
+
+    return df.mapInPandas(resize, df.schema)
+
+
+def sample_frames(df: DataFrame, frame_stride: int = 32) -> DataFrame:
+    """Video frame sampling: one OUTPUT ROW PER SAMPLED FRAME (multi-row
+    emission — the mapInPandas analogue of explode). The fake format treats
+    each ``frame_stride`` bytes of body as one frame; a real implementation
+    would seek keyframes with av. Non-video rows are dropped."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video"]
+            ids, frame_idx, frames = [], [], []
+            for mid, buf in zip(vids["media_id"], vids["content"]):
+                body = bytes(buf)[HEADER_LEN:]
+                for i in range(0, max(len(body), 1), frame_stride):
+                    ids.append(mid)
+                    frame_idx.append(i // frame_stride)
+                    frames.append(body[i : i + frame_stride])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(frame_idx, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(sample, "media_id long, frame_idx long, frame binary")
+
+
+def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Deterministic feature vector per payload (array<float>[dim]) — the
+    stand-in for a real image/audio embedding model, built from a seeded
+    byte-histogram projection so it is stable across runs and executors.
+    Output feeds the similarity operators (brute_force_topk / lsh_bucket_topk)
+    directly: media dedup by embedding is media -> extract_features ->
+    cosine_near_dup_pairs."""
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng = np.random.default_rng(42)
+        proj = rng.standard_normal((256, dim)).astype(np.float64)
+        for pdf in batches:
+            vecs = []
+            for buf in pdf["content"]:
+                body = np.frombuffer(bytes(buf)[HEADER_LEN:], dtype=np.uint8)
+                hist = np.bincount(body, minlength=256)[:256].astype(np.float64)
+                n = np.linalg.norm(hist)
+                v = (hist / n) @ proj if n > 0 else np.zeros(dim)
+                vecs.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "embedding": vecs}
+            )
+
+    return df.mapInPandas(embed, "media_id long, embedding array<float>")

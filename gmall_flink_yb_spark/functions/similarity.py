@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -170,7 +171,12 @@ def cosine_near_dup_pairs(
     fits executor memory; only pairs >= threshold leave the executor.
     """
     spark = embeddings.sparkSession
-    e = _blocked(embeddings, id_col, vec_col, n_blocks)
+    # persisted: the block-pair replication reads the input twice (left/right
+    # member joins); without this the upstream subtree (which may include
+    # Python feature-extraction stages) executes twice
+    e = _blocked(embeddings, id_col, vec_col, n_blocks).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bp = spark.createDataFrame(
         [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
         "ba int, bb int",

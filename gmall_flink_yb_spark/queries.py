@@ -33,6 +33,12 @@ from gmall_flink_yb_spark.functions.similarity import (
     cosine_near_dup_pairs,
     lsh_bucket_topk,
 )
+from gmall_flink_yb_spark.functions.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
 from gmall_flink_yb_spark.functions.text import (
     LANG_MARKERS,
     language_id,
@@ -767,6 +773,60 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing (functions/multimodal.py): synthesize a deterministic
+# fake media table from documents, then decode / frame-sample through the
+# real binary-column mapInPandas path. Metadata derives arithmetically from
+# doc_id + byte lengths, so decode and frame queries are fully oracle-checked;
+# the feature path (seeded random projection) is rows-only.
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_media(synthesize_media(docs)).select(
+        "media_id", "media_type", "width", "height", "body_bytes"
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS media_id,
+       (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+       CAST(64 + (doc_id % 32) * 16 AS INTEGER) AS width,
+       CAST(64 + (doc_id % 24) * 16 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
+FROM documents
+"""
+
+
+_FRAME_STRIDE = 32
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_media(docs), frame_stride=_FRAME_STRIDE)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("frame_bytes"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+SELECT doc_id AS media_id,
+       CAST(ceil(greatest(octet_length(encode(text)), 1) / {_FRAME_STRIDE}.0)
+            AS BIGINT) AS n_frames,
+       CAST(octet_length(encode(text)) AS BIGINT) AS frame_bytes
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def q_multimodal_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_media(docs), dim=64)
+    return cosine_near_dup_pairs(
+        feats, threshold=0.999, id_col="media_id", vec_col="embedding"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -791,10 +851,13 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_jaccard": q_dedup_jaccard,
     "similarity_topk": q_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
     # rows-only (non-SQL-reproducible hashing):
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "multimodal_feature_dedup": q_multimodal_feature_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -818,4 +881,6 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
 }
