@@ -1,0 +1,98 @@
+"""Physical-plan shape tests: the scale properties as assertions.
+
+These check what .explain("formatted") actually says — filters reach the
+parquet scan, scans are column-pruned, dim joins broadcast, hot paths stay
+inside whole-stage codegen — because at 100 TB each of these is the
+difference between reading gigabytes and reading everything.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_flink_yb_spark.plans.inspect import (
+    has_whole_stage_codegen,
+    join_strategies,
+    num_exchanges,
+    pushed_filters,
+    read_schemas,
+    scans_are_vectorized,
+)
+from gmall_flink_yb_spark.plans.views import register_views
+from gmall_flink_yb_spark.queries import (
+    q_order_wide,
+    q_revenue_by_nation,
+    q_top_brands,
+    q_uv_daily,
+)
+from gmall_flink_yb_spark.sources.readers import read_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+    pushed = pushed_filters(q)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    schemas = read_schemas(q)
+    assert len(schemas) == 1
+    # 16-column table: only the two referenced columns may leave the scan
+    assert "l_returnflag" in schemas[0] and "l_quantity" in schemas[0]
+    assert "l_comment" not in schemas[0] and "l_extendedprice" not in schemas[0]
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
+    """J2: every dim enrichment must be a broadcast join — shuffling the fact
+    table per dim is the reference's per-row-RPC mistake reborn at scale."""
+    strategies = join_strategies(q_revenue_by_nation(spark, sf_dir))
+    assert strategies, "expected joins in the plan"
+    assert all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_order_wide_single_fact_shuffle(spark, sf_dir):
+    """The interval join shuffles each fact side once on the join key; dim
+    enrichment adds broadcasts, not exchanges."""
+    df = q_order_wide(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins  # dims
+    # facts: at most one hash-exchange per side of the equi-join (+1 if AQE
+    # inserts a final agg exchange)
+    assert num_exchanges(df) <= 3, num_exchanges(df)
+
+
+def test_topk_uses_codegen_and_vectorized_scans(spark, sf_dir):
+    df = q_top_brands(spark, sf_dir)
+    assert scans_are_vectorized(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_uv_single_exchange(spark, sf_dir):
+    """ST2 batch form: dedup + daily count must need at most two exchanges
+    (one on the dedup key, one to regroup by date)."""
+    assert num_exchanges(q_uv_daily(spark, sf_dir)) <= 2
+
+
+def test_sql_views_run(spark, sf_dir):
+    names = register_views(spark, sf_dir)
+    assert set(names) == {
+        "dwm_unique_visit",
+        "dwm_new_visitors",
+        "dwm_user_jump_detail",
+    }
+    uv = spark.sql(
+        "SELECT _uv_date, count(*) AS uv FROM dwm_unique_visit GROUP BY 1"
+    )
+    assert uv.count() > 0
+    bounce = spark.sql(
+        "SELECT count(*) FROM dwm_user_jump_detail WHERE is_bounce"
+    ).first()[0]
+    assert bounce > 0
+    # the SQL surface and the Python surface are the same logical plan
+    py_uv = q_uv_daily(spark, sf_dir).agg(F.sum("uv")).first()[0]
+    sql_uv = uv.agg(F.sum("uv")).first()[0]
+    assert py_uv == sql_uv
