@@ -382,7 +382,10 @@ def simhash_pairs(
     ).select("doc_id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    # hamming filter BEFORE the pair-dedup: a qualifying pair can surface from
+    # up to 4 chunks, but the dedup shuffle then only carries survivors
+    return (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
@@ -392,13 +395,8 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            ham.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

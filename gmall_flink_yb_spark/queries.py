@@ -762,8 +762,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_hamming=3 is the exact-recall bound of the 4x16-bit pigeonhole
+    # blocking (any pair at hamming <= 3 must agree on one chunk)
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
