@@ -303,3 +303,17 @@ def test_cdc_routing_stream_refreshes_config(spark, tmp_path):
     dim = spark.read.parquet(os.path.join(out, "dim_dim_user_info"))
     assert dim.count() == 1  # insert then update upserted by pk
     assert json.loads(dim.first()["payload"])["name"] == "bob"
+
+    # exactly-once across restart (K2 EOS intent, MyKafkaUtil.java:29): a
+    # second run over the SAME checkpoint reprocesses nothing — no duplicate
+    # kafka payloads, dim state unchanged
+    stream2 = read_file_stream(
+        spark, src, CDC_ENVELOPE_SCHEMA, max_files_per_trigger=1,
+        glob="*.parquet",
+    )
+    q2 = start_cdc_routing(
+        stream2, lambda: cfg, out, str(tmp_path / "cdc_ckpt")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "kafka_out")).count() == 1
+    assert spark.read.parquet(os.path.join(out, "dim_dim_user_info")).count() == 1
