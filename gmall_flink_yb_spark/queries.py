@@ -46,6 +46,7 @@ from gmall_flink_yb_spark.functions.text import (
 )
 from gmall_flink_yb_spark.operators.bounce import flag_bounce_batch
 from gmall_flink_yb_spark.operators.keywords import keyword_counts
+from gmall_flink_yb_spark.operators.merge_wide import merge_wide
 from gmall_flink_yb_spark.operators.order_wide import enrich_dims, interval_join
 from gmall_flink_yb_spark.operators.routing import route_cdc
 from gmall_flink_yb_spark.operators.visitor import unique_visitors_batch
@@ -322,6 +323,57 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+# ---------------------------------------------------------------------------
+# PaymentWide-style merge (§2.9 — bean/OrderWide.java:90-107
+# mergeOtherOrderWide): null-coalescing combination of partial wide records.
+# The payment partial derives deterministically from orders (status F =
+# paid), so the merge is fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+def q_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    ow = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        # urgent orders arrive with the customer ref unset -> patched from
+        # the payment side (the per-field null-coalescing the reference's
+        # mergeOtherOrderWide exists for)
+        F.when(F.col("o_orderpriority").startswith("1"), None)
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("payer"),
+    )
+    pay = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").cast("string").alias("payer"),
+        F.concat(F.lit("PAY-"), F.col("o_orderpriority").substr(1, 1)).alias(
+            "payment_type"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("payment_date"),
+    )
+    return merge_wide(ow, pay, ["orderkey"])
+
+
+SQL_PAYMENT_WIDE = """
+WITH ow AS (
+  SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DOUBLE) AS total,
+         CASE WHEN o_orderpriority LIKE '1%' THEN NULL
+              ELSE CAST(o_custkey AS VARCHAR) END AS payer
+  FROM orders
+), pay AS (
+  SELECT o_orderkey AS orderkey, CAST(o_custkey AS VARCHAR) AS payer,
+         'PAY-' || substr(o_orderpriority, 1, 1) AS payment_type,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS payment_date
+  FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT coalesce(l.orderkey, r.orderkey) AS orderkey,
+       l.status AS status, l.total AS total,
+       coalesce(l.payer, r.payer) AS payer,
+       r.payment_type AS payment_type, r.payment_date AS payment_date
+FROM ow l FULL OUTER JOIN pay r ON l.orderkey = r.orderkey
 """
 
 # ---------------------------------------------------------------------------
@@ -841,6 +893,7 @@ QUERIES: dict[str, QueryFn] = {
     "tumbling_hourly": q_tumbling_hourly,
     "q1_pricing_summary": q_q1_pricing_summary,
     "order_wide": q_order_wide,
+    "payment_wide": q_payment_wide,
     "revenue_by_nation": q_revenue_by_nation,
     "top_brands": q_top_brands,
     "interval_join_shipments": q_interval_join_shipments,
@@ -871,6 +924,7 @@ ORACLES: dict[str, str] = {
     "tumbling_hourly": SQL_TUMBLING_HOURLY,
     "q1_pricing_summary": SQL_Q1_PRICING_SUMMARY,
     "order_wide": SQL_ORDER_WIDE,
+    "payment_wide": SQL_PAYMENT_WIDE,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_brands": SQL_TOP_BRANDS,
     "interval_join_shipments": SQL_INTERVAL_JOIN_SHIPMENTS,
