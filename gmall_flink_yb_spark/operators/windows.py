@@ -39,3 +39,57 @@ def tumbling_agg(
         F.col("w.end").alias("window_end"),
         *rest,
     )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    slide_duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window aggregate: each row contributes to
+    window_duration/slide_duration overlapping windows (Spark expands them
+    map-side; shuffle volume scales with the overlap factor — keep the ratio
+    small at scale)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(
+        F.window(F.col(ts_col), window_duration, slide_duration).alias("w"),
+        *[F.col(c) for c in group_cols],
+    ).agg(*aggs)
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *rest,
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap_duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window aggregate: windows close after ``gap_duration`` of
+    per-key silence (F.session_window — dynamic, data-driven windows; in
+    streaming the watermark finalizes sessions). Batch-equivalent SQL is the
+    classic gaps-and-islands (lag + cumulative sum), which is what the
+    DuckDB oracle runs."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(
+        F.session_window(F.col(ts_col), gap_duration).alias("w"),
+        *[F.col(c) for c in group_cols],
+    ).agg(*aggs)
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *rest,
+    )

@@ -50,7 +50,7 @@ from gmall_flink_yb_spark.operators.merge_wide import merge_wide
 from gmall_flink_yb_spark.operators.order_wide import enrich_dims, interval_join
 from gmall_flink_yb_spark.operators.routing import route_cdc
 from gmall_flink_yb_spark.operators.visitor import unique_visitors_batch
-from gmall_flink_yb_spark.operators.windows import tumbling_agg
+from gmall_flink_yb_spark.operators.windows import session_agg, tumbling_agg
 from gmall_flink_yb_spark.schemas import TABLE_PROCESS_SCHEMA
 from gmall_flink_yb_spark.sources.readers import read_table
 
@@ -323,6 +323,100 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+# ---------------------------------------------------------------------------
+# Session windows (DWS intended surface): data-driven windows closing after
+# 2 h of per-user silence. Spark F.session_window; the oracle is the batch
+# gaps-and-islands form (lag + running sum), proving the two agree.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 7200
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    s = session_agg(
+        ev,
+        "ts",
+        f"{_SESSION_GAP_S} seconds",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    return s.select(
+        "user_id",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH e AS (
+  SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events
+), flags AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL {_SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL {_SESSION_GAP_S} SECOND,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping sets surface): region/nation hierarchy with subtotals and
+# grand total, as the DWS serving layer would materialize it.
+# ---------------------------------------------------------------------------
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    facts = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    wide = enrich_dims(
+        facts,
+        [
+            (c, "o_custkey", "c_custkey", ["c_nationkey"]),
+            (n, "c_nationkey", "n_nationkey", ["n_name", "n_regionkey"]),
+            (r, "n_regionkey", "r_regionkey", ["r_name"]),
+        ],
+        how="inner",
+    ).withColumn("region_name", F.col("r_name")).withColumn(
+        "nation_name", F.col("n_name")
+    )
+    return wide.rollup("region_name", "nation_name").agg(
+        F.sum(F.expr(_REV)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_REVENUE_ROLLUP = f"""
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (region_name, nation_name)
 """
 
 # ---------------------------------------------------------------------------
@@ -806,6 +900,19 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_COS_THRESHOLD}
 # sees which, per the repo contract)
 # ---------------------------------------------------------------------------
 
+def q_uv_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB UV path: approx_count_distinct (HyperLogLog++) — sketch
+    states merge map-side, so the shuffle carries one sketch per group
+    instead of the distinct keys themselves. Rows-only check (HLL estimates
+    aren't bit-reproducible in DuckDB); tests assert the estimate lands
+    within the sketch's error bound of the exact answer."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(_dt().alias("dt"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("uv_approx"))
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
@@ -894,6 +1001,8 @@ QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "order_wide": q_order_wide,
     "payment_wide": q_payment_wide,
+    "session_stats": q_session_stats,
+    "revenue_rollup": q_revenue_rollup,
     "revenue_by_nation": q_revenue_by_nation,
     "top_brands": q_top_brands,
     "interval_join_shipments": q_interval_join_shipments,
@@ -913,6 +1022,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "multimodal_feature_dedup": q_multimodal_feature_dedup,
+    "uv_daily_approx": q_uv_daily_approx,
 }
 
 ORACLES: dict[str, str] = {
@@ -925,6 +1035,8 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": SQL_Q1_PRICING_SUMMARY,
     "order_wide": SQL_ORDER_WIDE,
     "payment_wide": SQL_PAYMENT_WIDE,
+    "session_stats": SQL_SESSION_STATS,
+    "revenue_rollup": SQL_REVENUE_ROLLUP,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_brands": SQL_TOP_BRANDS,
     "interval_join_shipments": SQL_INTERVAL_JOIN_SHIPMENTS,

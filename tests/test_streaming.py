@@ -101,11 +101,11 @@ def flat_events(spark, tmp_path_factory):
     return str(d), all_df
 
 
-def _run_to_memory(stream_df, spark, name, max_wait=120):
+def _run_to_memory(stream_df, spark, name, max_wait=120, mode="append"):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -186,6 +186,57 @@ def test_uv_stream_matches_batch_daily_counts(spark, sf_dir):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in expect.collect()
     ]
+
+
+def test_tumbling_window_stream_matches_batch(spark, sf_dir):
+    """§2.9 DWS rollups: the same tumbling_agg code under readStream with a
+    watermark must produce the batch answer once all data is processed."""
+    from gmall_flink_yb_spark.operators.windows import tumbling_agg
+
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = read_file_stream(
+        spark, sf_dir, raw_schema, glob="events.parquet"
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")]
+    # complete mode: append would withhold windows the watermark hasn't
+    # closed yet (the last hour of data would be missing at end-of-input)
+    got = _run_to_memory(
+        tumbling_agg(stream, "ts", "1 hour", ["event_type"], aggs,
+                     watermark="1 minute"),
+        spark,
+        "win_s",
+        mode="complete",
+    )
+    events = read_table(spark, sf_dir, "events")
+    expect = tumbling_agg(events, "ts", "1 hour", ["event_type"], aggs)
+    key = ["window_start", "event_type"]
+    g = {tuple(r[k] for k in key): (r["n"], round(r["sv"], 6))
+         for r in got.collect()}
+    e = {tuple(r[k] for k in key): (r["n"], round(r["sv"], 6))
+         for r in expect.collect()}
+    assert g == e
+
+
+def test_uv_approx_within_error_bound(spark, sf_dir):
+    from gmall_flink_yb_spark.queries import q_uv_daily, q_uv_daily_approx
+
+    exact = {r["dt"]: r["uv"] for r in q_uv_daily(spark, sf_dir).collect()}
+    approx = {
+        r["dt"]: r["uv_approx"]
+        for r in q_uv_daily_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for dt, uv in exact.items():
+        assert abs(approx[dt] - uv) <= max(3, 0.1 * uv), (dt, uv, approx[dt])
 
 
 def test_order_wide_stream_matches_batch(spark, tmp_path):
