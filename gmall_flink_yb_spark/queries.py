@@ -50,7 +50,11 @@ from gmall_flink_yb_spark.operators.merge_wide import merge_wide
 from gmall_flink_yb_spark.operators.order_wide import enrich_dims, interval_join
 from gmall_flink_yb_spark.operators.routing import route_cdc
 from gmall_flink_yb_spark.operators.visitor import unique_visitors_batch
-from gmall_flink_yb_spark.operators.windows import session_agg, tumbling_agg
+from gmall_flink_yb_spark.operators.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
 from gmall_flink_yb_spark.schemas import TABLE_PROCESS_SCHEMA
 from gmall_flink_yb_spark.sources.readers import read_table
 
@@ -376,6 +380,52 @@ SELECT user_id,
                 '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        CAST(count(*) AS BIGINT) AS n_events
 FROM sess GROUP BY user_id, sid
+"""
+
+# ---------------------------------------------------------------------------
+# Sliding windows: 2 h windows advancing hourly. The oracle mirrors Spark's
+# window assignment exactly — an event at t belongs to every window start in
+# (t - width, t] on the slide grid, enumerated with generate_series.
+# ---------------------------------------------------------------------------
+
+def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    s = sliding_agg(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value")), 6).alias("sum_value"),
+        ],
+    )
+    return s.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+SQL_SLIDING_HOURLY = """
+WITH e AS (
+  SELECT event_type, value, make_timestamp(epoch_ns(ts)//1000) AS ts
+  FROM events
+), assigned AS (
+  SELECT event_type, value,
+         to_timestamp(ws) AS window_start
+  FROM e, unnest(generate_series(
+           CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 - 3600,
+           CAST(floor(epoch(ts)/3600) AS BIGINT)*3600,
+           3600)) AS t(ws)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(SUM(value), 6) AS sum_value
+FROM assigned GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
@@ -1002,6 +1052,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_wide": q_order_wide,
     "payment_wide": q_payment_wide,
     "session_stats": q_session_stats,
+    "sliding_hourly": q_sliding_hourly,
     "revenue_rollup": q_revenue_rollup,
     "revenue_by_nation": q_revenue_by_nation,
     "top_brands": q_top_brands,
@@ -1036,6 +1087,7 @@ ORACLES: dict[str, str] = {
     "order_wide": SQL_ORDER_WIDE,
     "payment_wide": SQL_PAYMENT_WIDE,
     "session_stats": SQL_SESSION_STATS,
+    "sliding_hourly": SQL_SLIDING_HOURLY,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_brands": SQL_TOP_BRANDS,
