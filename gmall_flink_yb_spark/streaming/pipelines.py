@@ -231,6 +231,34 @@ def start_cdc_routing(
 
 
 # ---------------------------------------------------------------------------
+# Partitioned serving tables (SURVEY §4.2 engine obligation): DWS outputs
+# land partitioned by the date/hour columns T3 derives, so downstream reads
+# prune partitions instead of scanning history.
+# ---------------------------------------------------------------------------
+
+
+def start_serving_table_writer(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_cols: tuple[str, ...] = ("create_date",),
+) -> StreamingQuery:
+    """Stream a (typically order-wide or windowed-aggregate) frame into a
+    date/hour-partitioned parquet serving table — the engine's stand-in for
+    the reference's intended ClickHouse DWS sink (GmallConfig.java:13-17,
+    never wired). Partition pruning then bounds every serving-layer query
+    to the days/hours it touches; at 100 TB that IS the query budget."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*partition_cols)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kafka sinks (wiring only — no broker in the test container)
 # ---------------------------------------------------------------------------
 

@@ -65,6 +65,24 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (0, 3) not in pairs
 
 
+def test_simhash_table_matches_column_variant(docs):
+    """The exploded-aggregate scale form must be bit-identical to the
+    per-row column expression for every non-empty doc."""
+    from gmall_flink_yb_spark.functions.dedup import simhash64, simhash_table
+
+    col_form = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", simhash64(F.col("text")).alias("sh")
+        ).collect()
+    }
+    table_form = {
+        r["doc_id"]: r["sh"] for r in simhash_table(docs, "doc_id", "text").collect()
+    }
+    assert table_form == {k: v for k, v in col_form.items() if k in table_form}
+    assert set(table_form) == set(col_form)  # no empty docs in fixture
+
+
 def test_simhash_near_dup(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_pairs(docs, "doc_id", "text",

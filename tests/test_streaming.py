@@ -265,6 +265,36 @@ def test_order_wide_stream_matches_batch(spark, tmp_path):
     assert got == {(1, 100, 7), (2, 102, 9)}
 
 
+def test_serving_table_partitioned_and_pruned(spark, tmp_path):
+    """DWS serving tables: streamed output lands partitioned by create_date,
+    and a date-filtered read prunes to that partition (PartitionFilters)."""
+    from gmall_flink_yb_spark.plans.inspect import formatted_plan
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        start_serving_table_writer,
+    )
+
+    rows = [
+        Row(id=1, amount=10.0, create_ts=_ts(1000.0),
+            create_date="2024-01-01"),
+        Row(id=2, amount=20.0, create_ts=_ts(90000.0),
+            create_date="2024-01-02"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows).write.parquet(src)
+    stream = read_file_stream(spark, src, spark.read.parquet(src).schema)
+    out = str(tmp_path / "serving")
+    q = start_serving_table_writer(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    served = spark.read.parquet(out)
+    assert served.count() == 2
+    day = served.filter(F.col("create_date") == "2024-01-01")
+    assert day.count() == 1
+    plan = formatted_plan(day)
+    assert "PartitionFilters" in plan and "create_date" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+
 def test_log_split_fanout_single_read(spark, tmp_path):
     events = [
         {"common": {"mid": "m1", "is_new": "1"}, "start": {"entry": "icon"},
