@@ -383,6 +383,31 @@ FROM sess GROUP BY user_id, sid
 """
 
 # ---------------------------------------------------------------------------
+# Exact percentiles per event type (aggregation surface): Spark F.percentile
+# and DuckDB quantile_cont both use continuous interpolation, so exact
+# quantiles are oracle-checkable. (approx_percentile/t-digest would be the
+# 100 TB path; it's estimation-only and engine-specific, like the HLL UV.)
+# ---------------------------------------------------------------------------
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.95)))
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # Sliding windows: 2 h windows advancing hourly. The oracle mirrors Spark's
 # window assignment exactly — an event at t belongs to every window start in
 # (t - width, t] on the slide grid, enumerated with generate_series.
@@ -1053,6 +1078,7 @@ QUERIES: dict[str, QueryFn] = {
     "payment_wide": q_payment_wide,
     "session_stats": q_session_stats,
     "sliding_hourly": q_sliding_hourly,
+    "value_percentiles": q_value_percentiles,
     "revenue_rollup": q_revenue_rollup,
     "revenue_by_nation": q_revenue_by_nation,
     "top_brands": q_top_brands,
@@ -1088,6 +1114,7 @@ ORACLES: dict[str, str] = {
     "payment_wide": SQL_PAYMENT_WIDE,
     "session_stats": SQL_SESSION_STATS,
     "sliding_hourly": SQL_SLIDING_HOURLY,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_brands": SQL_TOP_BRANDS,
