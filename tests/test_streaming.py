@@ -97,6 +97,9 @@ def flat_events(spark, tmp_path_factory):
         # processes them in event order
         part = [f for f in os.listdir(d / f"batch_{i}") if f.endswith(".parquet")]
         os.rename(d / f"batch_{i}" / part[0], d / f"{i:02d}.parquet")
+        # deterministic micro-batch order (FileStreamSource sorts by mtime)
+        os.utime(d / f"{i:02d}.parquet",
+                 (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
     all_df = spark.read.schema(FLAT_EVENT_SCHEMA).parquet(str(d))
     return str(d), all_df
 
@@ -326,6 +329,93 @@ def test_log_split_fanout_single_read(spark, tmp_path):
     assert display.select("page_id").distinct().first()[0] == "home"
 
 
+def test_order_wide_stream_static_dim_join(spark, tmp_path):
+    """Entry point 3 end-to-end (OrderWideApp): streaming facts interval-join
+    + STREAM-STATIC broadcast dim enrichment — the planned-join replacement
+    for DimAsyncFunction's per-row RPCs. The static side is re-read per
+    micro-batch, giving the same freshness as the reference's cache dance."""
+    from gmall_flink_yb_spark.operators.order_wide import enrich_dims
+
+    info_rows = [Row(id=1, user_id=10, create_ts=_ts(1000.0)),
+                 Row(id=2, user_id=99, create_ts=_ts(2000.0))]  # 99: no dim row
+    detail_rows = [Row(detail_id=100, order_id=1, create_ts=_ts(1002.0)),
+                   Row(detail_id=101, order_id=2, create_ts=_ts(1998.0))]
+    dim_rows = [Row(uid=10, user_name="ann", age=30)]
+    info_dir, detail_dir = str(tmp_path / "i"), str(tmp_path / "d")
+    spark.createDataFrame(info_rows).write.parquet(info_dir)
+    spark.createDataFrame(detail_rows).write.parquet(detail_dir)
+    user_dim = spark.createDataFrame(dim_rows)
+
+    info_s = read_file_stream(spark, info_dir, spark.read.parquet(info_dir).schema)
+    detail_s = read_file_stream(
+        spark, detail_dir, spark.read.parquet(detail_dir).schema
+    )
+    wide = order_wide_stream(info_s, detail_s)
+    enriched = enrich_dims(
+        wide, [(user_dim, "user_id", "uid", ["user_name", "age"])]
+    ).select("id", "detail_id", "user_name", "age")
+    got = {r["id"]: r for r in _run_to_memory(enriched, spark, "ows_dim").collect()}
+    assert got[1]["user_name"] == "ann" and got[1]["age"] == 30
+    assert got[2]["user_name"] is None  # left join: missing dim -> nulls
+
+
+def test_base_log_pipeline_end_to_end(spark, tmp_path):
+    """Entry point 1 end-to-end (BaseLogApp): raw JSON stream -> T1 parse
+    with dirty channel -> ST1 stateful is_new correction -> P1 fan-out,
+    all in one run across two micro-batches."""
+    b1 = [
+        {"common": {"mid": "m1", "is_new": "1"}, "start": {"entry": "icon"},
+         "ts": 1_000_000},
+        {"common": {"mid": "m1", "is_new": "1"},
+         "page": {"page_id": "home", "last_page_id": None},
+         "displays": [{"item": "sku1", "item_type": "sku_id", "order": 1}],
+         "ts": 2_000_000},
+        "this is not json",
+    ]
+    b2 = [
+        {"common": {"mid": "m1", "is_new": "1"}, "start": {"entry": "icon"},
+         "ts": 90_000_000},  # m1 again: state must rewrite is_new
+        {"common": {"mid": "m2", "is_new": "1"}, "start": {"entry": "n"},
+         "ts": 91_000_000},
+    ]
+    src = str(tmp_path / "raw")
+    os.makedirs(src)
+    for i, batch in enumerate([b1, b2]):
+        p = os.path.join(src, f"{i:02d}.json")
+        with open(p, "w") as f:
+            for e in batch:
+                f.write((e if isinstance(e, str) else json.dumps(e)) + "\n")
+        # FileStreamSource orders batches by modification time — make it
+        # explicit so batch order is deterministic
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .format("text")
+        .load(src)
+    )
+    clean, dirty = parse_log_stream(raw)
+    flat = clean.select(
+        F.col("common.mid").alias("mid"),
+        F.timestamp_millis(F.col("ts")).alias("ts"),
+        F.col("common.is_new").alias("is_new"),
+        F.to_json(F.struct("start", "page", "displays")).alias("payload"),
+    )
+    corrected = correct_is_new_stream(flat, "mid", "ts", "is_new")
+    got = _run_to_memory(corrected, spark, "baselog_s").collect()
+    by_mid_ts = {(r["mid"], r["ts"].timestamp()): r["is_new_fixed"] for r in got}
+    assert by_mid_ts[("m1", 1000.0)] == "1"   # first ever event for m1
+    assert by_mid_ts[("m1", 2000.0)] == "0"   # same batch, later event
+    assert by_mid_ts[("m1", 90000.0)] == "0"  # later batch: state remembers
+    assert by_mid_ts[("m2", 91000.0)] == "1"
+    # dirty channel catches the non-JSON line (batch check of same logic)
+    _clean_b, dirty_b = parse_log_stream(
+        spark.read.text(src).withColumnRenamed("value", "value")
+    )
+    assert dirty_b.count() == 1
+
+
 def test_cdc_routing_stream_refreshes_config(spark, tmp_path):
     """Config re-read per micro-batch: a table routed nowhere in batch 1 is
     routed after the config gains its row (ST4 'latest config wins')."""
@@ -350,7 +440,9 @@ def test_cdc_routing_stream_refreshes_config(spark, tmp_path):
             for f in os.listdir(tmp_path / f"stage{i}")
             if f.endswith(".parquet")
         ]
-        os.rename(tmp_path / f"stage{i}" / part[0], os.path.join(src, f"{i:02d}.parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        os.rename(tmp_path / f"stage{i}" / part[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
 
     cfg_rows = [
         Row(sourceTable="order_info", operateType="insert", sinkType="kafka",
