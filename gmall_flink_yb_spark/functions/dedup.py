@@ -103,32 +103,16 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingles(text_col: Column, n: int) -> Column:
-    """Word n-gram shingles as strings (array<string>), distinct.
-
-    Column-expression variant for per-row use. The pair/signature operators
-    use shingle_rows instead: higher-order array functions evaluate
-    interpreted (outside whole-stage codegen), measured ~15x slower than the
-    exploded-row formulation on the same data.
-    """
-    toks = F.filter(tokenize(text_col), lambda t: F.length(t) > 0)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
-
-
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct (doc_id, token) word n-gram shingle rows — the scale path.
 
     posexplode the token array, then assemble each shingle from the n-1
-    following tokens with window ``lead`` — every step is codegen'd; the only
-    exchanges are the per-doc sort for ``lead`` and the distinct. Docs shorter
-    than n tokens yield their single truncated shingle (``concat_ws`` skips
-    null leads), matching _shingles; docs with no tokens yield no rows.
+    following tokens with window ``lead`` — every step is codegen'd (a
+    higher-order-function array formulation evaluates interpreted, measured
+    ~15x slower on the same data); the only exchanges are the per-doc sort
+    for ``lead`` and the distinct. Docs shorter than n tokens yield their
+    single truncated shingle (``concat_ws`` skips null leads); docs with no
+    tokens yield no rows.
     """
     w = Window.partitionBy("doc_id").orderBy("pos")
     toks = (

@@ -184,7 +184,11 @@ def cosine_near_dup_pairs(
     lhs = e.join(F.broadcast(bp), e["blk"] == bp["ba"]).select(
         "ba", "bb", F.lit(0).alias("side"), "id", "vec"
     )
-    rhs = e.join(F.broadcast(bp), e["blk"] == bp["bb"]).select(
+    # diagonal pairs (ba == bb) reuse the lhs rows as both sides in gemm —
+    # shipping a side=1 copy for them would double-shuffle 1/n_blocks of
+    # the corpus for nothing
+    off_diag = bp.filter(F.col("ba") != F.col("bb"))
+    rhs = e.join(F.broadcast(off_diag), e["blk"] == off_diag["bb"]).select(
         "ba", "bb", F.lit(1).alias("side"), "id", "vec"
     )
     both = lhs.unionByName(rhs)

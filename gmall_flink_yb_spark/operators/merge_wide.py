@@ -27,7 +27,10 @@ def merge_wide(
     columns unique to one side pass through."""
     l = left.alias("l")
     r = right.alias("r")
-    cond = [F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}")) for k in on]
+    # plain equality (not eqNullSafe): SQL FULL OUTER JOIN semantics — rows
+    # with a null key stay unmatched instead of cross-producting against
+    # every other null-keyed row
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on]
     joined = l.join(r, cond, how)
     lcols = set(left.columns)
     rcols = set(right.columns)

@@ -34,7 +34,16 @@ def salted_join(
 ) -> DataFrame:
     """Join with the fact side salted and the build side replicated
     ``buckets`` times, spreading each hot key over ``buckets`` tasks.
-    Output columns = fact columns + build columns (minus the build key)."""
+    Output columns = fact columns + build columns (minus the build key).
+
+    Only inner/left joins are valid: an outer-preserved build row exists
+    ``buckets`` times after replication, so right/full joins would emit
+    every unmatched build record ``buckets`` times."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(the replicated build side would duplicate outer-preserved rows)"
+        )
     salted_facts = facts.withColumn(
         "_salt", (F.rand(seed=42) * buckets).cast("int")
     )

@@ -52,11 +52,26 @@ def join_strategies(df: DataFrame) -> list[str]:
     )
 
 
+def _simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
 def num_exchanges(df: DataFrame) -> int:
     """Count of shuffle exchanges (each is a full network repartition of its
-    input — THE scale cost to minimize)."""
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning",
-                          formatted_plan(df)))
+    input — THE scale cost to minimize). Counted on the SIMPLE plan, where a
+    shuffle prints as one ``Exchange hashpartitioning(...)`` line; formatted
+    mode splits the operator name and its arguments across lines and must
+    not be grepped for this."""
+    return len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            _simple_plan(df),
+        )
+    )
 
 
 def has_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:

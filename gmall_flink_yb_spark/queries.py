@@ -286,20 +286,36 @@ FROM lineitem GROUP BY 1, 2
 # user/province/... from OrderWide.java:40-53)
 # ---------------------------------------------------------------------------
 
-def q_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lineitem_nation_wide(
+    spark: SparkSession,
+    sf_dir: str,
+    customer_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Shared J1+J2 spine for the order-wide family: lineitem ⋈ orders fact
+    join, then the customer->nation->region broadcast dim chain. One
+    definition keeps the three queries built on it in sync with their
+    oracles."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region")
     facts = li.join(o, li["l_orderkey"] == o["o_orderkey"])
-    wide = enrich_dims(
+    return enrich_dims(
         facts,
         [
-            (c, "o_custkey", "c_custkey", ["c_name", "c_nationkey"]),
+            (c, "o_custkey", "c_custkey", customer_cols),
             (n, "c_nationkey", "n_nationkey", ["n_name", "n_regionkey"]),
             (r, "n_regionkey", "r_regionkey", ["r_name"]),
         ],
+        how=how,
+    )
+
+
+def q_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _lineitem_nation_wide(
+        spark, sf_dir, ["c_name", "c_nationkey"], how="left"
     )
     return wide.select(
         F.col("o_orderkey").alias("orderkey"),
@@ -423,7 +439,9 @@ def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value")), 6).alias("sum_value"),
+            # decimal-before-SUM (file convention): double addition is
+            # order-dependent, which would make the oracle hash flaky
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         ],
     )
     return s.select(
@@ -449,7 +467,7 @@ WITH e AS (
 SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS ws,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(SUM(value), 6) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM assigned GROUP BY 1, 2
 """
 
@@ -459,22 +477,10 @@ FROM assigned GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
-    n = read_table(spark, sf_dir, "nation")
-    r = read_table(spark, sf_dir, "region")
-    facts = li.join(o, li["l_orderkey"] == o["o_orderkey"])
-    wide = enrich_dims(
-        facts,
-        [
-            (c, "o_custkey", "c_custkey", ["c_nationkey"]),
-            (n, "c_nationkey", "n_nationkey", ["n_name", "n_regionkey"]),
-            (r, "n_regionkey", "r_regionkey", ["r_name"]),
-        ],
-        how="inner",
-    ).withColumn("region_name", F.col("r_name")).withColumn(
-        "nation_name", F.col("n_name")
+    wide = (
+        _lineitem_nation_wide(spark, sf_dir, ["c_nationkey"], how="inner")
+        .withColumn("region_name", F.col("r_name"))
+        .withColumn("nation_name", F.col("n_name"))
     )
     return wide.rollup("region_name", "nation_name").agg(
         F.sum(F.expr(_REV)).cast("double").alias("revenue"),
@@ -550,21 +556,7 @@ FROM ow l FULL OUTER JOIN pay r ON l.orderkey = r.orderkey
 # ---------------------------------------------------------------------------
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
-    n = read_table(spark, sf_dir, "nation")
-    r = read_table(spark, sf_dir, "region")
-    facts = li.join(o, li["l_orderkey"] == o["o_orderkey"])
-    wide = enrich_dims(
-        facts,
-        [
-            (c, "o_custkey", "c_custkey", ["c_nationkey"]),
-            (n, "c_nationkey", "n_nationkey", ["n_name", "n_regionkey"]),
-            (r, "n_regionkey", "r_regionkey", ["r_name"]),
-        ],
-        how="inner",
-    )
+    wide = _lineitem_nation_wide(spark, sf_dir, ["c_nationkey"], how="inner")
     return wide.groupBy(
         F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
     ).agg(

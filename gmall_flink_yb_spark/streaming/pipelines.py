@@ -81,7 +81,13 @@ def unique_visitors_stream(
     """
     df = events if entry_filter is None else events.filter(entry_filter)
     df = df.withColumn("_uv_date", F.to_date(F.col(ts_col)))
-    return df.withWatermark(ts_col, watermark).dropDuplicates(
+    # dropDuplicatesWithinWatermark (not plain dropDuplicates): state for a
+    # (device, day) key is evicted once the watermark passes its event time
+    # plus the delay. Plain dropDuplicates only evicts when the event-time
+    # column is itself part of the key set — with [key, date] keys the state
+    # store would grow forever, the exact unbounded-state defect the
+    # reference's ST1 has (SURVEY §4.2).
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [key_col, "_uv_date"]
     )
 
@@ -136,8 +142,13 @@ def start_log_split_fanout(
         batch_df.persist()
         try:
             for name, part in split_log_stream(batch_df).items():
-                part.write.mode("append").parquet(
-                    os.path.join(out_dir, f"dwd_{name}_log")
+                # batchId-keyed partition dir + overwrite: replaying a
+                # half-written batch after a crash rewrites the same dir
+                # instead of appending duplicates (exactly-once intent)
+                part.write.mode("overwrite").parquet(
+                    os.path.join(
+                        out_dir, f"dwd_{name}_log", f"batch_id={batch_id}"
+                    )
                 )
         finally:
             batch_df.unpersist()
@@ -156,13 +167,32 @@ def start_log_split_fanout(
 
 
 def upsert_dim_parquet(
-    spark: SparkSession, new_rows: DataFrame, path: str, pk: str = "id"
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    pk: str = "id",
+    order_col: str | None = None,
 ) -> None:
     """K3 — MERGE-by-pk onto a parquet dim table (DimSinkFunction.java:74-81
     built Phoenix UPSERTs; Delta ``MERGE INTO ... ON pk`` in production).
-    Keeps the LAST version of each pk: old rows not in the update survive,
-    updated pks are replaced."""
-    new_rows = new_rows.dropDuplicates([pk])
+    Old rows not in the update survive; updated pks are replaced.
+
+    When several versions of one pk land in the SAME micro-batch, the kept
+    row is the max of ``struct(order_col?, other columns...)`` — last-by-
+    order_col when an ordering column exists, otherwise deterministic (but
+    arbitrary) lexicographic choice. The CDC envelope carries no sequence
+    number (CustomerDeserialization.java:30-83 emits none; Flink relied on
+    stream order), so callers with a real version column should pass it.
+    """
+    others = [c for c in new_rows.columns if c != pk]
+    lead = ([order_col] if order_col else []) + [
+        c for c in others if c != order_col
+    ]
+    new_rows = (
+        new_rows.groupBy(pk)
+        .agg(F.max(F.struct(*lead)).alias("_r"))
+        .select(pk, *[F.col(f"_r.{c}").alias(c) for c in others])
+    )
     if os.path.exists(path):
         old = spark.read.parquet(path)
         merged = old.join(new_rows, pk, "left_anti").unionByName(new_rows)
@@ -199,9 +229,12 @@ def start_cdc_routing(
         batch_df.persist()
         try:
             routed = route_cdc(batch_df, cfg)
-            to_kafka_payload(routed["kafka"]).withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(os.path.join(out_dir, "kafka_out"))
+            # batchId-keyed partition dir + overwrite => replay-idempotent
+            # (append would duplicate rows if a crash interrupts the batch
+            # between this write and the dim upserts below)
+            to_kafka_payload(routed["kafka"]).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "kafka_out", f"batch_id={batch_id}")
+            )
             hbase = routed["hbase"].persist()
             sink_tables = [
                 r["sinkTable"]
