@@ -108,6 +108,15 @@ def brute_force_topk(
     both = c.select("blk", "side", "id", "vec").unionByName(
         q.select("blk", "side", "id", "vec")
     )
+    scored = both.groupBy("blk").applyInPandas(
+        _make_local_topk(k), "q_id long, n_id long, _cos double"
+    )
+    return _global_topk(scored, k)
+
+
+def _make_local_topk(k: int):
+    """Per-group scorer: side 0 = queries, side 1 = corpus; emits each
+    query's local top-k by (cosine desc, n_id asc), self-matches excluded."""
 
     def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         qs = pdf[pdf["side"] == 0]
@@ -136,9 +145,10 @@ def brute_force_topk(
             {"q_id": out_q, "n_id": out_n, "_cos": out_s}
         ).astype({"q_id": "int64", "n_id": "int64", "_cos": "float64"})
 
-    scored = both.groupBy("blk").applyInPandas(
-        local_topk, "q_id long, n_id long, _cos double"
-    )
+    return local_topk
+
+
+def _global_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -261,6 +271,96 @@ def _srp_bucket(vec: Column, n_planes: int, dim: int) -> Column:
         shifted = F.shiftleft(bit, p)
         acc = shifted if acc is None else acc.bitwiseOR(shifted)
     return acc
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path beside
+    SRP-LSH, with a tunable recall/cost knob (n_probe).
+
+    1. Coarse quantizer: n_centroids corpus vectors chosen deterministically
+       (smallest xxhash64(id) — a uniform sample, no RNG state). The centroid
+       matrix is a MODEL PARAMETER (n_centroids x dim floats), collected to
+       the driver and shipped in the task closure — same pattern as the SRP
+       hyperplane literals; the corpus itself never leaves the executors.
+    2. Assignment: every corpus vector lands in its nearest-centroid cell
+       (one numpy GEMM per Arrow batch inside mapInPandas).
+    3. Probing: every query is replicated to its n_probe nearest cells, and
+       each cell scores its queries against only its own members
+       (applyInPandas GEMM + local top-k), then a global top-k window merges.
+
+    Scored candidates per query ~= n_probe/n_centroids of the corpus.
+    n_probe = n_centroids degrades gracefully to exact brute force (the
+    recall test asserts exactly this). At 100 TB, cells are the partition
+    unit: the shuffle moves each corpus row once and each query n_probe
+    times — queries are the small side.
+    """
+    e = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    cent_rows = (
+        e.orderBy(F.xxhash64(F.col("id").cast("string"))).limit(n_centroids)
+    ).collect()
+    C = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["vec"].to_numpy())
+            norms = np.linalg.norm(A, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cell = np.argmax((A / norms) @ Cn.T, axis=1)
+            out = pdf[["id", "vec"]].copy()
+            out["cell"] = cell.astype("int32")
+            yield out
+
+    def probe(batches):
+        p = min(n_probe, len(Cn))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["vec"].to_numpy())
+            norms = np.linalg.norm(A, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            S = (A / norms) @ Cn.T
+            cells = np.argsort(-S, axis=1)[:, :p]
+            out = pdf[["id", "vec"]].iloc[
+                np.repeat(np.arange(len(pdf)), p)
+            ].copy()
+            out["cell"] = cells.ravel().astype("int32")
+            yield out
+
+    cell_schema = "id long, vec array<double>, cell int"
+    corpus_cells = e.mapInPandas(assign, cell_schema).withColumn(
+        "side", F.lit(1)
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    query_probes = q.mapInPandas(probe, cell_schema).withColumn(
+        "side", F.lit(0)
+    )
+    both = corpus_cells.unionByName(query_probes).withColumnRenamed(
+        "cell", "blk"
+    )
+    scored = (
+        both.groupBy("blk")
+        .applyInPandas(_make_local_topk(k), "q_id long, n_id long, _cos double")
+        # a (query, neighbor) pair can surface from several probed cells? No:
+        # each corpus row lives in exactly one cell, so pairs are unique.
+    )
+    return _global_topk(scored, k)
 
 
 def lsh_bucket_topk(

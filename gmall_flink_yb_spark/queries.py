@@ -31,6 +31,7 @@ from gmall_flink_yb_spark.functions.dedup import (
 from gmall_flink_yb_spark.functions.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from gmall_flink_yb_spark.functions.multimodal import (
@@ -1000,6 +1001,12 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64)
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (functions/multimodal.py): synthesize a deterministic
 # fake media table from documents, then decode / frame-sample through the
@@ -1090,6 +1097,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
     "multimodal_feature_dedup": q_multimodal_feature_dedup,
     "uv_daily_approx": q_uv_daily_approx,
 }

@@ -117,6 +117,33 @@ def test_cosine_near_dup(vectors):
     assert got == {(0, 1)}
 
 
+def test_ivf_full_probe_equals_brute_force(vectors):
+    """Probing every cell degrades IVF to exact search — results must equal
+    brute force including ranks and rounded scores."""
+    from gmall_flink_yb_spark.functions.similarity import ivf_topk
+
+    bf = {(r["q_id"], r["rnk"]): (r["n_id"], r["cos_sim"])
+          for r in brute_force_topk(vectors, vectors, k=3).collect()}
+    ivf = {(r["q_id"], r["rnk"]): (r["n_id"], r["cos_sim"])
+           for r in ivf_topk(vectors, vectors, k=3, n_centroids=4,
+                             n_probe=4).collect()}
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_finds_close_neighbor(vectors):
+    """Probing 2 of 3 cells (not exhaustive) still finds the near-identical
+    neighbor: it quantizes to a centroid the query's probe list covers.
+    (n_probe=1 would legitimately return nothing here — the query IS its own
+    centroid, so its top cell holds only its self-match.)"""
+    from gmall_flink_yb_spark.functions.similarity import ivf_topk
+
+    res = ivf_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=1,
+        n_centroids=3, n_probe=2,
+    ).collect()
+    assert res and res[0]["n_id"] == 1
+
+
 def test_lsh_bucket_topk_contains_true_neighbor(vectors):
     """SRP-LSH: a vector nearly identical to the query shares every
     hyperplane sign, so it is always in the query's bucket."""
