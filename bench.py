@@ -36,14 +36,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # best-of-N per query (default 2): this box carries background load that
+    # swings single runs 3-8x; the minimum is closest to the query's actual
+    # cost. The cache is cleared before every repeat so a query's own
+    # persist() calls re-materialize each time — every repeat is a full
+    # cold-cache execution, min only removes load-spike noise.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink materializes EVERY column (count() would let Catalyst
-        # prune the projections and under-report)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink materializes EVERY column (count() would let
+            # Catalyst prune the projections and under-report)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

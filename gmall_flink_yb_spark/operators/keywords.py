@@ -24,22 +24,58 @@ def tokenize(text: Column, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
     return F.split(F.lower(text), pattern)
 
 
+def make_segmenter_udf(segment_fn):
+    """Wrap a Python segmentation function (str -> list[str]) as an
+    Arrow-batched pandas_udf returning array<string> — the pluggable slot
+    for real word segmentation (the reference shipped the IK Chinese
+    analyzer dep, gmall-realtime/pom.xml:179-183, for exactly this).
+
+    Example with jieba (not installed in this container)::
+
+        try:
+            import jieba
+            seg = make_segmenter_udf(lambda s: list(jieba.cut(s)))
+        except ImportError:
+            seg = None  # fall back to the regex path
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark's hint-based eval-type inference then fails; the explicit
+    # returnType carries the schema instead
+    def _seg(texts):
+        return texts.map(lambda s: segment_fn(s) if s is not None else [])
+
+    return pandas_udf(_seg, "array<string>")
+
+
 def keyword_counts(
     df: DataFrame,
     text_col: str,
     group_cols: list[str] | None = None,
     pattern: str = DEFAULT_TOKEN_PATTERN,
     min_token_len: int = 1,
+    tokenizer=None,
 ) -> DataFrame:
     """Explode tokens and count per (group_cols..., token).
+
+    ``tokenizer``: optional Column-producing callable (text Column ->
+    array<string> Column), e.g. a ``make_segmenter_udf`` wrapper for real
+    segmentation; defaults to the JVM-side regex split (never leaves
+    codegen — prefer it unless the language genuinely needs a segmenter).
 
     Partial (map-side) aggregation makes the shuffle carry only distinct
     (group, token) pairs — at 100 TB that is the difference between shuffling
     tokens and shuffling the vocabulary.
     """
+    tok_col = (
+        tokenizer(F.col(text_col))
+        if tokenizer is not None
+        else tokenize(F.col(text_col), pattern)
+    )
     toks = df.select(
         *[F.col(c) for c in (group_cols or [])],
-        F.explode(tokenize(F.col(text_col), pattern)).alias("token"),
+        F.explode(tok_col).alias("token"),
     ).filter(F.length("token") >= min_token_len)
     return toks.groupBy(*[*(group_cols or []), "token"]).agg(
         F.count(F.lit(1)).alias("token_count")

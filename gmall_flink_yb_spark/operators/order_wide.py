@@ -93,21 +93,34 @@ def enrich_dims(
     facts: DataFrame,
     dims: list[tuple[DataFrame, str, str, list[str] | None]],
     how: str = "left",
+    strategy: str = "broadcast",
 ) -> DataFrame:
-    """J2 — chain broadcast left joins against dimension tables.
+    """J2 — chain dimension joins against the fact stream.
 
-    ``dims``: list of (dim_df, fact_key_col, dim_key_col, keep_cols). Each dim
-    is explicitly broadcast — the planned-join replacement for the reference's
-    DimAsyncFunction + Redis cache (DimAsyncFunction.java:46-72,
-    DimUtil.java:11-37). keep_cols=None keeps every non-key dim column.
+    ``dims``: list of (dim_df, fact_key_col, dim_key_col, keep_cols). The
+    planned-join replacement for the reference's DimAsyncFunction + Redis
+    cache (DimAsyncFunction.java:46-72, DimUtil.java:11-37). keep_cols=None
+    keeps every non-key dim column.
+
+    ``strategy`` is the size-fallback knob (SURVEY §4.2): "broadcast" for
+    dims that fit executor memory (every gmall dim does — zero shuffles on
+    the fact side); "shuffle_hash" for dims too big to broadcast but small
+    enough to hash (one shuffle each side, no sort); "auto" to leave the
+    choice to Catalyst/AQE size estimates.
     """
+    if strategy not in ("broadcast", "shuffle_hash", "auto"):
+        raise ValueError(f"unknown join strategy {strategy!r}")
     out = facts
     for dim_df, fact_key, dim_key, keep in dims:
         d = dim_df
         if keep is not None:
             d = d.select(dim_key, *keep)
         d = d.withColumnRenamed(dim_key, f"__dimkey_{fact_key}")
+        if strategy == "broadcast":
+            d = F.broadcast(d)
+        elif strategy == "shuffle_hash":
+            d = d.hint("shuffle_hash")
         out = out.join(
-            F.broadcast(d), out[fact_key] == d[f"__dimkey_{fact_key}"], how
+            d, out[fact_key] == d[f"__dimkey_{fact_key}"], how
         ).drop(f"__dimkey_{fact_key}")
     return out

@@ -47,6 +47,49 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     )
 
 
+def test_enrich_dims_shuffle_hash_fallback(spark, sf_dir):
+    """J2 size fallback (SURVEY §4.2): strategy='shuffle_hash' plans a
+    ShuffledHashJoin instead of broadcasting — the path for dims too big
+    for executor memory."""
+    from gmall_flink_yb_spark.operators.order_wide import enrich_dims
+    from gmall_flink_yb_spark.plans.inspect import join_strategies
+    from gmall_flink_yb_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    df = enrich_dims(
+        orders, [(cust, "o_custkey", "c_custkey", ["c_name"])],
+        strategy="shuffle_hash",
+    )
+    assert "ShuffledHashJoin" in join_strategies(df)
+    bcast = enrich_dims(
+        orders, [(cust, "o_custkey", "c_custkey", ["c_name"])],
+        strategy="broadcast",
+    )
+    assert set(join_strategies(bcast)) == {"BroadcastHashJoin"}
+    assert df.count() == bcast.count()
+
+
+def test_pluggable_segmenter_udf(spark):
+    """Keyword analysis with a custom segmentation UDF (the IK-analyzer
+    slot): a toy bigram segmenter for spaceless text."""
+    from gmall_flink_yb_spark.operators.keywords import (
+        keyword_counts,
+        make_segmenter_udf,
+    )
+
+    def bigrams(s: str) -> list[str]:
+        return [s[i : i + 2] for i in range(0, len(s) - 1)]
+
+    df = spark.createDataFrame([("abcd",), ("bcde",)], ["text"])
+    seg = make_segmenter_udf(bigrams)
+    got = {
+        r["token"]: r["token_count"]
+        for r in keyword_counts(df, "text", tokenizer=seg).collect()
+    }
+    assert got == {"ab": 1, "bc": 2, "cd": 2, "de": 1}
+
+
 def test_salted_agg_matches_plain_agg(spark, sf_dir):
     from gmall_flink_yb_spark.sources.readers import read_table
 
