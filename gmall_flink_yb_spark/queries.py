@@ -24,6 +24,7 @@ from pyspark.sql.types import DecimalType
 
 from gmall_flink_yb_spark.functions.dedup import (
     exact_dedup,
+    jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -894,7 +895,8 @@ _SHINGLES_SQL = """
   WHERE len(toks) > 0
 """
 
-SQL_DEDUP_JACCARD = f"""
+def _sql_dedup_jaccard(threshold: float) -> str:
+    return f"""
 WITH toks_f AS (
 {_SHINGLES_SQL}
 ), sizes AS (
@@ -909,8 +911,30 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
-WHERE round(CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i), 6) >= {_JACCARD_THRESHOLD}
+WHERE round(CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i), 6) >= {threshold}
 """
+
+
+SQL_DEDUP_JACCARD = _sql_dedup_jaccard(_JACCARD_THRESHOLD)
+
+# ---------------------------------------------------------------------------
+# Dedup: prefix-filtered exact Jaccard (SSJoin/PPJoin) — identical semantics
+# to dedup_jaccard at its own threshold, so the oracle is the SAME exact SQL;
+# the point of the variant is the plan, not the answer: candidate generation
+# joins only the rarest-shingle prefixes (hot-shingle skew immunity at scale)
+# ---------------------------------------------------------------------------
+
+_JACCARD_PREFIX_THRESHOLD = 0.4
+
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=_JACCARD_PREFIX_THRESHOLD, n=3
+    )
+
+
+SQL_DEDUP_JACCARD_PREFIX = _sql_dedup_jaccard(_JACCARD_PREFIX_THRESHOLD)
 
 # ---------------------------------------------------------------------------
 # Similarity search: exact brute-force cosine top-k (oracle via DuckDB
@@ -1089,6 +1113,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "similarity_topk": q_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_decode": q_multimodal_decode,
@@ -1126,6 +1151,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_jaccard_prefix": SQL_DEDUP_JACCARD_PREFIX,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,

@@ -56,6 +56,27 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (0, 3) not in pairs
 
 
+@pytest.mark.parametrize("threshold", [0.1, 0.4, 0.7])
+def test_jaccard_prefix_equals_exact(spark, sf_dir, threshold):
+    """Prefix filtering is a pure candidate-pruning optimization: on real
+    corpus data it must return exactly the pairs the full inverted-index
+    join returns, at every threshold."""
+    from gmall_flink_yb_spark.functions.dedup import jaccard_prefix_pairs
+    from gmall_flink_yb_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    exact = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=threshold).collect())
+    )
+    pruned = sorted(
+        map(tuple, jaccard_prefix_pairs(
+            docs, "doc_id", "text", threshold=threshold).collect())
+    )
+    assert pruned == exact
+    assert len(exact) > 0  # corpus has planted near-dups; test is not vacuous
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
              for r in minhash_lsh_pairs(docs, "doc_id", "text",
