@@ -15,3 +15,7 @@ from gmall_flink_yb_spark.functions.similarity import (  # noqa: F401
     cosine_near_dup_pairs,
     lsh_bucket_topk,
 )
+from gmall_flink_yb_spark.functions.sampling import (  # noqa: F401
+    hash_sample,
+    stratified_sample,
+)

@@ -12,6 +12,7 @@ from gmall_flink_yb_spark.operators.order_wide import (  # noqa: F401
     interval_join,
     parse_order_facts,
 )
+from gmall_flink_yb_spark.operators.asof import asof_join  # noqa: F401
 from gmall_flink_yb_spark.operators.routing import route_cdc  # noqa: F401
 from gmall_flink_yb_spark.operators.windows import tumbling_agg  # noqa: F401
 from gmall_flink_yb_spark.operators.keywords import keyword_counts  # noqa: F401

@@ -46,6 +46,12 @@ from gmall_flink_yb_spark.functions.text import (
     language_id,
     quality_features,
 )
+from gmall_flink_yb_spark.functions.sampling import (
+    hash_sample,
+    sample_threshold,
+    stratified_sample,
+)
+from gmall_flink_yb_spark.operators.asof import asof_join
 from gmall_flink_yb_spark.operators.bounce import flag_bounce_batch
 from gmall_flink_yb_spark.operators.keywords import keyword_counts
 from gmall_flink_yb_spark.operators.merge_wide import merge_wide
@@ -1086,6 +1092,109 @@ def q_multimodal_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join: each event enriched with the customer's most recent order as of
+# the event time (extended surface — the versioned-dim analogue of J2's
+# point lookup, DimAsyncFunction.java:46-72; see operators/asof.py).
+# Union-and-window formulation: one shuffle, no range-join explosion.
+# DuckDB has a native ASOF JOIN, which is the oracle.
+# ---------------------------------------------------------------------------
+
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    joined = asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        tiebreak_col="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+SQL_ASOF_LATEST_ORDER = """
+WITH o AS (
+    SELECT * FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id,
+       e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       o.o_orderkey,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       o.o_orderstatus
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (extended surface — functions/sampling.py):
+# reproducible 10% corpus sample keyed on the business key; the sampling
+# predicate is the identical md5 expression in both engines.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FRACTION = 0.1
+
+
+def q_sample_hash_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    sampled = hash_sample(
+        li,
+        F.concat_ws("-", "l_orderkey", "l_linenumber"),
+        _SAMPLE_FRACTION,
+    )
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr(_REV)).cast("double").alias("revenue"),
+    )
+
+
+SQL_SAMPLE_HASH_REVENUE = f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE substr(md5(l_orderkey || '-' || l_linenumber), 1, 8)
+      < '{sample_threshold(_SAMPLE_FRACTION)}'
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: exactly k docs per language, deterministic md5 order.
+# ---------------------------------------------------------------------------
+
+_STRATUM_K = 20
+
+
+def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, stratum_col="lang", key_col="doc_id", k=_STRATUM_K
+    ).select("doc_id", "lang", "source")
+
+
+SQL_SAMPLE_STRATIFIED_DOCS = f"""
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+) <= {_STRATUM_K}
+"""
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1118,6 +1227,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
+    "asof_latest_order": q_asof_latest_order,
+    "sample_hash_revenue": q_sample_hash_revenue,
+    "sample_stratified_docs": q_sample_stratified_docs,
     # rows-only (non-SQL-reproducible hashing):
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -1156,4 +1268,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "asof_latest_order": SQL_ASOF_LATEST_ORDER,
+    "sample_hash_revenue": SQL_SAMPLE_HASH_REVENUE,
+    "sample_stratified_docs": SQL_SAMPLE_STRATIFIED_DOCS,
 }

@@ -1,0 +1,106 @@
+"""Unit tests for the as-of join and deterministic sampling operators.
+
+Edge cases the sf-corpus oracle can't exercise: left rows with NO prior
+right row (all sf events postdate all orders), equal-timestamp visibility,
+tie-break among right rows sharing (key, ts), and sample stability under
+physical re-layout."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gmall_flink_yb_spark.functions.sampling import (
+    hash_sample,
+    sample_threshold,
+    stratified_sample,
+)
+from gmall_flink_yb_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),  # after r1, before r2
+            (1, _ts("2024-01-01T12:00:00"), "b"),  # == r2 ts: r2 visible
+            (2, _ts("2024-01-01T09:00:00"), "c"),  # no right row at all
+            (3, _ts("2024-01-01T08:00:00"), "d"),  # before key-3 right row
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 100, "r1"),
+            (1, _ts("2024-01-01T12:00:00"), 200, "r2-low"),
+            (1, _ts("2024-01-01T12:00:00"), 300, "r2-high"),  # tie winner
+            (3, _ts("2024-01-01T23:00:00"), 400, "r4"),
+        ],
+        "k long, rts timestamp, rid long, rname string",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts",
+        payload_cols=["rid", "rname"], tiebreak_col="rid",
+    )
+    got = {r["tag"]: (r["rid"], r["rname"]) for r in out.collect()}
+    assert got == {
+        "a": (100, "r1"),          # strictly-before match
+        "b": (300, "r2-high"),     # equal-ts visible, max-rid tie-break
+        "c": (None, None),         # key with no right rows -> nulls kept
+        "d": (None, None),         # right row exists but is later -> nulls
+    }
+    assert out.count() == 4  # left join keeps every left row
+
+
+def test_asof_join_single_shuffle(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "k", "ts", "rts",
+                    payload_cols=["rid"], tiebreak_col="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union-and-window: no BroadcastNestedLoopJoin / cartesian from a
+    # range-join formulation
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_hash_sample_deterministic_and_layout_independent(spark):
+    df = spark.range(0, 2000).withColumn("key", F.col("id").cast("string"))
+    a = sorted(r.id for r in hash_sample(df, "key", 0.25).collect())
+    b = sorted(
+        r.id
+        for r in hash_sample(df.repartition(13, "id"), "key", 0.25).collect()
+    )
+    assert a == b, "sample must not depend on physical layout"
+    # binomial(2000, .25): [400, 600] is > 6 sigma
+    assert 400 < len(a) < 600
+    assert hash_sample(df, "key", 0.0).count() == 0
+    assert hash_sample(df, "key", 1.0).count() == 2000
+
+
+def test_sample_threshold_bounds():
+    assert sample_threshold(0.0) == "00000000"
+    assert sample_threshold(1.0) == "gggggggg"  # sorts after all hex
+    assert len(sample_threshold(0.5)) == 8
+
+
+def test_stratified_sample_exact_k(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, "lang", "doc_id", k=15)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 15, "small": 10}  # min(k, |stratum|)
+    again = stratified_sample(df.repartition(7), "lang", "doc_id", k=15)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
