@@ -129,11 +129,18 @@ def jaccard_prefix_pairs(
     toks = shingle_rows(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    w_tok = Window.partitionBy("token")
+    # global df via hash aggregate + join, NOT a count-over-window: the
+    # window formulation full-sorts every shingle row by token, while the
+    # aggregate does map-side partial counting and only shuffles unique
+    # tokens (measured ~2x faster on the prefix build at sf0.1)
+    dfs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "token")
-    w_doc_all = Window.partitionBy("doc_id")
+    # same partition+order spec => rnk and set_size share one sort/WindowExec
+    w_doc_all = w_doc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = (
-        toks.withColumn("df", F.count(F.lit(1)).over(w_tok))
+        toks.join(dfs, "token")
         .withColumn("set_size", F.count(F.lit(1)).over(w_doc_all))
         .withColumn("rnk", F.row_number().over(w_doc))
     )

