@@ -3,9 +3,12 @@
 ``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes every
 implemented operator from SURVEY.md §2 (+ the LLM-pipeline surface) as
 (spark, sf_dir) -> DataFrame callables; ``oracle_sql()`` gives the DuckDB
-equivalents. Queries absent from ``oracle_sql()`` use xxhash64-based
-signatures (MinHash/SimHash/SRP-LSH) that DuckDB cannot reproduce — the
-driver records the weaker rows-only check for those, by design.
+equivalents. MinHash and SimHash run with a portable md5-derived hash
+family that DuckDB reproduces bit-for-bit, so they are fully
+oracle-checked. The few queries absent from ``oracle_sql()`` are
+approximate by construction (SRP-LSH / IVF ANN whose recall depends on
+xxhash64 bucketing, HLL approximate counts) — the driver records the
+weaker rows-only check for those, by design.
 """
 
 from __future__ import annotations

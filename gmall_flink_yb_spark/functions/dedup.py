@@ -12,9 +12,13 @@ Four tiers, all distributed (no driver-side loops, no collect):
                         16-bit chunks (hamming <= 3 guaranteed recall via
                         4-chunk pigeonhole).
 
-MinHash/SimHash use Spark's xxhash64 — deterministic across runs/executors but
-not reproducible in DuckDB, so those two are rows-only checks in the driver
-harness (documented in __spark_entry__.oracle_sql).
+MinHash/SimHash hash with Spark's xxhash64 by default (fastest JVM path);
+passing ``portable=True`` switches to a 60-bit md5-derived hash
+(``conv(substr(md5(x),1,15),16,10)``) that is bit-identical in DuckDB
+(``('0x'||substr(md5(x),1,15))::BIGINT``), making both operators fully
+oracle-checkable. The portable hash costs one md5 per (shingle, family
+member) instead of two xxhash64 per shingle — use it for verification, the
+default for production throughput.
 """
 
 from __future__ import annotations
@@ -234,6 +238,12 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     )
 
 
+def _md5_long(col: Column) -> Column:
+    """60-bit non-negative hash from md5, bit-identical in DuckDB as
+    ('0x'||substr(md5(x),1,15))::BIGINT (parity-tested)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _mix(i: int) -> Column:
     """Hash-family member i derived from two base hashes: h1 XOR rotl(h2, i).
 
@@ -252,6 +262,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc: for family member i, min_s mix_i(hash(s)).
 
@@ -266,12 +277,24 @@ def minhash_signatures(
     codegen'd, and re-hashes every shingle ``num_hashes`` times: measured 8x
     slower at sf0.1.) Docs with zero shingles are dropped, as before.
     """
-    hashed = shingle_rows(df, id_col, text_col, shingle_n).select(
-        "doc_id",
-        F.xxhash64("token").alias("h1"),
-        F.xxhash64("token", F.lit(1)).alias("h2"),
-    )
-    aggs = [F.min(_mix(i)).alias(f"_m{i}") for i in range(num_hashes)]
+    shingles = shingle_rows(df, id_col, text_col, shingle_n)
+    if portable:
+        # one md5 per (shingle, member): slower than the xxhash64 mix but
+        # bit-identical in DuckDB => the whole operator is oracle-checkable
+        hashed = shingles
+        aggs = [
+            F.min(
+                _md5_long(F.concat_ws(":", "token", F.lit(str(i))))
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        hashed = shingles.select(
+            "doc_id",
+            F.xxhash64("token").alias("h1"),
+            F.xxhash64("token", F.lit(1)).alias("h2"),
+        )
+        aggs = [F.min(_mix(i)).alias(f"_m{i}") for i in range(num_hashes)]
     return (
         hashed.groupBy("doc_id")
         .agg(*aggs, F.count(F.lit(1)).alias("n_shingles"))
@@ -291,6 +314,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
 
@@ -304,9 +328,22 @@ def minhash_lsh_pairs(
     # persisted: the band join reads the signatures on BOTH sides — without
     # this the whole shingle+hash subtree executes twice. At production scale
     # signatures would be checkpointed to a table and reused across runs.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, portable=portable
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _bucket(b: int) -> Column:
+        slots = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        # portable: md5 string bucket reproducible in DuckDB via
+        # md5(string_agg(sig, ',' ORDER BY i)); default: xxhash64 (cheaper)
+        return F.md5(slots) if portable else F.xxhash64(slots).cast("string")
+
     bands_df = sigs.select(
         "doc_id",
         "sig",
@@ -314,16 +351,7 @@ def minhash_lsh_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -392,7 +420,9 @@ def simhash64(text_col: Column) -> Column:
     return acc
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = False
+) -> DataFrame:
     """(doc_id, sh): 64-bit SimHash per doc, bit-identical to ``simhash64``.
 
     Scale shape (same rationale as minhash_signatures): tokens exploded to
@@ -402,23 +432,28 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     dropped (the column variant yields sh=0 for them; an empty doc is not a
     meaningful near-dup candidate).
     """
+    # portable: 60-bit md5-derived hash (bits 60-63 constant zero — the
+    # hamming metric just lives in a 60-bit space; pigeonhole blocking below
+    # stays recall-exact). Default: xxhash64, full 64 bits.
+    h = _md5_long(F.col("t")) if portable else F.xxhash64("t")
+    nbits = 60 if portable else 64
     hashed = (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("t"),
         )
         .filter(F.length("t") > 0)
-        .select("doc_id", F.xxhash64("t").alias("h"))
+        .select("doc_id", h.alias("h"))
     )
     aggs = [
         F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)).cast("long")).alias(
             f"_b{i}"
         )
-        for i in range(64)
+        for i in range(nbits)
     ]
     agg = hashed.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("_n"))
     acc = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(
             F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -432,6 +467,7 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= max_hamming.
 
@@ -442,7 +478,7 @@ def simhash_pairs(
     """
     # persisted: the chunk join reads the hashes on both sides (see
     # minhash_lsh_pairs for the scale rationale)
-    hashed = simhash_table(df, id_col, text_col).persist(
+    hashed = simhash_table(df, id_col, text_col, portable=portable).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     chunks = hashed.select(

@@ -1017,18 +1017,109 @@ def q_uv_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_N = 32
+_MINHASH_BANDS = 8
+_MINHASH_THRESHOLD = 0.5
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable=True: md5-family hashes + md5 band buckets, bit-identical in
+    # DuckDB — the whole LSH pipeline (signatures, banding, candidate set,
+    # agreement estimate) is oracle-checked, not just row counts
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+        portable=True,
     )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=3 is the exact-recall bound of the 4x16-bit pigeonhole
-    # blocking (any pair at hamming <= 3 must agree on one chunk)
+    # blocking (any pair at hamming <= 3 must agree on one chunk).
+    # portable=True: 60-bit md5 token hashes — the oracle recomputes every
+    # simhash and brute-forces the hamming join, so the blocked candidate
+    # generation is verified recall-exact, not just plausible.
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, portable=True)
+
+
+# The 60-bit md5 hash, identical to dedup._md5_long (parity-tested Spark
+# conv(substr(md5(x),1,15),16,10) == DuckDB ('0x'||substr(md5(x),1,15))::BIGINT)
+def _sql_md5_long(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+_MINHASH_R = _MINHASH_N // _MINHASH_BANDS
+
+# Faithful SQL re-implementation of the portable MinHash+LSH pipeline:
+# signatures (min over shingles per family member), md5 band buckets,
+# distinct same-bucket candidates, slot-agreement estimate.
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH toks_f AS (
+{_SHINGLES_SQL}
+), members AS (
+  SELECT unnest(generate_series(0, {_MINHASH_N - 1})) AS i
+), hashes AS (
+  SELECT doc_id, i,
+         min({_sql_md5_long("token || ':' || i")}) AS sig
+  FROM toks_f CROSS JOIN members
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // {_MINHASH_R} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY doc_id, i // {_MINHASH_R}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+), agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ha.sig = hb.sig THEN 1 ELSE 0 END) AS n_agree
+  FROM cand c
+  JOIN hashes ha ON ha.doc_id = c.id_a
+  JOIN hashes hb ON hb.doc_id = c.id_b AND hb.i = ha.i
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_agree AS DOUBLE) / {_MINHASH_N}, 6) AS est_jaccard
+FROM agree
+WHERE round(CAST(n_agree AS DOUBLE) / {_MINHASH_N}, 6) >= {_MINHASH_THRESHOLD}
+"""
+
+# SimHash oracle: recompute every 60-bit simhash, then BRUTE-FORCE the
+# hamming join over all pairs — verifying that the engine's pigeonhole
+# blocking is recall-exact, not merely internally consistent.
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN 2 * sum((h >> {i}) & 1) > count(*) "
+    f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+    for i in range(60)
+)
+
+SQL_DEDUP_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, {_sql_md5_long("t")} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0))) AS t
+    FROM documents
+  )
+), sh AS (
+  SELECT doc_id, {_SIMHASH_BITS_SQL} AS sh
+  FROM tok GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,9 +1397,10 @@ QUERIES: dict[str, QueryFn] = {
     "sample_hash_revenue": q_sample_hash_revenue,
     "sample_stratified_docs": q_sample_stratified_docs,
     "corpus_curation": q_corpus_curation,
-    # rows-only (non-SQL-reproducible hashing):
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    # rows-only (approximate by construction — recall depends on
+    # non-reproducible bucketing/sketching):
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "multimodal_feature_dedup": q_multimodal_feature_dedup,
@@ -1348,4 +1440,6 @@ ORACLES: dict[str, str] = {
     "sample_hash_revenue": SQL_SAMPLE_HASH_REVENUE,
     "sample_stratified_docs": SQL_SAMPLE_STRATIFIED_DOCS,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
 }
