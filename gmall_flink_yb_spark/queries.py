@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from gmall_flink_yb_spark.functions.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_prefix_pairs,
     minhash_lsh_pairs,
@@ -1048,6 +1049,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3, portable=True)
 
 
+# ---------------------------------------------------------------------------
+# Dedup clustering: near-dup PAIRS -> duplicate CLUSTERS via distributed
+# connected components (iterative min-label propagation; see
+# functions/dedup.connected_components). The oracle computes the same
+# components with a DuckDB recursive CTE — an iterative Spark algorithm
+# checked against declarative recursion.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_THRESHOLD = 0.8
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=_CLUSTER_THRESHOLD, n=3
+    )
+    return connected_components(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_sql_dedup_jaccard(_CLUSTER_THRESHOLD)})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+)
+SELECT node, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
 # The 60-bit md5 hash, identical to dedup._md5_long (parity-tested Spark
 # conv(substr(md5(x),1,15),16,10) == DuckDB ('0x'||substr(md5(x),1,15))::BIGINT)
 def _sql_md5_long(expr: str) -> str:
@@ -1399,6 +1438,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_curation": q_corpus_curation,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     # rows-only (approximate by construction — recall depends on
     # non-reproducible bucketing/sketching):
     "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -1442,4 +1482,5 @@ ORACLES: dict[str, str] = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
 }
