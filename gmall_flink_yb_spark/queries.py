@@ -599,16 +599,16 @@ def q_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_REV)).alias("_rev_dec"),
         F.count(F.lit(1)).alias("n_items"),
     )
+    # top-k via distributed TakeOrdered (orderBy+limit), THEN rank the k
+    # survivors — a global row_number window over the full aggregate would
+    # single-partition-sort every group at scale; this sorts k rows
+    top = agg.orderBy(F.col("_rev_dec").desc(), F.col("p_brand").asc()).limit(10)
     w = Window.orderBy(F.col("_rev_dec").desc(), F.col("p_brand").asc())
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select(
-            "p_brand",
-            F.col("_rev_dec").cast("double").alias("revenue"),
-            "n_items",
-            "rnk",
-        )
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "p_brand",
+        F.col("_rev_dec").cast("double").alias("revenue"),
+        "n_items",
+        "rnk",
     )
 
 
@@ -742,10 +742,16 @@ FROM orders WHERE o_orderstatus = 'F'
 def q_keyword_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     counts = keyword_counts(docs, "text")
+    # TakeOrdered-then-rank: the limit(100) runs as a distributed top-k
+    # (per-partition heads + merge), so the row_number window only ever
+    # sorts 100 rows — a global window over the full vocabulary would be a
+    # single-partition sort of millions of tokens at 100 TB
+    top = counts.orderBy(
+        F.col("token_count").desc(), F.col("token").asc()
+    ).limit(100)
     w = Window.orderBy(F.col("token_count").desc(), F.col("token").asc())
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 100)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("token", "token_count", "rnk")
     )
 
