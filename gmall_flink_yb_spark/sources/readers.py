@@ -24,14 +24,33 @@ from pyspark.sql.types import StringType, StructField, StructType
 from gmall_flink_yb_spark.schemas import LOG_EVENT_SCHEMA, TESTDATA_TABLES
 
 
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Make reads work on ANY SparkSession, not just session.py's factory.
+
+    The driver harness (``__spark_entry__`` contract) builds its own vanilla
+    SparkSession, so session-builder confs never apply there. Both confs are
+    runtime-settable, so set them here, on every read:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong``: events.ts is parquet
+      TIMESTAMP(NANOS,false); Spark 4 rejects it (PARQUET_TYPE_ILLEGAL)
+      unless it is read as a raw long.
+    - ``spark.sql.session.timeZone=UTC``: every events query formats
+      timestamps with date_format, which follows the session TZ; a non-UTC
+      driver JVM would produce divergent value hashes.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (parquet).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS,false), which Spark reads only as
-    a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in session.py).
-    Convert to a microsecond TimestampType here (truncating ns -> us); the
-    DuckDB oracle truncates identically via epoch_ns(ts)//1000.
+    ``events.ts`` is parquet TIMESTAMP(NANOS,false), read as a raw long
+    (see ``_ensure_read_confs``). Convert to a microsecond TimestampType here
+    (truncating ns -> us); the DuckDB oracle truncates identically via
+    epoch_ns(ts)//1000.
     """
+    _ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

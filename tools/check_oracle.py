@@ -5,7 +5,11 @@ over the same sf dir, then compares row count, column names, and an
 order-insensitive value hash (rows sorted, columns sorted by name, values
 normalized to strings). Run:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` builds a bare SparkSession (no repo confs) exactly like the
+driver harness does, so session-conf regressions — the class of bug that cost
+11 green rows in round 1 — show up locally before the driver sees them.
 """
 
 from __future__ import annotations
@@ -46,8 +50,12 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entry_mod
@@ -61,7 +69,17 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
