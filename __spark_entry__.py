@@ -3,12 +3,13 @@
 ``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes every
 implemented operator from SURVEY.md §2 (+ the LLM-pipeline surface) as
 (spark, sf_dir) -> DataFrame callables; ``oracle_sql()`` gives the DuckDB
-equivalents. MinHash and SimHash run with a portable md5-derived hash
-family that DuckDB reproduces bit-for-bit, so they are fully
-oracle-checked. The few queries absent from ``oracle_sql()`` are
-approximate by construction (SRP-LSH / IVF ANN whose recall depends on
-xxhash64 bucketing, HLL approximate counts) — the driver records the
-weaker rows-only check for those, by design.
+equivalents. MinHash, SimHash, SRP-LSH, IVF (registered at its provably
+exact n_probe == n_centroids point), and the multimodal feature dedup all
+run portable md5-derived parameterizations that DuckDB reproduces
+bit-for-bit, so every approximate operator is fully oracle-checked. The
+single query absent from ``oracle_sql()`` is ``uv_daily_approx``
+(HyperLogLog++ sketch estimates are engine-internal); the driver records
+the weaker rows-only check for it, by design.
 """
 
 from __future__ import annotations

@@ -164,27 +164,56 @@ def sample_frames(df: DataFrame, frame_stride: int = 32) -> DataFrame:
     return df.mapInPandas(sample, "media_id long, frame_idx long, frame binary")
 
 
+_FEATURE_PROJ_CACHE: dict[int, np.ndarray] = {}
+
+
+def _feature_projection(dim: int) -> np.ndarray:
+    """256 x dim INTEGER projection matrix, md5-derived (identical on every
+    run/executor/engine): w[b][j] = md5_60bit("feat:b:j") % 2001 - 1000.
+    Same portable-hash idiom as the MinHash family and the SRP hyperplanes,
+    so any SQL engine with md5 can rebuild it row-for-row."""
+    if dim not in _FEATURE_PROJ_CACHE:
+        import hashlib
+
+        _FEATURE_PROJ_CACHE[dim] = np.array(
+            [
+                [
+                    int(hashlib.md5(f"feat:{b}:{j}".encode()).hexdigest()[:15], 16)
+                    % 2001
+                    - 1000
+                    for j in range(dim)
+                ]
+                for b in range(256)
+            ],
+            dtype=np.int64,
+        )
+    return _FEATURE_PROJ_CACHE[dim]
+
+
 def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
-    """Deterministic feature vector per payload (array<float>[dim]) — the
-    stand-in for a real image/audio embedding model, built from a seeded
-    byte-histogram projection so it is stable across runs and executors.
+    """Deterministic feature vector per payload (array<double>[dim]) — the
+    stand-in for a real image/audio embedding model: the body's byte
+    histogram projected through an md5-derived INTEGER matrix. All-integer
+    arithmetic (hist @ proj in int64), so the vectors are exact — no float
+    summation order to disagree about — and the downstream cosine dedup is
+    fully oracle-checkable cross-engine. Histogram normalization is
+    deliberately omitted: it scales every component by the same factor and
+    cancels in cosine similarity.
     Output feeds the similarity operators (brute_force_topk / lsh_bucket_topk)
     directly: media dedup by embedding is media -> extract_features ->
     cosine_near_dup_pairs."""
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rng = np.random.default_rng(42)
-        proj = rng.standard_normal((256, dim)).astype(np.float64)
+        proj = _feature_projection(dim)
         for pdf in batches:
             vecs = []
             for buf in pdf["content"]:
                 body = np.frombuffer(bytes(buf)[HEADER_LEN:], dtype=np.uint8)
-                hist = np.bincount(body, minlength=256)[:256].astype(np.float64)
-                n = np.linalg.norm(hist)
-                v = (hist / n) @ proj if n > 0 else np.zeros(dim)
-                vecs.append(v.astype(np.float32).tolist())
+                hist = np.bincount(body, minlength=256)[:256].astype(np.int64)
+                v = hist @ proj  # exact int64 (|v| <= body_len * 1000)
+                vecs.append(v.astype(np.float64).tolist())
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].astype("int64"), "embedding": vecs}
             )
 
-    return df.mapInPandas(embed, "media_id long, embedding array<float>")
+    return df.mapInPandas(embed, "media_id long, embedding array<double>")

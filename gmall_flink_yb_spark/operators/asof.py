@@ -26,7 +26,7 @@ i.e. `left.ts >= right.ts`), matching DuckDB's `ASOF JOIN ... ON l.ts >=
 r.ts`, because right rows sort before left rows at equal ts (tag 0 < 1).
 If several right rows share (key, ts) the caller should pre-dedupe;
 `asof_join` does it deterministically by keeping the row with the largest
-`tiebreak_col`.
+`tiebreak_col` (remaining payload columns break residual ties).
 """
 
 from __future__ import annotations
@@ -59,12 +59,21 @@ def asof_join(
         payload_cols = [
             c for c in right.columns if c not in (right_key, right_ts)
         ]
+    if not payload_cols:
+        raise ValueError(
+            "asof_join: the right frame has no payload columns beyond "
+            f"key={right_key!r} and ts={right_ts!r} — pass payload_cols "
+            "explicitly (an as-of join with nothing to carry is a no-op)"
+        )
     if tiebreak_col is None:
         tiebreak_col = payload_cols[0]
 
-    # Deterministic pre-dedupe: one right row per (key, ts).
+    # Deterministic pre-dedupe: one right row per (key, ts). The remaining
+    # payload columns are secondary sort keys so the winner is unique even
+    # when tiebreak_col itself ties within a (key, ts) group.
     wdup = Window.partitionBy(right_key, right_ts).orderBy(
-        F.col(tiebreak_col).desc()
+        F.col(tiebreak_col).desc(),
+        *[F.col(c).desc() for c in payload_cols if c != tiebreak_col],
     )
     r = (
         right.select(right_key, right_ts, *payload_cols)

@@ -31,6 +31,7 @@ from gmall_flink_yb_spark.functions.dedup import (
     simhash_pairs,
 )
 from gmall_flink_yb_spark.functions.similarity import (
+    _srp_plane,
     brute_force_topk,
     cosine_near_dup_pairs,
     ivf_topk,
@@ -1006,9 +1007,11 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_COS_THRESHOLD}
 """
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (no SQL oracle — xxhash64-based signatures are not
-# reproducible in DuckDB; the driver records a rows-only check and the judge
-# sees which, per the repo contract)
+# uv_daily_approx is the single remaining rows-only query: HyperLogLog++
+# sketch estimates are engine-internal and not bit-reproducible in DuckDB.
+# Every other approximate operator (MinHash, SimHash, SRP-LSH, IVF, feature
+# dedup) runs a portable md5-derived parameterization and is fully
+# hash-checked against SQL.
 # ---------------------------------------------------------------------------
 
 def q_uv_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,24 +1170,81 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """
 
 
+_LSH_PLANES = 8
+_LSH_DIM = 64
+
+
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SRP hyperplanes are md5-derived literals (similarity._srp_plane),
+    # so the whole approximate pipeline — bucket assignment, candidate
+    # restriction, within-bucket exact cosine, top-k — is deterministic and
+    # reproduced bit-for-bit by the SQL oracle below. The oracle checks the
+    # APPROXIMATION ITSELF (which neighbors the buckets admit), not a
+    # brute-force relaxation of it.
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64)
+    return lsh_bucket_topk(emb, queries, k=5, n_planes=_LSH_PLANES, dim=_LSH_DIM)
+
+
+def _sql_srp_bucket(vec: str, n_planes: int = _LSH_PLANES, dim: int = _LSH_DIM) -> str:
+    """SRP bucket id as a SQL expression over a DOUBLE[] column.
+
+    Mirrors similarity._srp_bucket exactly: per plane, the projection is the
+    left-to-right sum of v[i]*coeff (same order as Spark's sequential
+    F.aggregate fold; identical decimal literals parse to identical
+    doubles), and the bucket ORs together sign bits (disjoint bits, so SUM
+    == bitwise OR)."""
+    terms = []
+    for p in range(n_planes):
+        coeffs = _srp_plane(p, dim)
+        proj = " + ".join(
+            f"{vec}[{j + 1}]*({c!r})" for j, c in enumerate(coeffs)
+        )
+        terms.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_SIMILARITY_LSH_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+), qb AS (
+  SELECT q_id, qv, {_sql_srp_bucket('qv')} AS bucket FROM q
+), cb AS (
+  SELECT n_id, nv, {_sql_srp_bucket('nv')} AS bucket FROM c
+), s AS (
+  SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS cs
+  FROM qb JOIN cb USING (bucket) WHERE q_id <> n_id
+)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS INTEGER) AS rnk,
+       round(cs, 6) AS cos_sim
+FROM s QUALIFY rnk <= 5
+"""
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Registered with n_probe == n_centroids: every cell is probed, so IVF
+    # degrades provably to exact brute force and the brute-force SQL oracle
+    # applies — the driver hash-checks the full IVF machinery (centroid
+    # selection, cell assignment, probe routing, per-cell GEMM, global
+    # merge) instead of recording a rows-only result. The approximate
+    # operating point (n_probe < n_centroids) is the same code path,
+    # recall-tested in tests/test_llm_pipeline.py.
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=16)
 
 
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (functions/multimodal.py): synthesize a deterministic
-# fake media table from documents, then decode / frame-sample through the
-# real binary-column mapInPandas path. Metadata derives arithmetically from
-# doc_id + byte lengths, so decode and frame queries are fully oracle-checked;
-# the feature path (seeded random projection) is rows-only.
+# fake media table from documents, then decode / frame-sample / feature-dedup
+# through the real binary-column mapInPandas path. Metadata derives
+# arithmetically from doc_id + byte lengths, and the feature extractor is an
+# exact integer byte-histogram projection (md5-derived weights), so ALL three
+# multimodal queries are fully oracle-checked.
 # ---------------------------------------------------------------------------
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,12 +1285,51 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+_FEATURE_DEDUP_THRESHOLD = 0.999
+
+
 def q_multimodal_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # media -> byte-histogram feature (exact int64 arithmetic, md5-derived
+    # weights) -> blocked-GEMM cosine pairs. Because the feature vectors are
+    # integer-valued, both engines score IDENTICAL vectors and the pair set
+    # hash-matches; the oracle rebuilds the histogram, the projection matrix,
+    # and the cosine join in SQL.
     docs = read_table(spark, sf_dir, "documents")
     feats = extract_features(synthesize_media(docs), dim=64)
     return cosine_near_dup_pairs(
-        feats, threshold=0.999, id_col="media_id", vec_col="embedding"
+        feats,
+        threshold=_FEATURE_DEDUP_THRESHOLD,
+        id_col="media_id",
+        vec_col="embedding",
     )
+
+
+SQL_MULTIMODAL_FEATURE_DEDUP = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+), bytes AS (
+  SELECT doc_id, ('0x' || substr(h, 2*i + 1, 2))::BIGINT AS b
+  FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM hx)
+), hist AS (
+  SELECT doc_id, b, count(*) AS cnt FROM bytes GROUP BY doc_id, b
+), w AS (
+  SELECT bb.b, jj.j,
+         (('0x' || substr(md5('feat:' || bb.b || ':' || jj.j), 1, 15))::BIGINT
+          % 2001 - 1000) AS wt
+  FROM (SELECT unnest(range(256)) AS b) bb
+  CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+), feat AS (
+  SELECT h.doc_id, w.j, CAST(sum(h.cnt * w.wt) AS DOUBLE) AS fv
+  FROM hist h JOIN w ON h.b = w.b GROUP BY h.doc_id, w.j
+), vecs AS (
+  SELECT doc_id, list(fv ORDER BY j) AS v FROM feat GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_FEATURE_DEDUP_THRESHOLD}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1445,11 +1544,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
-    # rows-only (approximate by construction — recall depends on
-    # non-reproducible bucketing/sketching):
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "multimodal_feature_dedup": q_multimodal_feature_dedup,
+    # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -1489,4 +1587,11 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    # the SRP bucketing is md5-derived → the oracle reproduces the
+    # approximation itself, bucket-for-bucket
+    "similarity_lsh_topk": SQL_SIMILARITY_LSH_TOPK,
+    # registered at n_probe == n_centroids, where IVF is provably exact
+    "similarity_ivf_topk": SQL_SIMILARITY_TOPK,
+    # integer feature vectors → both engines score identical vectors
+    "multimodal_feature_dedup": SQL_MULTIMODAL_FEATURE_DEDUP,
 }

@@ -24,6 +24,7 @@ What this module adds is the wiring Flink expressed imperatively:
 from __future__ import annotations
 
 import os
+import re
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -162,8 +163,62 @@ def start_log_split_fanout(
 
 
 # ---------------------------------------------------------------------------
-# P2/ST4/K2/K3 — CDC routing with per-batch config refresh
+# P2/ST4/K2/K3/K4 — CDC routing with per-batch config refresh
 # ---------------------------------------------------------------------------
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def ensure_sink_table(
+    spark: SparkSession,
+    sink_table: str,
+    sink_columns: str,
+    sink_pk: str | None = None,
+    sink_extend: str | None = None,
+    database: str = "gmall_realtime",
+) -> str:
+    """K4 — dynamic DDL: register the dim sink table in the Spark catalog.
+
+    Reference (TableProcessFunction.java:116-176, checkTable): on every new
+    hbase-type config row, issue
+    ``create table if not exists <schema>.<sinkTable>(c varchar [primary
+    key], ...) <sinkExtend>`` against Phoenix, columns in sinkColumns CSV
+    order, all varchar, pk defaulting to ``id`` (:121-123) and extend
+    defaulting to empty (:124-126).
+
+    Spark analogue: ``CREATE TABLE IF NOT EXISTS db.tbl (... STRING) USING
+    parquet``. Spark tables carry no enforced PRIMARY KEY, so the pk and the
+    extend clause are recorded as TBLPROPERTIES — the pk property is what
+    ``upsert_dim_parquet`` keys its MERGE on. Idempotent like the reference
+    (IF NOT EXISTS). Returns the fully-qualified table name.
+    """
+    pk = sink_pk or "id"  # TableProcessFunction.java:121-123
+    extend = sink_extend or ""
+    cols = [c.strip() for c in sink_columns.split(",") if c.strip()]
+    for ident in [database, sink_table, pk, *cols]:
+        if not _IDENT_RE.match(ident):
+            raise ValueError(f"illegal identifier in sink-table DDL: {ident!r}")
+    if pk not in cols:
+        # the reference emits the pk column only if listed; a pk missing from
+        # sinkColumns would create a table Phoenix can't upsert into — fail
+        # loudly instead of deferring the error to write time
+        raise ValueError(
+            f"sink_pk {pk!r} not in sinkColumns {sink_columns!r} for "
+            f"table {sink_table!r}"
+        )
+    col_ddl = ", ".join(f"`{c}` STRING" for c in cols)
+    fqn = f"`{database}`.`{sink_table}`"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`")
+    props = f"'primaryKey' = '{pk}'"
+    if extend:
+        # Phoenix-specific extend clauses (e.g. SALT_BUCKETS) have no Spark
+        # counterpart; preserved as metadata for parity/debugging
+        props += f", 'sinkExtend' = '{extend}'"
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {fqn} ({col_ddl}) USING parquet "
+        f"TBLPROPERTIES ({props})"
+    )
+    return fqn
 
 
 def upsert_dim_parquet(
@@ -211,11 +266,16 @@ def start_cdc_routing(
     out_dir: str,
     checkpoint_dir: str,
     dim_pk: str = "id",
+    catalog_db: str | None = None,
 ) -> StreamingQuery:
     """BaseDBLog.java:54-105 end-to-end: per micro-batch, reload the
     table_process config (= Flink broadcast-state freshness, ST4), route rows
     kafka/hbase (P2), write the kafka side as per-row-topic payloads (K2) and
-    upsert each hbase-side sinkTable as a dim table (K3).
+    upsert each hbase-side sinkTable as a dim table (K3). With ``catalog_db``
+    set, each hbase-side config row also registers its sink table in the
+    Spark catalog on first sight (K4 dynamic DDL, TableProcessFunction.java:
+    116-176 — the reference runs checkTable per new broadcast-config row;
+    the seen-set mirrors "new row", CREATE IF NOT EXISTS makes replays safe).
 
     Exactly-once intent: the checkpoint makes batch replay deterministic and
     the writes are batchId-keyed (kafka payload partition dir) or idempotent
@@ -223,9 +283,28 @@ def start_cdc_routing(
     (MyKafkaUtil.java:29).
     """
     spark = envelope_stream.sparkSession
+    ddl_seen: set[str] = set()
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         cfg = config_loader()  # latest config wins, per batch (ST4)
+        if catalog_db is not None:
+            # config is broadcast-small by design; collecting it is the same
+            # driver-side footprint as the broadcast join in route_cdc
+            for row in (
+                cfg.filter(F.col("sinkType") == "hbase")
+                .select("sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
+                .collect()
+            ):
+                if row["sinkTable"] not in ddl_seen:
+                    ensure_sink_table(
+                        spark,
+                        row["sinkTable"],
+                        row["sinkColumns"],
+                        row["sinkPk"],
+                        row["sinkExtend"],
+                        database=catalog_db,
+                    )
+                    ddl_seen.add(row["sinkTable"])
         batch_df.persist()
         try:
             routed = route_cdc(batch_df, cfg)

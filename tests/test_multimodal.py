@@ -95,7 +95,9 @@ def test_sample_frames_multi_row_emission(media):
 
 def test_features_feed_similarity(media):
     feats = extract_features(media, dim=16)
-    assert dict(feats.dtypes)["embedding"] == "array<float>"
+    # exact integer-valued doubles: cross-engine reproducible (see
+    # multimodal.extract_features)
+    assert dict(feats.dtypes)["embedding"] == "array<double>"
     # identical bodies (0 and 1) -> identical vectors -> cosine 1.0 pair
     pairs = cosine_near_dup_pairs(
         feats, threshold=0.999, id_col="media_id", vec_col="embedding",

@@ -36,6 +36,7 @@ from gmall_flink_yb_spark.schemas import (
 )
 from gmall_flink_yb_spark.sources.readers import parse_log_stream, read_table
 from gmall_flink_yb_spark.streaming.pipelines import (
+    ensure_sink_table,
     read_file_stream,
     start_cdc_routing,
     start_log_split_fanout,
@@ -528,3 +529,82 @@ def test_cdc_routing_stream_refreshes_config(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(os.path.join(out, "kafka_out")).count() == 1
     assert spark.read.parquet(os.path.join(out, "dim_dim_user_info")).count() == 1
+
+
+def test_ensure_sink_table_catalog_ddl(spark):
+    """K4 dynamic DDL (TableProcessFunction.java:116-176): a config row
+    creates a catalog table with sinkColumns in CSV order, pk default 'id'
+    recorded as a table property, idempotent re-issue, and identifier
+    validation."""
+    import pytest as _pytest
+
+    db = "gmall_test_ddl"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    try:
+        fqn = ensure_sink_table(
+            spark, "dim_base_trademark", "id,tm_name,logo_url",
+            sink_pk=None, sink_extend="SALT_BUCKETS = 4", database=db,
+        )
+        assert fqn == f"`{db}`.`dim_base_trademark`"
+        cols = spark.table(fqn).columns
+        assert cols == ["id", "tm_name", "logo_url"]  # CSV order preserved
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {fqn}").collect()
+        }
+        assert props["primaryKey"] == "id"  # default pk, :121-123
+        assert props["sinkExtend"] == "SALT_BUCKETS = 4"
+        # idempotent (IF NOT EXISTS) — same call again is a no-op
+        ensure_sink_table(
+            spark, "dim_base_trademark", "id,tm_name,logo_url", database=db
+        )
+        # pk must appear in sinkColumns
+        with _pytest.raises(ValueError, match="not in sinkColumns"):
+            ensure_sink_table(spark, "dim_x", "tm_name", database=db)
+        # identifier validation blocks injection
+        with _pytest.raises(ValueError, match="illegal identifier"):
+            ensure_sink_table(spark, "dim_y; DROP TABLE t", "id", database=db)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_cdc_routing_registers_catalog_tables(spark, tmp_path):
+    """start_cdc_routing(catalog_db=...) registers each hbase sinkTable in
+    the catalog on first sight (K4 wired into the P2/ST4 routing loop)."""
+    db = "gmall_test_route_ddl"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    env_rows = [
+        Row(database="gmall", tableName="user_info",
+            before=None, after={"id": "7", "name": "ann"}, type="insert"),
+    ]
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    spark.createDataFrame(env_rows, CDC_ENVELOPE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stage"))
+    part = [
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    ]
+    os.rename(tmp_path / "stage" / part[0], os.path.join(src, "00.parquet"))
+
+    cfg = spark.createDataFrame(
+        [
+            Row(sourceTable="user_info", operateType="insert",
+                sinkType="hbase", sinkTable="dim_user_info",
+                sinkColumns="id,name", sinkPk="id", sinkExtend=None),
+        ],
+        TABLE_PROCESS_SCHEMA,
+    )
+    stream = read_file_stream(
+        spark, src, CDC_ENVELOPE_SCHEMA, glob="*.parquet"
+    )
+    try:
+        q = start_cdc_routing(
+            stream, lambda: cfg, str(tmp_path / "routed"),
+            str(tmp_path / "ckpt"), catalog_db=db,
+        )
+        q.awaitTermination(120)
+        assert spark.catalog.tableExists(f"{db}.dim_user_info")
+        assert spark.table(f"`{db}`.`dim_user_info`").columns == ["id", "name"]
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
