@@ -256,6 +256,23 @@ def _mix(i: int) -> Column:
     return F.col("h1").bitwiseXOR(rot)
 
 
+def _portable_mix(i: int) -> Column:
+    """Portable family member i: h1 XOR rotl60(h2, i), on 60-bit md5 longs.
+
+    Same one-pass Carter-Wegman shape as ``_mix`` but with the rotation
+    expressed as overflow-safe arithmetic ((h2 % 2^(60-i)) * 2^i + h2 div
+    2^(60-i) stays < 2^60 < 2^63), so DuckDB — whose BIGINT ops error on
+    overflow instead of wrapping — reproduces every member bit-for-bit:
+    xor(h1, (h2 % L) * S + h2 // L).
+    """
+    if i == 0:
+        return F.col("h1").bitwiseXOR(F.col("h2"))
+    lo = 1 << (60 - i)
+    hi = 1 << i
+    rot = (F.col("h2") % F.lit(lo)) * F.lit(hi) + F.expr(f"h2 div {lo}")
+    return F.col("h1").bitwiseXOR(rot)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -279,15 +296,16 @@ def minhash_signatures(
     """
     shingles = shingle_rows(df, id_col, text_col, shingle_n)
     if portable:
-        # one md5 per (shingle, member): slower than the xxhash64 mix but
-        # bit-identical in DuckDB => the whole operator is oracle-checkable
-        hashed = shingles
-        aggs = [
-            F.min(
-                _md5_long(F.concat_ws(":", "token", F.lit(str(i))))
-            ).alias(f"_m{i}")
-            for i in range(num_hashes)
-        ]
+        # same one-pass structure as the production path: TWO md5 base
+        # hashes per shingle + num_hashes arithmetic mixes (was num_hashes
+        # md5 calls — 16x more string hashing for identical semantics).
+        # Bit-identical in DuckDB => the whole operator is oracle-checkable.
+        hashed = shingles.select(
+            "doc_id",
+            _md5_long(F.col("token")).alias("h1"),
+            _md5_long(F.concat(F.col("token"), F.lit("#"))).alias("h2"),
+        )
+        aggs = [F.min(_portable_mix(i)).alias(f"_m{i}") for i in range(num_hashes)]
     else:
         hashed = shingles.select(
             "doc_id",

@@ -1113,9 +1113,18 @@ WITH toks_f AS (
 ), members AS (
   SELECT unnest(generate_series(0, {_MINHASH_N - 1})) AS i
 ), hashes AS (
+  -- one-pass family: two md5 base hashes per shingle, member i =
+  -- h1 XOR rotl60(h2, i) as overflow-safe arithmetic (dedup._portable_mix)
   SELECT doc_id, i,
-         min({_sql_md5_long("token || ':' || i")}) AS sig
-  FROM toks_f CROSS JOIN members
+         min(CASE WHEN i = 0 THEN xor(h1, h2)
+                  ELSE xor(h1, (h2 % (1::BIGINT << (60 - i))) * (1::BIGINT << i)
+                               + h2 // (1::BIGINT << (60 - i)))
+             END) AS sig
+  FROM (
+    SELECT doc_id, {_sql_md5_long("token")} AS h1,
+           {_sql_md5_long("token || '#'")} AS h2
+    FROM toks_f
+  ) CROSS JOIN members
   GROUP BY doc_id, i
 ), bands AS (
   SELECT doc_id, i // {_MINHASH_R} AS band,
