@@ -4,6 +4,8 @@ counterpart — BASELINE.json north star; SURVEY.md §2.9 last paragraph).
 All pure column expressions (JVM codegen, no Python in the hot path):
 - token counting (whitespace + regex word model)
 - quality scoring (length / punctuation ratio / stopword ratio)
+- repetition scoring (top-token / top-bigram mass, Gopher-style rules)
+- PII redaction (email/phone regex scrub + counts)
 - language ID (stopword-hit heuristic over {de,en,es,fr,zh})
 - document fingerprinting (md5 over normalized text — md5 is available in
   both Spark and DuckDB, so fingerprints are oracle-checkable).
@@ -11,7 +13,7 @@ All pure column expressions (JVM codegen, no Python in the hot path):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_yb_spark.operators.keywords import DEFAULT_TOKEN_PATTERN, tokenize
@@ -84,6 +86,109 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
             "quality_ok",
             ((n_tokens >= 5) & (F.col("punct_ratio") < 0.3)).cast("int"),
         )
+    )
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 30,
+    max_top_token_frac: float = 0.12,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+) -> DataFrame:
+    """Per-doc repetition features in the spirit of the Gopher repetition
+    rules (public data-pipeline practice): documents dominated by a few
+    tokens/bigrams are boilerplate or spam, not prose.
+
+    Returns (doc_id, n_tokens_total, top_token_frac, top_bigram_frac,
+    mean_token_len, repetition_ok).
+
+    Scale shape: tokens and bigrams are EXPLODED to rows, tagged, and pushed
+    through ONE groupBy chain — (doc, kind, gram) counts, then per-doc
+    conditional aggregates — so the whole operator is two hash shuffles with
+    map-side partial aggregation, no per-doc array materialization beyond
+    the tokenizer, and no Python. (A per-row array-lambda mode computation
+    would be interpreted and O(len^2) per doc.)
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    unigrams = toks.select("doc_id", F.lit(1).alias("kind"), F.col("w").alias("g"))
+    bigrams = (
+        toks.select(
+            "doc_id", F.col("w"), F.lead("w", 1).over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id", F.lit(2).alias("kind"),
+            F.concat_ws(" ", "w", "w2").alias("g"),
+        )
+    )
+    counts = (
+        unigrams.unionByName(bigrams)
+        .groupBy("doc_id", "kind", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = F.col("kind") == 1
+    big = F.col("kind") == 2
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(uni, F.col("c"))).alias("_n_tok"),
+        F.max(F.when(uni, F.col("c"))).alias("_max_tok"),
+        F.sum(F.when(uni, F.col("c") * F.length("g"))).alias("_char_mass"),
+        F.sum(F.when(big, F.col("c"))).alias("_n_big"),
+        F.max(F.when(big, F.col("c"))).alias("_max_big"),
+    )
+    top_tok = F.round(
+        F.col("_max_tok").cast("double") / F.col("_n_tok"), 6
+    )
+    top_big = F.round(
+        F.col("_max_big").cast("double")
+        / F.greatest(F.col("_n_big"), F.lit(1)),
+        6,
+    )
+    mean_len = F.round(
+        F.col("_char_mass").cast("double") / F.col("_n_tok"), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("_n_tok").alias("n_tokens_total"),
+        top_tok.alias("top_token_frac"),
+        F.coalesce(top_big, F.lit(0.0)).alias("top_bigram_frac"),
+        mean_len.alias("mean_token_len"),
+        (
+            (F.col("_n_tok") >= min_tokens)
+            & (top_tok <= max_top_token_frac)
+            & (mean_len >= min_mean_len)
+            & (mean_len <= max_mean_len)
+        )
+        .cast("int")
+        .alias("repetition_ok"),
+    )
+
+
+# RE2-compatible (no backrefs/lookarounds), so Spark's Java regex and
+# DuckDB's RE2 match identically
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+\d{1,3}-\d{3}-\d{4}-\d{4}"
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace emails then phone numbers with typed placeholders. Pure
+    regexp_replace chain (codegen'd; Spark replaces all matches, DuckDB
+    needs the 'g' flag — the oracle passes it)."""
+    scrubbed = F.regexp_replace(text, PII_EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(scrubbed, PII_PHONE_PATTERN, "[PHONE]")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit metrics."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL_PATTERN)),
+        F.regexp_count(text, F.lit(PII_PHONE_PATTERN)),
     )
 
 

@@ -45,9 +45,14 @@ from gmall_flink_yb_spark.functions.multimodal import (
 )
 from gmall_flink_yb_spark.functions.text import (
     LANG_MARKERS,
+    PII_EMAIL_PATTERN,
+    PII_PHONE_PATTERN,
     doc_fingerprint,
     language_id,
+    pii_counts,
+    pii_redact,
     quality_features,
+    repetition_features,
 )
 from gmall_flink_yb_spark.functions.sampling import (
     hash_sample,
@@ -820,6 +825,98 @@ FROM scored GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style rules) + PII redaction (LLM-pipeline
+# surface): both pure codegen'd column/aggregate plans, both hash-checked.
+# ---------------------------------------------------------------------------
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_features(docs, "doc_id", "text")
+
+
+SQL_TEXT_REPETITION = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, 1 AS kind, unnest(ts) AS g FROM tok
+  UNION ALL
+  SELECT doc_id, 2 AS kind,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i+1])) AS g
+  FROM tok
+), counts AS (
+  SELECT doc_id, kind, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN kind = 1 THEN c END) AS n_tok,
+         max(CASE WHEN kind = 1 THEN c END) AS max_tok,
+         sum(CASE WHEN kind = 1 THEN c * length(g) END) AS char_mass,
+         sum(CASE WHEN kind = 2 THEN c END) AS n_big,
+         max(CASE WHEN kind = 2 THEN c END) AS max_big
+  FROM counts GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens_total,
+       round(CAST(max_tok AS DOUBLE) / n_tok, 6) AS top_token_frac,
+       coalesce(round(CAST(max_big AS DOUBLE) / greatest(n_big, 1), 6), 0.0)
+         AS top_bigram_frac,
+       round(CAST(char_mass AS DOUBLE) / n_tok, 6) AS mean_token_len,
+       CAST(CASE WHEN n_tok >= 30
+                  AND round(CAST(max_tok AS DOUBLE) / n_tok, 6) <= 0.12
+                  AND round(CAST(char_mass AS DOUBLE) / n_tok, 6)
+                      BETWEEN 3.0 AND 10.0
+             THEN 1 ELSE 0 END AS INTEGER) AS repetition_ok
+FROM per_doc
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixture corpus carries no real PII, so a deterministic synthetic
+    # contact suffix is appended first (same expression in the oracle) —
+    # the redaction operator itself is what's under test.
+    docs = read_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-2024"),
+        ).alias("text"),
+    )
+    n_emails, n_phones = pii_counts(F.col("text"))
+    return with_pii.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        pii_redact(F.col("text")).alias("scrubbed"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-2024' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_PATTERN}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_PATTERN}')) AS INTEGER)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(text, '{PII_EMAIL_PATTERN}', '[EMAIL]', 'g'),
+         '{PII_PHONE_PATTERN}', '[PHONE]', 'g') AS scrubbed
+FROM p
+"""
+
+# ---------------------------------------------------------------------------
 # Language ID (LLM-pipeline surface): heuristic prediction vs labeled lang
 # ---------------------------------------------------------------------------
 
@@ -1538,6 +1635,8 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_route_hbase": q_cdc_route_hbase,
     "keyword_top100": q_keyword_top100,
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
+    "pii_scrub": q_pii_scrub,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1581,6 +1680,8 @@ ORACLES: dict[str, str] = {
     "cdc_route_hbase": SQL_CDC_ROUTE_HBASE,
     "keyword_top100": SQL_KEYWORD_TOP100,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "pii_scrub": SQL_PII_SCRUB,
     "lang_id": SQL_LANG_ID,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -188,3 +188,51 @@ def test_quality_features(docs):
     assert feat[0]["n_tokens"] == 24
     assert feat[0]["quality_ok"] == 1
     assert 0.0 <= feat[0]["stopword_ratio"] <= 1.0
+
+
+def test_repetition_features_gate(spark):
+    from gmall_flink_yb_spark.functions.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            # 40 varied tokens: passes every rule
+            (1, " ".join(f"word{i}" for i in range(40))),
+            # spam: one token dominating (top_token_frac = 31/40 > 0.12)
+            (2, " ".join(["buy"] * 31 + [f"w{i}" for i in range(9)])),
+            # too short (< 30 tokens)
+            (3, "tiny doc with six tokens only"),
+            # single token: no bigrams -> top_bigram_frac 0, gate fails on len
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition_features(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["repetition_ok"] == 1
+    assert got[1]["n_tokens_total"] == 40
+    assert got[2]["repetition_ok"] == 0
+    assert got[2]["top_token_frac"] == round(31 / 40, 6)
+    # "buy buy" bigram appears 30 times of 39 bigrams
+    assert got[2]["top_bigram_frac"] == round(30 / 39, 6)
+    assert got[3]["repetition_ok"] == 0
+    assert got[4]["top_bigram_frac"] == 0.0
+
+
+def test_pii_redaction(spark):
+    from pyspark.sql import functions as F
+
+    from gmall_flink_yb_spark.functions.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io and +1-555-0042-2024 twice: d@e.org")],
+        "id long, text string",
+    )
+    n_em, n_ph = pii_counts(F.col("text"))
+    row = df.select(
+        n_em.alias("e"), n_ph.alias("p"),
+        pii_redact(F.col("text")).alias("s"),
+    ).first()
+    assert row["e"] == 2 and row["p"] == 1
+    assert row["s"] == "mail [EMAIL] and [PHONE] twice: [EMAIL]"
