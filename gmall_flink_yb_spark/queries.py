@@ -59,6 +59,8 @@ from gmall_flink_yb_spark.functions.sampling import (
     sample_threshold,
     stratified_sample,
 )
+from gmall_flink_yb_spark.functions.chunking import chunk_documents
+from gmall_flink_yb_spark.functions.ngrams import decontaminate, span_dup_stats
 from gmall_flink_yb_spark.operators.asof import asof_join
 from gmall_flink_yb_spark.operators.bounce import flag_bounce_batch
 from gmall_flink_yb_spark.operators.keywords import keyword_counts
@@ -1611,6 +1613,109 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 # ---------------------------------------------------------------------------
+# Token n-gram curation: decontamination, span-duplication, chunking
+# (LLM-pipeline surface; no reference counterpart)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 8
+_DECONTAM_EVAL_FRACTION = 0.10
+
+# shared DuckDB prelude: tokenized documents + the deterministic eval split
+_SQL_TOKS = f"""
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS t,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             < '{sample_threshold(_DECONTAM_EVAL_FRACTION)}' AS is_eval
+  FROM documents
+"""
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic md5 split carves ~10% of
+    documents off as the "benchmark" set; every remaining training doc is
+    audited for 8-gram overlap with it (broadcast the benchmark grams —
+    benchmarks are MBs even when the corpus is 100 TB)."""
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", _DECONTAM_EVAL_FRACTION)
+    train = docs.join(
+        F.broadcast(eval_df.select("doc_id")), "doc_id", "left_anti"
+    )
+    return decontaminate(train, eval_df, "doc_id", "text", n=_DECONTAM_N)
+
+
+SQL_DECONTAM_OVERLAP = f"""
+WITH toks AS ({_SQL_TOKS}
+), grams AS (
+  SELECT doc_id, is_eval, array_to_string(t[i:i+{_DECONTAM_N - 1}], ' ') AS g
+  FROM toks, unnest(range(1, CAST(len(t) AS BIGINT) - {_DECONTAM_N} + 2)) AS u(i)
+), eg AS (
+  SELECT DISTINCT g FROM grams WHERE is_eval
+), hits AS (
+  SELECT grams.doc_id, CAST(count(DISTINCT grams.g) AS BIGINT) AS n_overlap_grams
+  FROM grams JOIN eg USING (g)
+  WHERE NOT grams.is_eval
+  GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_overlap_grams, 0) AS BIGINT) AS n_overlap_grams,
+       CAST(CASE WHEN COALESCE(h.n_overlap_grams, 0) > 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM toks d LEFT JOIN hits h USING (doc_id)
+WHERE NOT d.is_eval
+"""
+
+
+def q_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction (Lee et al. 2022 metric,
+    inverted-gram-index formulation)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return span_dup_stats(docs, "doc_id", "text", n=_DECONTAM_N)
+
+
+SQL_SPAN_DUP = f"""
+WITH toks AS ({_SQL_TOKS}
+), grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[i:i+{_DECONTAM_N - 1}], ' ')) AS gh
+  FROM toks, unnest(range(1, CAST(len(t) AS BIGINT) - {_DECONTAM_N} + 2)) AS u(i)
+), f AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY gh) AS n_docs FROM grams
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_frac
+FROM f GROUP BY doc_id
+"""
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk 32, stride 24) — the packing
+    step before sequence assembly. Entirely narrow: zero shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS ({_SQL_TOKS}
+)
+SELECT doc_id,
+       CAST((i - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(least({_CHUNK_SIZE}, len(t) - i + 1) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(t[i:i+{_CHUNK_SIZE - 1}], ' ') AS chunk_text
+FROM toks, unnest(range(1, CAST(len(t) AS BIGINT) + 1, {_CHUNK_STRIDE})) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1655,6 +1760,9 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "multimodal_feature_dedup": q_multimodal_feature_dedup,
+    "decontam_overlap": q_decontam_overlap,
+    "span_dup": q_span_dup,
+    "doc_chunks": q_doc_chunks,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -1704,4 +1812,7 @@ ORACLES: dict[str, str] = {
     "similarity_ivf_topk": SQL_SIMILARITY_TOPK,
     # integer feature vectors → both engines score identical vectors
     "multimodal_feature_dedup": SQL_MULTIMODAL_FEATURE_DEDUP,
+    "decontam_overlap": SQL_DECONTAM_OVERLAP,
+    "span_dup": SQL_SPAN_DUP,
+    "doc_chunks": SQL_DOC_CHUNKS,
 }

@@ -1,0 +1,146 @@
+"""Token n-gram curation operators: decontamination, span-dup, chunking.
+
+LLM-pipeline surface (no reference counterpart — SURVEY.md §2.9 last
+paragraph). Tests pin the semantics the DuckDB oracles assume: 1-based
+gram offsets, short-doc empty arrays, stride coverage (every token in at
+least one chunk), and broadcast-shaped decontamination plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_flink_yb_spark.functions.chunking import chunk_documents
+from gmall_flink_yb_spark.functions.ngrams import (
+    decontaminate,
+    span_dup_stats,
+    token_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_ngrams_basic(spark):
+    df = spark.range(1).select(
+        token_ngrams(F.lit("The quick, brown fox!"), 2).alias("g")
+    )
+    assert df.first()["g"] == ["the quick", "quick brown", "brown fox"]
+
+
+def test_token_ngrams_short_doc_empty(spark):
+    # fewer than n tokens must yield [], not a descending-sequence artifact
+    df = spark.range(1).select(
+        token_ngrams(F.lit("only two"), 3).alias("g3"),
+        token_ngrams(F.lit("only two"), 2).alias("g2"),
+        token_ngrams(F.lit(""), 1).alias("g1"),
+    )
+    r = df.first()
+    assert r["g3"] == [] and r["g2"] == ["only two"] and r["g1"] == []
+
+
+def test_token_ngrams_rejects_bad_n(spark):
+    with pytest.raises(ValueError):
+        token_ngrams(F.lit("x"), 0)
+
+
+def test_decontaminate_counts_distinct_shared_grams(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),  # shares 2 bigrams with eval
+            (2, "alpha beta gamma delta"),  # identical dup: same overlap
+            (3, "zeta eta theta iota"),  # clean
+        ],
+    )
+    ev = _docs(spark, [(100, "alpha beta gamma epsilon")])
+    out = {
+        r["doc_id"]: (r["n_overlap_grams"], r["contaminated"])
+        for r in decontaminate(train, ev, "doc_id", "text", n=2).collect()
+    }
+    assert out == {1: (2, 1), 2: (2, 1), 3: (0, 0)}
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    train = _docs(spark, [(1, "a b c")])
+    ev = _docs(spark, [(2, "a b")])
+    plan = decontaminate(train, ev, "doc_id", "text", n=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_span_dup_stats(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "one two three four"),  # bigrams all shared with doc 2
+            (2, "one two three four five"),
+            (3, "six seven eight nine"),  # all unique
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+        for r in span_dup_stats(df, "doc_id", "text", n=2).collect()
+    }
+    assert out[1] == (3, 3, 1.0)
+    assert out[2] == (4, 3, 0.75)
+    assert out[3] == (3, 0, 0.0)
+
+
+def test_span_dup_repeated_gram_counted_once(spark):
+    # duplicate grams WITHIN one doc collapse before the occurrence count:
+    # "x y" twice in doc 1 alone must not self-mark as duplicated
+    df = _docs(spark, [(1, "x y z x y")])
+    r = span_dup_stats(df, "doc_id", "text", n=2).first()
+    # distinct bigrams: "x y", "y z", "z x" -> none shared
+    assert (r["n_grams"], r["n_dup_grams"]) == (3, 0)
+
+
+def test_chunk_documents_disjoint_reconstructs(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = _docs(spark, [(1, text)])
+    chunks = (
+        chunk_documents(df, "doc_id", "text", chunk_size=4)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [c["chunk_id"] for c in chunks] == [0, 1, 2]
+    assert [c["n_chunk_tokens"] for c in chunks] == [4, 4, 2]
+    assert " ".join(c["chunk_text"] for c in chunks) == text
+
+
+def test_chunk_documents_overlapping_stride(spark):
+    text = "a b c d e f g h i j"
+    df = _docs(spark, [(1, text)])
+    chunks = (
+        chunk_documents(df, "doc_id", "text", chunk_size=4, stride=3)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [c["chunk_text"] for c in chunks] == [
+        "a b c d", "d e f g", "g h i j", "j",
+    ]
+    assert [c["n_chunk_tokens"] for c in chunks] == [4, 4, 4, 1]
+
+
+def test_chunk_documents_empty_doc_produces_no_chunks(spark):
+    df = _docs(spark, [(1, "...!!!"), (2, "word")])
+    rows = chunk_documents(df, "doc_id", "text", chunk_size=4).collect()
+    assert [(r["doc_id"], r["chunk_text"]) for r in rows] == [(2, "word")]
+
+
+def test_chunk_documents_rejects_bad_args(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=4, stride=0)
+
+
+def test_chunking_is_shuffle_free(spark):
+    df = _docs(spark, [(1, "a b c d e")])
+    plan = chunk_documents(df, "doc_id", "text", chunk_size=2)._jdf.\
+        queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
