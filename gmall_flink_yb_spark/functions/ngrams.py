@@ -34,14 +34,16 @@ from pyspark.sql import functions as F
 from gmall_flink_yb_spark.operators.keywords import tokenize
 
 
-def token_ngrams(text: Column, n: int) -> Column:
-    """Lowercased token n-grams of ``text`` as ``array<string>`` (space-
-    joined, order preserved, duplicates kept). Documents with fewer than
-    ``n`` tokens yield an empty array — the ``when`` guard matters because
-    ``sequence(1, 0)`` would otherwise count DOWN and fabricate grams."""
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    toks = F.filter(tokenize(text), lambda t: F.length(t) > 0)
+def _ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """n-grams of an ALREADY-MATERIALIZED token-array column.
+
+    ``toks`` must be a plain column reference, not the tokenize expression
+    itself: free subtrees inside a ``transform`` lambda are re-evaluated per
+    element, so inlining the regex split here would re-split the document
+    once per gram (~n_tokens×, measured 10× slower at sf0.1). Callers
+    project the token array in its own ``select`` first — CollapseProject
+    keeps the projections separate because the split is non-cheap and
+    referenced more than once."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -49,6 +51,42 @@ def token_ngrams(text: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _clean_tokens(text: Column) -> Column:
+    return F.filter(tokenize(text), lambda t: F.length(t) > 0)
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Lowercased token n-grams of ``text`` as ``array<string>`` (space-
+    joined, order preserved, duplicates kept). Documents with fewer than
+    ``n`` tokens yield an empty array — the ``when`` guard matters because
+    ``sequence(1, 0)`` would otherwise count DOWN and fabricate grams.
+
+    Single-expression convenience form; it re-tokenizes per gram (see
+    ``_ngrams_of_tokens``), so DataFrame-level callers should go through
+    ``gram_rows`` instead."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return _ngrams_of_tokens(_clean_tokens(text), n)
+
+
+def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, g) exploded token n-gram rows, with the token array
+    materialized in its own projection so each document is tokenized exactly
+    once regardless of how many grams it yields."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _clean_tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(_ngrams_of_tokens(F.col("_toks"), n)).alias("g"),
+        )
+    )
 
 
 def decontaminate(
@@ -69,15 +107,9 @@ def decontaminate(
     are small by construction); corpus grams stream through the broadcast
     join and only the matches reach the distinct + per-doc aggregate.
     """
-    def grams_of(frame: DataFrame) -> DataFrame:
-        return frame.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(token_ngrams(F.col(text_col), n)).alias("g"),
-        )
-
-    eval_grams = grams_of(eval_df).select("g").distinct()
+    eval_grams = gram_rows(eval_df, id_col, text_col, n).select("g").distinct()
     hits = (
-        grams_of(df)
+        gram_rows(df, id_col, text_col, n)
         .join(F.broadcast(eval_grams), "g")
         .select("doc_id", "g")
         .distinct()
@@ -109,10 +141,7 @@ def span_dup_stats(
     oracle hashes identically), not raw strings.
     """
     grams = (
-        df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(token_ngrams(F.col(text_col), n)).alias("g"),
-        )
+        gram_rows(df, id_col, text_col, n)
         .select("doc_id", F.md5(F.col("g")).alias("gh"))
         .groupBy("doc_id", "gh")
         .agg(F.lit(1).alias("_one"))
