@@ -72,3 +72,56 @@ def stratified_sample(
         .filter(F.col("_strat_rn") <= k)
         .drop("_strat_rn")
     )
+
+
+def unit_hash(key: Column) -> Column:
+    """md5(key)'s first 32 bits as a uniform double on [0, 1). Exact in
+    both engines: the 32-bit int is exactly representable in a double and
+    the division by 2^32 is a power-of-two scale (no rounding)."""
+    return F.conv(_hash_bucket(key), 16, 10).cast("long") / F.lit(
+        float(_SPACE)
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened domain mixture (downsample-only): keep each
+    row of domain d with probability ``rate_d = (n_min / n_d)^(1-alpha)``,
+    where ``n_min`` is the smallest domain's row count.
+
+    - ``alpha=1``: natural mix (keep everything).
+    - ``alpha=0``: uniform mix (every domain downsampled to ~n_min).
+    - ``alpha=0.5``: the sqrt-temperature compromise used for multilingual
+      corpus balancing (small domains over-represented relative to their
+      natural share, big domains still dominant).
+
+    Keep decisions hash on md5(key): deterministic across engines, runs and
+    layouts, and identical keys sample identically in every domain.
+
+    Scale design (100 TB): domain counts are one partial-aggregated shuffle
+    of |domains| rows; rates join back via an explicit broadcast; the keep
+    filter itself is narrow. The corpus never shuffles. ``alpha=0.5`` uses
+    ``sqrt`` (IEEE correctly-rounded in both engines — bit-exact oracle
+    parity); other alphas go through ``pow``, which is only
+    faithfully-rounded and may diverge from another engine by an ulp.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n_d"))
+    n_min = counts.agg(F.min("_n_d").alias("_n_min"))
+    ratio = F.col("_n_min").cast("double") / F.col("_n_d")
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        domain_col, rate.alias("_rate")
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(unit_hash(F.col(key_col)) < F.col("_rate"))
+        .drop("_rate")
+    )

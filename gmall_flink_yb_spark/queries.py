@@ -55,10 +55,12 @@ from gmall_flink_yb_spark.functions.text import (
     repetition_features,
 )
 from gmall_flink_yb_spark.functions.sampling import (
+    domain_mix_sample,
     hash_sample,
     sample_threshold,
     stratified_sample,
 )
+from gmall_flink_yb_spark.functions.quantize import quantize_embeddings
 from gmall_flink_yb_spark.functions.chunking import chunk_documents
 from gmall_flink_yb_spark.functions.ngrams import decontaminate, span_dup_stats
 from gmall_flink_yb_spark.operators.asof import asof_join
@@ -1716,6 +1718,62 @@ FROM toks, unnest(range(1, CAST(len(t) AS BIGINT) + 1, {_CHUNK_STRIDE})) AS u(i)
 
 
 # ---------------------------------------------------------------------------
+# Domain-mix sampling + embedding quantization (LLM-pipeline surface)
+# ---------------------------------------------------------------------------
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature domain mixture over the skewed ``lang`` column:
+    every domain downsampled toward the smallest at rate sqrt(n_min/n_d).
+    The output is the exact kept membership — the strongest possible
+    cross-engine check of the sampler."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = domain_mix_sample(docs, "lang", "doc_id", alpha=0.5)
+    return kept.select("doc_id", "lang", "source")
+
+
+SQL_DOMAIN_MIX = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_d FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n_d) AS n_min FROM c
+), r AS (
+  SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n_d) AS rate FROM c, m
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < r.rate
+"""
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embeddings table;
+    the comma-joined int vector makes the value hash element-exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+
+
+SQL_EMBED_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id AS id, embedding AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+             AS scale
+  FROM embeddings
+)
+SELECT id,
+       CAST(len(v) AS INTEGER) AS n_dims,
+       round(scale, 6) AS scale,
+       array_to_string(list_transform(v, x ->
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE greatest(-127, least(127,
+                     floor(CAST(x AS DOUBLE) / scale + 0.5)))
+           END AS INTEGER)), ',') AS q
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1763,6 +1821,8 @@ QUERIES: dict[str, QueryFn] = {
     "decontam_overlap": q_decontam_overlap,
     "span_dup": q_span_dup,
     "doc_chunks": q_doc_chunks,
+    "domain_mix": q_domain_mix,
+    "embed_quantize": q_embed_quantize,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -1815,4 +1875,6 @@ ORACLES: dict[str, str] = {
     "decontam_overlap": SQL_DECONTAM_OVERLAP,
     "span_dup": SQL_SPAN_DUP,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "domain_mix": SQL_DOMAIN_MIX,
+    "embed_quantize": SQL_EMBED_QUANTIZE,
 }
