@@ -60,7 +60,10 @@ from gmall_flink_yb_spark.functions.sampling import (
     sample_threshold,
     stratified_sample,
 )
-from gmall_flink_yb_spark.functions.quantize import quantize_embeddings
+from gmall_flink_yb_spark.functions.quantize import (
+    quantize_embeddings,
+    quantized_topk,
+)
 from gmall_flink_yb_spark.functions.chunking import chunk_documents
 from gmall_flink_yb_spark.functions.ngrams import decontaminate, span_dup_stats
 from gmall_flink_yb_spark.operators.asof import asof_join
@@ -1773,6 +1776,42 @@ FROM s
 """
 
 
+def q_similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k inner-product search over int8-quantized vectors — the
+    compressed-corpus variant of ``similarity_topk``. Integer dot products
+    make the approximation itself exactly reproducible cross-engine."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return quantized_topk(emb, queries, k=5)
+
+
+SQL_SIMILARITY_TOPK_INT8 = """
+WITH s AS (
+  SELECT vec_id AS id, embedding AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+             AS scale
+  FROM embeddings
+), qz AS (
+  SELECT id, scale,
+         list_transform(v, x ->
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE greatest(-127, least(127,
+                       floor(CAST(x AS DOUBLE) / scale + 0.5)))
+             END) AS q
+  FROM s
+), sc AS (
+  SELECT a.id AS q_id, b.id AS n_id,
+         (a.scale * b.scale) * list_dot_product(a.q, b.q) AS score
+  FROM qz a JOIN qz b ON a.id % 50 = 0 AND a.id <> b.id
+)
+SELECT q_id, n_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id)
+            AS INTEGER) AS rnk,
+       round(score, 6) AS score
+FROM sc QUALIFY rnk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1823,6 +1862,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_chunks": q_doc_chunks,
     "domain_mix": q_domain_mix,
     "embed_quantize": q_embed_quantize,
+    "similarity_topk_int8": q_similarity_topk_int8,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -1877,4 +1917,5 @@ ORACLES: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "domain_mix": SQL_DOMAIN_MIX,
     "embed_quantize": SQL_EMBED_QUANTIZE,
+    "similarity_topk_int8": SQL_SIMILARITY_TOPK_INT8,
 }

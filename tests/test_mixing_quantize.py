@@ -7,7 +7,10 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from gmall_flink_yb_spark.functions.quantize import quantize_embeddings
+from gmall_flink_yb_spark.functions.quantize import (
+    quantize_embeddings,
+    quantized_topk,
+)
 from gmall_flink_yb_spark.functions.sampling import domain_mix_sample
 
 
@@ -119,3 +122,37 @@ def test_quantize_scale_math(spark):
     r = quantize_embeddings(df, "vec_id", "embedding").first()
     assert r["scale"] == pytest.approx(2.54 / 127, abs=1e-6)
     assert math.isclose(float(r["q"].split(",")[0]), 127)
+
+
+def test_quantized_topk_matches_exact_on_spread_vectors(spark):
+    # vectors far apart: int8 rounding must not change the neighbor order
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    df = _vecs(spark, vecs)
+    qs = df.filter(F.col("vec_id") < 3)
+
+    got = {
+        (r["q_id"], r["rnk"]): r["n_id"]
+        for r in quantized_topk(df, qs, k=3, n_blocks=4).collect()
+    }
+    # exact inner-product ranking computed in numpy float64
+    M = np.array([v for _, v in vecs])
+    for qid in range(3):
+        scores = M @ M[qid]
+        scores[qid] = -np.inf
+        top = np.lexsort((np.arange(40), -scores))[:3]
+        exact = list(top)
+        approx = [got[(qid, r)] for r in (1, 2, 3)]
+        # int8 quantization of well-spread gaussians preserves top-3
+        assert approx == exact, (qid, approx, exact)
+
+
+def test_quantized_topk_excludes_self_and_ranks_fully(spark):
+    df = _vecs(spark, [(i, [float(i + 1), 1.0]) for i in range(10)])
+    qs = df.filter(F.col("vec_id") == 0)
+    rows = quantized_topk(df, qs, k=4, n_blocks=2).collect()
+    assert len(rows) == 4
+    assert all(r["n_id"] != 0 for r in rows)
+    assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == [1, 2, 3, 4]
