@@ -163,3 +163,49 @@ def span_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` most distinctive tokens per document, ranked by tf/df —
+    the log-free core of TF-IDF (log is monotone, so the RANKING is
+    identical to classic tf·idf with a constant tf; skipping it keeps every
+    compared value an exactly-rounded double of two integers, i.e.
+    bit-reproducible cross-engine, where libm log is only faithful).
+
+    Returns (doc_id, token, tf, doc_freq, rnk, score): tf = occurrences in
+    the document, doc_freq = number of documents containing the token,
+    rnk 1..k by (tf/doc_freq desc, token asc), score = round(tf/doc_freq, 6).
+
+    Scale design (100 TB): tf is one partial-aggregated shuffle of distinct
+    (doc, token) pairs; doc_freq aggregates THAT frame (vocabulary-sized
+    shuffle); the join back is on token (inverted-index pattern — skewed
+    stopwords have high df and never rank, but they still join; salt or
+    filter a stopword list upstream if a token's doc list exceeds a
+    partition); the final top-k window shuffles once on doc_id.
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(_clean_tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    ratio = F.col("tf").cast("double") / F.col("doc_freq")
+    w = Window.partitionBy("doc_id").orderBy(
+        ratio.desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "token", "tf", "doc_freq", "rnk",
+            F.round(ratio, 6).alias("score"),
+        )
+    )

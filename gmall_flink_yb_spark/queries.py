@@ -65,7 +65,11 @@ from gmall_flink_yb_spark.functions.quantize import (
     quantized_topk,
 )
 from gmall_flink_yb_spark.functions.chunking import chunk_documents
-from gmall_flink_yb_spark.functions.ngrams import decontaminate, span_dup_stats
+from gmall_flink_yb_spark.functions.ngrams import (
+    decontaminate,
+    distinctive_terms,
+    span_dup_stats,
+)
 from gmall_flink_yb_spark.operators.asof import asof_join
 from gmall_flink_yb_spark.operators.bounce import flag_bounce_batch
 from gmall_flink_yb_spark.operators.keywords import keyword_counts
@@ -1776,6 +1780,36 @@ FROM s
 """
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 distinctive tokens by tf/df (log-free TF-IDF
+    core — identical ranking, exactly-reproducible values)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return distinctive_terms(docs, "doc_id", "text", k=5)
+
+
+SQL_DISTINCTIVE_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY token
+)
+SELECT doc_id, token, tf, doc_freq,
+       CAST(row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY CAST(tf AS DOUBLE) / doc_freq DESC, token)
+            AS INTEGER) AS rnk,
+       round(CAST(tf AS DOUBLE) / doc_freq, 6) AS score
+FROM tf JOIN dfreq USING (token)
+QUALIFY rnk <= 5
+"""
+
+
 def q_similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k inner-product search over int8-quantized vectors — the
     compressed-corpus variant of ``similarity_topk``. Integer dot products
@@ -1863,6 +1897,7 @@ QUERIES: dict[str, QueryFn] = {
     "domain_mix": q_domain_mix,
     "embed_quantize": q_embed_quantize,
     "similarity_topk_int8": q_similarity_topk_int8,
+    "distinctive_terms": q_distinctive_terms,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -1918,4 +1953,5 @@ ORACLES: dict[str, str] = {
     "domain_mix": SQL_DOMAIN_MIX,
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "similarity_topk_int8": SQL_SIMILARITY_TOPK_INT8,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
 }

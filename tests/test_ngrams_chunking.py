@@ -144,3 +144,35 @@ def test_chunking_is_shuffle_free(spark):
     plan = chunk_documents(df, "doc_id", "text", chunk_size=2)._jdf.\
         queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_distinctive_terms_ranking(spark):
+    from gmall_flink_yb_spark.functions.ngrams import distinctive_terms
+
+    df = _docs(
+        spark,
+        [
+            (1, "common rare1 common"),  # tf(common)=2 but df=3
+            (2, "common rare2"),
+            (3, "common rare2 rare2"),
+        ],
+    )
+    out = distinctive_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["token"], r["tf"], r["doc_freq"]))
+    # doc 1: rare1 tf1/df1=1.0 beats common tf2/df3=0.667
+    assert sorted(by_doc[1]) == [(1, "rare1", 1, 1), (2, "common", 2, 3)]
+    # doc 3: rare2 tf2/df2=1.0 beats common tf1/df3
+    assert sorted(by_doc[3])[0] == (1, "rare2", 2, 2)
+
+
+def test_distinctive_terms_tie_breaks_on_token(spark):
+    from gmall_flink_yb_spark.functions.ngrams import distinctive_terms
+
+    df = _docs(spark, [(1, "bbb aaa")])  # both tf1/df1 -> tie
+    out = sorted(
+        distinctive_terms(df, "doc_id", "text", k=2).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [r["token"] for r in out] == ["aaa", "bbb"]
