@@ -324,6 +324,41 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sigs: DataFrame, bands: int, rows_per_band: int, portable: bool = False
+) -> DataFrame:
+    """(doc_id, sig, band, bucket) — one row per signature band, bucket =
+    hash of the band's signature slots. Docs sharing any (band, bucket) are
+    LSH candidates. portable=md5 (DuckDB-reproducible via
+    md5(string_agg(sig, ',' ORDER BY i))); default xxhash64 (cheaper)."""
+
+    def _bucket(b: int) -> Column:
+        slots = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return F.md5(slots) if portable else F.xxhash64(slots).cast("string")
+
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -349,34 +384,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, portable=portable
     ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    def _bucket(b: int) -> Column:
-        slots = F.concat_ws(
-            ",",
-            *[
-                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        # portable: md5 string bucket reproducible in DuckDB via
-        # md5(string_agg(sig, ',' ORDER BY i)); default: xxhash64 (cheaper)
-        return F.md5(slots) if portable else F.xxhash64(slots).cast("string")
-
-    bands_df = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+    bands_df = band_buckets(sigs, bands, rows_per_band, portable)
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -410,6 +418,97 @@ def minhash_lsh_pairs(
             ),
         )
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_lsh_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental MinHash+LSH dedup: audit a NEW batch against an
+    already-curated corpus plus itself — the operator a production pipeline
+    actually runs (full-corpus re-dedup on every ingest does quadratic
+    work over time; this touches only incoming x (corpus ∪ incoming)).
+
+    Verdict per incoming doc: duplicate if its estimated Jaccard with any
+    existing doc, or any SMALLER-id incoming doc, reaches ``threshold``
+    (greedy-by-id within the batch — the min-id doc of a dup group is the
+    kept representative; matches against it decide the rest without a
+    transitive-closure pass). Returns (doc_id, keep, dup_of, est_jaccard):
+    ``dup_of`` = best match by (est desc, id asc), NULL when kept.
+
+    Scale design (100 TB): the existing side's signatures/band buckets are
+    a precomputable index (at production scale: checkpointed once,
+    appended per batch — here rebuilt, same plan shape). The band join is
+    incoming-vs-all only — existing x existing pairs are never formed,
+    which is the entire point of incrementality. Doc ids must be globally
+    unique across both frames and incoming ids greater than existing ones
+    for the greedy order to mean "earlier wins".
+    """
+    rows_per_band = num_hashes // bands
+    sx = minhash_signatures(
+        existing, id_col, text_col, num_hashes, shingle_n, portable=portable
+    )
+    si = minhash_signatures(
+        incoming, id_col, text_col, num_hashes, shingle_n, portable=portable
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bx = band_buckets(sx, bands, rows_per_band, portable).withColumn(
+        "inc", F.lit(False)
+    )
+    bi = band_buckets(si, bands, rows_per_band, portable).withColumn(
+        "inc", F.lit(True)
+    )
+    right = bx.unionByName(bi)
+    cand = (
+        bi.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (
+                ~F.col("b.inc")
+                | (F.col("b.doc_id") < F.col("a.doc_id"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("m_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_id", "m_id"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    est = F.round(agree.cast("double") / F.lit(num_hashes), 6)
+    matches = cand.select("doc_id", "m_id", est.alias("est")).filter(
+        F.col("est") >= threshold
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("est").desc(), F.col("m_id").asc()
+    )
+    best = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "m_id", "est")
+    )
+    ids = incoming.select(F.col(id_col).cast("long").alias("doc_id"))
+    return ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("m_id").isNull().cast("int").alias("keep"),
+        F.col("m_id").alias("dup_of"),
+        F.col("est").alias("est_jaccard"),
     )
 
 

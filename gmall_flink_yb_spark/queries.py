@@ -25,6 +25,7 @@ from pyspark.sql.types import DecimalType
 from gmall_flink_yb_spark.functions.dedup import (
     connected_components,
     exact_dedup,
+    incremental_lsh_dedup,
     jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1846,6 +1847,86 @@ FROM sc QUALIFY rnk <= 5
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup: the id-older half of the corpus plays the
+    already-curated index, the id-newer half the incoming batch. Every
+    incoming doc gets a keep/dup verdict with its best match."""
+    docs = read_table(spark, sf_dir, "documents")
+    half = docs.agg((F.max("doc_id") / 2).cast("long").alias("_half"))
+    ex = (
+        docs.crossJoin(F.broadcast(half))
+        .filter(F.col("doc_id") <= F.col("_half"))
+        .drop("_half")
+    )
+    inc = (
+        docs.crossJoin(F.broadcast(half))
+        .filter(F.col("doc_id") > F.col("_half"))
+        .drop("_half")
+    )
+    return incremental_lsh_dedup(
+        ex, inc, "doc_id", "text",
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+        portable=True,
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH toks_f AS (
+{_SHINGLES_SQL}
+), members AS (
+  SELECT unnest(generate_series(0, {_MINHASH_N - 1})) AS i
+), hashes AS (
+  SELECT doc_id, i,
+         min(CASE WHEN i = 0 THEN xor(h1, h2)
+                  ELSE xor(h1, (h2 % (1::BIGINT << (60 - i))) * (1::BIGINT << i)
+                               + h2 // (1::BIGINT << (60 - i)))
+             END) AS sig
+  FROM (
+    SELECT doc_id, {_sql_md5_long("token")} AS h1,
+           {_sql_md5_long("token || '#'")} AS h2
+    FROM toks_f
+  ) CROSS JOIN members
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // {_MINHASH_R} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY doc_id, i // {_MINHASH_R}
+), half AS (
+  SELECT max(doc_id) // 2 AS h FROM documents
+), cand AS (
+  SELECT DISTINCT a.doc_id AS did, b.doc_id AS mid
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  CROSS JOIN half
+  WHERE a.doc_id > half.h
+    AND (b.doc_id <= half.h OR b.doc_id < a.doc_id)
+), agree AS (
+  SELECT c.did, c.mid,
+         sum(CASE WHEN ha.sig = hb.sig THEN 1 ELSE 0 END) AS n_agree
+  FROM cand c
+  JOIN hashes ha ON ha.doc_id = c.did
+  JOIN hashes hb ON hb.doc_id = c.mid AND hb.i = ha.i
+  GROUP BY 1, 2
+), m AS (
+  SELECT did, mid, round(CAST(n_agree AS DOUBLE) / {_MINHASH_N}, 6) AS est
+  FROM agree
+  WHERE round(CAST(n_agree AS DOUBLE) / {_MINHASH_N}, 6) >= {_MINHASH_THRESHOLD}
+), best AS (
+  SELECT did, mid, est,
+         row_number() OVER (PARTITION BY did ORDER BY est DESC, mid) AS rn
+  FROM m
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN b.mid IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       b.mid AS dup_of,
+       b.est AS est_jaccard
+FROM (SELECT doc_id FROM documents CROSS JOIN half WHERE doc_id > half.h) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.did = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1898,6 +1979,7 @@ QUERIES: dict[str, QueryFn] = {
     "embed_quantize": q_embed_quantize,
     "similarity_topk_int8": q_similarity_topk_int8,
     "distinctive_terms": q_distinctive_terms,
+    "dedup_incremental": q_dedup_incremental,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -1954,4 +2036,5 @@ ORACLES: dict[str, str] = {
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "similarity_topk_int8": SQL_SIMILARITY_TOPK_INT8,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }

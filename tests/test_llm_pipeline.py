@@ -236,3 +236,55 @@ def test_pii_redaction(spark):
     ).first()
     assert row["e"] == 2 and row["p"] == 1
     assert row["s"] == "mail [EMAIL] and [PHONE] twice: [EMAIL]"
+
+
+def test_incremental_lsh_dedup_verdicts(spark):
+    from gmall_flink_yb_spark.functions.dedup import incremental_lsh_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden"
+    )
+    other = (
+        "completely different text about spark query engines and "
+        "distributed columnar execution with vectorized operators"
+    )
+    existing = spark.createDataFrame(
+        [(0, base), (1, other)], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base),                                  # dup of existing 0
+            (11, "unrelated fresh document about cooking pasta with basil "
+                 "tomatoes garlic and olive oil in a big pot"),  # keep
+            (12, "unrelated fresh document about cooking pasta with basil "
+                 "tomatoes garlic and olive oil in a big pot"),  # dup of 11
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in incremental_lsh_dedup(
+            existing, incoming, "doc_id", "text"
+        ).collect()
+    }
+    assert out[10] == (0, 0)      # matched the existing corpus
+    assert out[11] == (1, None)   # min-id of the in-batch pair is kept
+    assert out[12] == (0, 11)     # greedy: matched the smaller incoming id
+
+
+def test_incremental_lsh_dedup_no_existing_pairs_formed(spark):
+    # two identical docs in EXISTING must not surface anywhere: the
+    # operator only judges incoming
+    from gmall_flink_yb_spark.functions.dedup import incremental_lsh_dedup
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    existing = spark.createDataFrame(
+        [(0, txt), (1, txt)], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [(10, "totally new words nothing shared here at all today")],
+        ["doc_id", "text"],
+    )
+    rows = incremental_lsh_dedup(existing, incoming, "doc_id", "text").collect()
+    assert [(r["doc_id"], r["keep"]) for r in rows] == [(10, 1)]
