@@ -242,6 +242,97 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    by clustering the embedding space and searching for near-duplicates ONLY
+    within each cluster, so the quadratic pair search is bounded by cluster
+    size instead of corpus size.
+
+    Deterministic variant for cross-engine verification: the codebook is the
+    ``n_clusters`` lowest-id vectors (fixed, reproducible — no RNG, no
+    trained k-means state), and assignment is nearest-centroid by cosine
+    with ties broken toward the smallest centroid id.
+
+    Returns one row per input vector: (vec_id, cluster_id, is_dup) where
+    is_dup = 1 iff a smaller-id vector in the SAME cluster has
+    round(cosine, 6) >= threshold — i.e. the vector would be dropped and the
+    smallest-id member of its duplicate group kept.
+
+    Scale design (100 TB):
+    - Assignment is NARROW: the codebook is a model parameter (n_clusters
+      rows), folded into the plan as literals; each row computes its
+      nearest centroid in place via a codegen'd struct-max — zero shuffles,
+      bit-identical to the oracle's sequential-fold cosine.
+    - The pair search shuffles each row ONCE on cluster_id, then one GEMM
+      per cluster scores the upper triangle (same engine as
+      ``cosine_near_dup_pairs``). Cluster population bounds the quadratic
+      term: at scale you raise n_clusters so E[cluster size] stays at the
+      5-20k rows a single GEMM comfortably holds (SemDeDup's own recipe),
+      and AQE splits any skewed mega-cluster across the existing block
+      machinery.
+    """
+    e = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    cent_rows = e.orderBy("id").limit(n_clusters).collect()
+    if not cent_rows:
+        raise ValueError("semantic_dedup: embeddings input is empty")
+    # nearest centroid as a pure column expression: max over
+    # struct(cosine, -cid) picks highest cosine, then smallest cid on ties
+    best = F.greatest(
+        *[
+            F.struct(
+                cosine(
+                    F.col("vec"), F.array(*[F.lit(float(x)) for x in r["vec"]])
+                ).alias("c"),
+                F.lit(-int(r["id"])).cast("long").alias("nid"),
+            )
+            for r in cent_rows
+        ]
+    )
+    assigned = e.withColumn("cluster_id", -best["nid"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    thr = float(threshold)
+
+    def dups_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": []}).astype({"id": "int64"})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        A = np.stack(pdf["vec"].to_numpy())
+        S = (A @ A.T) / np.outer(
+            np.linalg.norm(A, axis=1), np.linalg.norm(A, axis=1)
+        )
+        ii, jj = np.triu_indices(len(pdf), k=1)
+        mask = _round_half_up(S[ii, jj], 6) >= thr
+        ids = pdf["id"].to_numpy()
+        return pd.DataFrame({"id": np.unique(ids[jj[mask]])}).astype(
+            {"id": "int64"}
+        )
+
+    dup_ids = assigned.groupBy("cluster_id").applyInPandas(
+        dups_in_cluster, "id long"
+    )
+    return (
+        assigned.join(
+            dup_ids.withColumn("is_dup", F.lit(1)), "id", "left"
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce(F.col("is_dup"), F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )
+
+
 def _srp_plane(p: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane components in [-1, 1], derived
     from md5 (seed-free, identical on every run/executor)."""

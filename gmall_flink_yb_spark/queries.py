@@ -37,6 +37,7 @@ from gmall_flink_yb_spark.functions.similarity import (
     cosine_near_dup_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    semantic_dedup,
 )
 from gmall_flink_yb_spark.functions.multimodal import (
     decode_media,
@@ -1928,6 +1929,51 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.did = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding space,
+# near-dup search only within clusters (LLM-pipeline surface)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_CLUSTERS = 8
+# testdata embeddings are near-random (max pairwise cosine ~0.48); 0.35
+# keeps the dup verdict non-trivial at every sf (same regime as
+# embedding_near_dup)
+_SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: per-vector (cluster_id, is_dup) verdict — nearest-centroid
+    assignment is a narrow codegen'd expression, the quadratic pair search
+    is bounded to one GEMM per cluster."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        n_clusters=_SEMDEDUP_CLUSTERS,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_CLUSTERS}
+), assign AS (
+  SELECT e.vec_id, e.v, cents.cid
+  FROM e CROSS JOIN cents
+  QUALIFY row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.cid) = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM assign a LEFT JOIN dups d USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1980,6 +2026,7 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_topk_int8": q_similarity_topk_int8,
     "distinctive_terms": q_distinctive_terms,
     "dedup_incremental": q_dedup_incremental,
+    "semantic_dedup": q_semantic_dedup,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -2037,4 +2084,5 @@ ORACLES: dict[str, str] = {
     "similarity_topk_int8": SQL_SIMILARITY_TOPK_INT8,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
 }

@@ -165,6 +165,59 @@ def test_ivf_partial_probe_finds_close_neighbor(vectors):
     assert res and res[0]["n_id"] == 1
 
 
+def test_semantic_dedup_verdicts(spark):
+    """SemDeDup: centroids are the two lowest-id vectors; near-dups are only
+    flagged against smaller-id members of the SAME cluster."""
+    from gmall_flink_yb_spark.functions.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0]),    # centroid B
+        (2, [0.99, 0.1, 0.0, 0.0]),   # cluster A, dup of 0
+        (3, [0.0, 0.99, 0.1, 0.0]),   # cluster B, dup of 1
+        (4, [0.0, 0.0, 1.0, 0.0]),    # equidistant -> tie broken to A; unique
+        (5, [0.98, 0.15, 0.0, 0.0]),  # cluster A, dup of 0/2
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = semantic_dedup(df, n_clusters=2, threshold=0.9)
+    got = {r["vec_id"]: (r["cluster_id"], r["is_dup"]) for r in res.collect()}
+    assert got == {
+        0: (0, 0),
+        1: (1, 0),
+        2: (0, 1),
+        3: (1, 1),
+        4: (0, 0),
+        5: (0, 1),
+    }
+
+
+def test_semantic_dedup_cluster_bounded(spark):
+    """A pair above threshold but split across clusters is NOT flagged —
+    the cluster bound is the operator's defining approximation."""
+    from gmall_flink_yb_spark.functions.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.74, 0.672]),   # nearest centroid 1... itself
+        (2, [0.70, 0.714]),   # cos(1,2) ~ 0.998 but lands in cluster 1
+    ]
+    # centroids = vectors 0 and 1; vector 2 is closer to centroid 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = semantic_dedup(df, n_clusters=2, threshold=0.9)
+    got = {r["vec_id"]: (r["cluster_id"], r["is_dup"]) for r in res.collect()}
+    assert got[2] == (1, 1)
+    # and a variant where 2 sits alone: push it to cluster 0's side
+    rows2 = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.436]),    # cluster 0; cos(0,2) ~ 0.9 edge
+    ]
+    df2 = spark.createDataFrame(rows2, ["vec_id", "embedding"])
+    res2 = semantic_dedup(df2, n_clusters=2, threshold=0.95)
+    got2 = {r["vec_id"]: r["is_dup"] for r in res2.collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0}
+
+
 def test_lsh_bucket_topk_contains_true_neighbor(vectors):
     """SRP-LSH: a vector nearly identical to the query shares every
     hyperplane sign, so it is always in the query's bucket."""
