@@ -21,6 +21,64 @@ from pyspark.sql import functions as F
 from gmall_flink_yb_spark.operators.keywords import tokenize
 
 
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style shared-span removal (Wenzek et al. 2020 dedup step,
+    adapted from paragraphs to disjoint token windows): any chunk whose text
+    occurs in >= ``min_docs`` DISTINCT documents is boilerplate and is
+    dropped from EVERY document containing it; the surviving chunks are
+    reassembled in order.
+
+    Returns (doc_id, n_chunks, n_dropped_chunks, clean_text) — one row per
+    document that has at least one token; clean_text is '' when every chunk
+    was boilerplate.
+
+    Scale design (100 TB): exactly two shuffles. (1) chunk rows aggregate on
+    md5(chunk_text) — the shuffle carries 16-byte keys + counts, with
+    map-side partial aggregation, never the chunk text; the count table then
+    joins back on the same hash (co-partitioned by AQE). (2) reassembly
+    groups by doc_id. Chunking itself is narrow (``chunk_documents``), and
+    a hot boilerplate chunk is ONE group row at the count step — skew-safe.
+    """
+    chunks = chunk_documents(
+        df, id_col, text_col, chunk_size=chunk_size, stride=chunk_size
+    ).withColumn("_h", F.md5("chunk_text"))
+    counts = chunks.groupBy("_h").agg(
+        F.countDistinct("doc_id").alias("_n_docs")
+    )
+    marked = chunks.join(counts, "_h").withColumn(
+        "_drop", F.col("_n_docs") >= min_docs
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("_drop"), F.struct("chunk_id", "chunk_text")
+            )
+        )
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("_drop").cast("long")).alias("n_dropped_chunks"),
+            kept_structs.alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dropped_chunks",
+            F.concat_ws(
+                " ", F.transform(F.col("_kept"), lambda s: s["chunk_text"])
+            ).alias("clean_text"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

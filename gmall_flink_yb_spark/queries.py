@@ -66,7 +66,7 @@ from gmall_flink_yb_spark.functions.quantize import (
     quantize_embeddings,
     quantized_topk,
 )
-from gmall_flink_yb_spark.functions.chunking import chunk_documents
+from gmall_flink_yb_spark.functions.chunking import chunk_dedup, chunk_documents
 from gmall_flink_yb_spark.functions.ngrams import (
     decontaminate,
     distinctive_terms,
@@ -1929,6 +1929,46 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.did = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style shared-chunk removal (LLM-pipeline surface)
+# ---------------------------------------------------------------------------
+
+_CHUNK_DEDUP_SIZE = 8
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop any disjoint 8-token chunk that occurs in >= 2 distinct
+    documents (cross-document boilerplate), reassemble the survivors."""
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_dedup(
+        docs, "doc_id", "text", chunk_size=_CHUNK_DEDUP_SIZE, min_docs=2
+    )
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH toks AS ({_SQL_TOKS}
+), chunks AS (
+  SELECT doc_id, CAST((i - 1) // {_CHUNK_DEDUP_SIZE} AS INTEGER) AS chunk_id,
+         array_to_string(t[i:i+{_CHUNK_DEDUP_SIZE - 1}], ' ') AS chunk_text
+  FROM toks,
+       unnest(range(1, CAST(len(t) AS BIGINT) + 1, {_CHUNK_DEDUP_SIZE})) AS u(i)
+), counts AS (
+  SELECT chunk_text, count(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY chunk_text
+), m AS (
+  SELECT ch.doc_id, ch.chunk_id, ch.chunk_text, counts.n_docs
+  FROM chunks ch JOIN counts USING (chunk_text)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped_chunks,
+       coalesce(string_agg(CASE WHEN n_docs < 2 THEN chunk_text END,
+                           ' ' ORDER BY chunk_id), '') AS clean_text
+FROM m GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding space,
 # near-dup search only within clusters (LLM-pipeline surface)
 # ---------------------------------------------------------------------------
@@ -2027,6 +2067,7 @@ QUERIES: dict[str, QueryFn] = {
     "distinctive_terms": q_distinctive_terms,
     "dedup_incremental": q_dedup_incremental,
     "semantic_dedup": q_semantic_dedup,
+    "chunk_dedup": q_chunk_dedup,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -2085,4 +2126,5 @@ ORACLES: dict[str, str] = {
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
 }

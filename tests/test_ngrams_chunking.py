@@ -176,3 +176,44 @@ def test_distinctive_terms_tie_breaks_on_token(spark):
         key=lambda r: r["rnk"],
     )
     assert [r["token"] for r in out] == ["aaa", "bbb"]
+
+
+def test_chunk_dedup_drops_shared_chunks(spark):
+    from gmall_flink_yb_spark.functions.chunking import chunk_dedup
+
+    # chunk_size=2 -> doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [p q]
+    df = _docs(
+        spark,
+        [(1, "a b c d"), (2, "a b x y"), (3, "p q")],
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped_chunks"], r["clean_text"])
+        for r in chunk_dedup(df, "doc_id", "text", chunk_size=2).collect()
+    }
+    assert out == {
+        1: (2, 1, "c d"),
+        2: (2, 1, "x y"),
+        3: (1, 0, "p q"),
+    }
+
+
+def test_chunk_dedup_all_boilerplate_yields_empty_text(spark):
+    from gmall_flink_yb_spark.functions.chunking import chunk_dedup
+
+    df = _docs(spark, [(1, "a b"), (2, "a b")])
+    out = {
+        r["doc_id"]: (r["n_dropped_chunks"], r["clean_text"])
+        for r in chunk_dedup(df, "doc_id", "text", chunk_size=2).collect()
+    }
+    assert out == {1: (1, ""), 2: (1, "")}
+
+
+def test_chunk_dedup_within_doc_repeat_not_dropped(spark):
+    from gmall_flink_yb_spark.functions.chunking import chunk_dedup
+
+    # the same chunk twice in ONE doc is repetition, not cross-doc
+    # boilerplate — min_docs counts DISTINCT documents
+    df = _docs(spark, [(1, "a b a b")])
+    out = chunk_dedup(df, "doc_id", "text", chunk_size=2).collect()
+    assert out[0]["n_dropped_chunks"] == 0
+    assert out[0]["clean_text"] == "a b a b"
