@@ -89,6 +89,49 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+# fastText-style linear quality model: fixed, interpretable public weights
+# (the learned-classifier pattern of CCNet/RedPajama quality filters, with
+# the model parameter inlined since no training corpus ships with the repo)
+QUALITY_WEIGHTS = {
+    "bias": -1.0,
+    "len_norm": 2.5,      # saturating length credit: min(n_tokens,100)/100
+    "punct_ratio": -4.0,  # punctuation-soaked text is boilerplate
+    "stopword_ratio": 3.0,  # stopword mass ~ natural prose
+}
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Soft quality classifier: linear model over the ``quality_features``
+    columns, squashed to (0, 1) by the rational map 0.5 + 0.5*z/(1+|z|).
+
+    The squash is deliberately NOT the logistic sigmoid: exp() is a libm
+    call whose low bits differ across engines, while +,*,/,abs are exactly
+    rounded IEEE ops — so the score is bit-reproducible in any engine that
+    evaluates the same expression, and the operator stays hash-checkable.
+    Monotone in z, so ranking and thresholding behave like a sigmoid.
+
+    Appends quality_score (rounded 6 dp) and quality_label (score >= 0.5).
+    Pure codegen'd column expressions — narrow, scan-speed at any scale.
+    """
+    feat = quality_features(df, text_col)
+    z = (
+        F.lit(QUALITY_WEIGHTS["bias"])
+        + F.lit(QUALITY_WEIGHTS["len_norm"])
+        * (
+            F.least(F.col("n_tokens"), F.lit(100)).cast("double")
+            / F.lit(100.0)
+        )
+        + F.lit(QUALITY_WEIGHTS["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(QUALITY_WEIGHTS["stopword_ratio"]) * F.col("stopword_ratio")
+    )
+    score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    return feat.withColumn(
+        "quality_score", F.round(score, 6)
+    ).withColumn(
+        "quality_label", (F.col("quality_score") >= 0.5).cast("int")
+    )
+
+
 def repetition_features(
     df: DataFrame,
     id_col: str,

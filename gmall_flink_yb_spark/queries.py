@@ -53,7 +53,9 @@ from gmall_flink_yb_spark.functions.text import (
     language_id,
     pii_counts,
     pii_redact,
+    QUALITY_WEIGHTS,
     quality_features,
+    quality_score,
     repetition_features,
 )
 from gmall_flink_yb_spark.functions.sampling import (
@@ -836,6 +838,55 @@ SELECT lang, source,
        CAST(SUM(CASE WHEN n_tokens >= 5 AND punct_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
 FROM scored GROUP BY 1, 2
 """
+
+# ---------------------------------------------------------------------------
+# Soft quality classifier (fastText-style linear model, rational squash)
+# ---------------------------------------------------------------------------
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document soft quality score — linear model over the quality
+    features with an IEEE-exact rational squash (see
+    functions/text.py:quality_score for why not exp-sigmoid)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_score(docs, "text").select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "quality_score", "quality_label",
+    )
+
+
+_QW = QUALITY_WEIGHTS
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0)) AS n_tokens,
+         length(text) AS n_chars_m,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x IN ({_MARKER_SQL_LIST}))) AS stop_hits
+  FROM documents
+), r AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 6) AS punct_ratio,
+         round(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio
+  FROM feat
+), z AS (
+  SELECT *,
+         {_QW["bias"]} + {_QW["len_norm"]}
+             * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+           + {_QW["punct_ratio"]} * punct_ratio
+           + {_QW["stopword_ratio"]} * stopword_ratio AS zv
+  FROM r
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+       round(0.5 + 0.5 * zv / (1.0 + abs(zv)), 6) AS quality_score,
+       CAST(CASE WHEN round(0.5 + 0.5 * zv / (1.0 + abs(zv)), 6) >= 0.5
+                 THEN 1 ELSE 0 END AS INTEGER) AS quality_label
+FROM z
+"""
+
 
 # ---------------------------------------------------------------------------
 # Repetition scoring (Gopher-style rules) + PII redaction (LLM-pipeline
@@ -2068,6 +2119,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_incremental": q_dedup_incremental,
     "semantic_dedup": q_semantic_dedup,
     "chunk_dedup": q_chunk_dedup,
+    "quality_classifier": q_quality_classifier,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -2127,4 +2179,5 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "chunk_dedup": SQL_CHUNK_DEDUP,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }

@@ -341,3 +341,23 @@ def test_incremental_lsh_dedup_no_existing_pairs_formed(spark):
     )
     rows = incremental_lsh_dedup(existing, incoming, "doc_id", "text").collect()
     assert [(r["doc_id"], r["keep"]) for r in rows] == [(10, 1)]
+
+
+def test_quality_score_monotone_and_bounded(spark):
+    from gmall_flink_yb_spark.functions.text import quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a hat and that is that for now"),
+            (2, "!!! ??? ... ;;; ::: ,,, (((", ),
+            (3, "x", ),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in quality_score(df, "text").collect()}
+    for r in rows.values():
+        assert 0.0 < r["quality_score"] < 1.0
+    # prose with stopwords beats punctuation soup beats a bare token
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert rows[1]["quality_label"] == 1
+    assert rows[2]["quality_label"] == 0
