@@ -96,3 +96,32 @@ def test_sql_views_run(spark, sf_dir):
     py_uv = q_uv_daily(spark, sf_dir).agg(F.sum("uv")).first()[0]
     sql_uv = uv.agg(F.sum("uv")).first()[0]
     assert py_uv == sql_uv
+
+
+def test_chunk_dedup_two_exchanges(spark, sf_dir):
+    """chunk_dedup's contract: exactly two shuffles (count-by-chunk-hash,
+    regroup-by-doc) plus at most one AQE join exchange for the count table —
+    the chunking itself must stay narrow."""
+    from gmall_flink_yb_spark.queries import q_chunk_dedup
+
+    assert num_exchanges(q_chunk_dedup(spark, sf_dir)) <= 3
+
+
+def test_semantic_dedup_assignment_is_narrow(spark, sf_dir):
+    """SemDeDup's nearest-centroid assignment must be a column expression,
+    not a join: the only exchanges are the cluster-id grouping for the pair
+    GEMM and the dup-verdict join back."""
+    from gmall_flink_yb_spark.queries import q_semantic_dedup
+
+    df = q_semantic_dedup(spark, sf_dir)
+    # no join against a centroid table — the codebook is plan literals
+    assert num_exchanges(df) <= 3, num_exchanges(df)
+
+
+def test_quality_classifier_zero_exchanges(spark, sf_dir):
+    """The soft classifier is a pure narrow map over the scan."""
+    from gmall_flink_yb_spark.queries import q_quality_classifier
+
+    df = q_quality_classifier(spark, sf_dir)
+    assert num_exchanges(df) == 0, num_exchanges(df)
+    assert scans_are_vectorized(df)
