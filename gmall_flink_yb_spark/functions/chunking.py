@@ -15,9 +15,10 @@ with downstream repartitioning only if the caller asks for it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gmall_flink_yb_spark.functions.text import token_count
 from gmall_flink_yb_spark.operators.keywords import tokenize
 
 
@@ -120,4 +121,89 @@ def chunk_documents(
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
         F.col("_c.chunk_text").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 2048,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: concatenate all documents in
+    ``id_col`` order and cut the token stream every ``seq_len`` tokens —
+    the standard pack-and-chunk step that turns a curated corpus into
+    fixed-length training sequences. Each document is assigned to the pack
+    where it STARTS:
+
+        start(doc)   = sum of n_tokens of all docs with smaller id
+        pack_id      = start // seq_len
+        pack_offset  = start %  seq_len
+
+    Returns (doc_id, n_tokens, pack_id, pack_offset) for docs with > 0
+    tokens.
+
+    Scale design (100 TB): a global running sum is a prefix-scan, which a
+    naive ``sum() over (order by id)`` computes on ONE partition — a
+    scale-killer. Here it is the classic two-phase distributed scan:
+
+    1. bucket docs by id range (``id // bucket_width`` — deterministic,
+       no sampling, unlike repartitionByRange whose boundaries can shift
+       between jobs);
+    2. per-bucket token totals -> driver (``n_buckets`` rows — a model-
+       parameter-sized collect, same legitimacy class as IVF centroids);
+    3. exclusive bucket offsets go back as a broadcast join, and the
+       within-bucket running sum is a window partitioned BY BUCKET —
+       every partition scans independently.
+
+    One shuffle (the bucket window); the per-bucket aggregate piggybacks
+    map-side. The oracle is the single-partition window formulation —
+    value-identical, engine-trivial at sf, impossible at 100 TB.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    max_id = toks.agg(F.max("doc_id")).first()[0]
+    if max_id is None:
+        return toks.select(
+            "doc_id",
+            "n_tokens",
+            F.lit(0).cast("long").alias("pack_id"),
+            F.lit(0).cast("long").alias("pack_offset"),
+        )
+    bucket_width = max(1, (int(max_id) + n_buckets) // n_buckets)
+    bucketed = toks.withColumn(
+        "_b", (F.col("doc_id") / bucket_width).cast("long")
+    )
+    # n_buckets rows: tiny, driver-side exclusive prefix sum
+    totals = {
+        r["_b"]: r["_s"]
+        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("_s")).collect()
+    }
+    running, offsets = 0, {}
+    for b in sorted(totals):
+        offsets[b] = running
+        running += totals[b]
+    spark = df.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(b), int(o)) for b, o in offsets.items()], "_b long, _off long"
+        )
+    )
+    w = Window.partitionBy("_b").orderBy("doc_id")
+    start = F.col("_off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        bucketed.join(offsets_df, "_b")
+        .withColumn("_start", start.cast("long"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"_start div {int(seq_len)}").alias("pack_id"),
+            (F.col("_start") % seq_len).cast("long").alias("pack_offset"),
+        )
     )

@@ -209,3 +209,76 @@ def distinctive_terms(
             F.round(ratio, 6).alias("score"),
         )
     )
+
+
+def hashed_ngram_affinity(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style domain-affinity scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): featurize every
+    document as a bag of HASHED token n-grams and score it by how much its
+    features look like the ``target`` corpus vs the overall corpus ``df``.
+
+    DSIR's weight is the log-likelihood ratio sum_g c_doc(g) *
+    (log p_t(g) - log p_r(g)). To stay bit-reproducible across engines
+    (no libm logs — same rationale as text.quality_score), we score with
+    the INTEGER-EXACT signed divergence
+
+        score = sum_g c_doc(g) * (c_t(g) * N_r - c_r(g) * N_t)
+
+    which has the same sign structure (positive where the bucket is
+    over-represented in the target) and a deterministic ranking. Returns
+    (doc_id, n_grams, affinity) with affinity > 0 meaning target-like.
+
+    Scale design (100 TB): the bucket model is ``n_buckets`` rows built by
+    two map-side-combined aggregates (the shuffle carries bucket ids +
+    counts, never grams); docs then join the model by bucket via BROADCAST
+    (the model is KB-sized by construction) and reduce to one row per doc —
+    a single wide shuffle on doc_id with partial aggregation. Counts use
+    bigint here; at petabyte gram counts move the weights to decimal(38,0)
+    before the product (documented, not needed at any test sf).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("_b")
+
+    corpus = gram_rows(df, id_col, text_col, n).select("doc_id", bucket)
+    tgt = gram_rows(target, id_col, text_col, n).select(bucket)
+
+    r_counts = corpus.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    t_counts = tgt.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    model = (
+        r_counts.join(t_counts, "_b", "left")
+        .select(
+            "_b",
+            F.col("_cr"),
+            F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
+        )
+        .crossJoin(
+            corpus.agg(F.count(F.lit(1)).alias("_nr")).crossJoin(
+                tgt.agg(F.count(F.lit(1)).alias("_nt"))
+            )
+        )
+        .select(
+            "_b",
+            (F.col("_ct") * F.col("_nr") - F.col("_cr") * F.col("_nt")).alias(
+                "_w"
+            ),
+        )
+    )
+    return (
+        corpus.join(F.broadcast(model), "_b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("_w").cast("long").alias("affinity"),
+        )
+    )

@@ -125,3 +125,43 @@ def domain_mix_sample(
         .filter(unit_hash(F.col(key_col)) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Cap each stratum (source / domain / host) at a TOKEN budget rather
+    than a row count — the curation form actually used when balancing a
+    training mixture (a host capped at 1M tokens, not 1k docs).
+
+    Rows are admitted in deterministic md5(key) order until the stratum's
+    running token total exceeds ``budget``; the first row of a stratum is
+    always kept (so a single over-budget document doesn't erase its
+    stratum). Deterministic across engines, runs, and layouts.
+
+    Scale design (100 TB): one shuffle on the stratum key for the running-
+    sum window, which is the minimum possible for per-stratum global state;
+    per-row state inside the window is one long. A pathologically hot
+    stratum is still one partition's scan — for that regime pre-filter with
+    ``hash_sample`` per stratum to approach the budget, then cap exactly.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(_hash_bucket(F.col(key_col)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return (
+        df.withColumn("_cum_tokens", cum)
+        .filter(
+            (F.col("_cum_tokens") <= budget)
+            | (F.col("_cum_tokens") == F.col(tokens_col).cast("long"))
+        )
+        .drop("_cum_tokens")
+    )

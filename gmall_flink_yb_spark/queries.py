@@ -57,24 +57,35 @@ from gmall_flink_yb_spark.functions.text import (
     quality_features,
     quality_score,
     repetition_features,
+    token_count,
 )
 from gmall_flink_yb_spark.functions.sampling import (
     domain_mix_sample,
     hash_sample,
     sample_threshold,
     stratified_sample,
+    token_budget_cap,
 )
 from gmall_flink_yb_spark.functions.quantize import (
     quantize_embeddings,
     quantized_topk,
 )
-from gmall_flink_yb_spark.functions.chunking import chunk_dedup, chunk_documents
+from gmall_flink_yb_spark.functions.chunking import (
+    chunk_dedup,
+    chunk_documents,
+    pack_sequences,
+)
 from gmall_flink_yb_spark.functions.ngrams import (
     decontaminate,
     distinctive_terms,
+    hashed_ngram_affinity,
     span_dup_stats,
 )
 from gmall_flink_yb_spark.operators.asof import asof_join
+from gmall_flink_yb_spark.operators.funnel import (
+    funnel_conversion,
+    retention_cohorts,
+)
 from gmall_flink_yb_spark.operators.bounce import flag_bounce_batch
 from gmall_flink_yb_spark.operators.keywords import keyword_counts
 from gmall_flink_yb_spark.operators.merge_wide import merge_wide
@@ -2068,6 +2079,187 @@ FROM assign a LEFT JOIN dups d USING (vec_id)
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# ADS-layer analytics the reference's warehouse layering points at (its
+# dws/ads packages are empty — SURVEY.md §2.9): funnel + retention cohorts.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WINDOW_S = 7 * 24 * 3600
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order view->click->purchase funnel within 7 days of the first
+    view (min-timestamp propagation; ONE shuffle on user_id — the chained
+    per-user window mins reuse a single Exchange)."""
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, _FUNNEL_STEPS, window_seconds=_FUNNEL_WINDOW_S
+    )
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH e AS (
+  SELECT user_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts
+  FROM events
+), t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM e
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL {_FUNNEL_WINDOW_S} SECOND
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM e JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > t2.t2
+    AND e.ts <= t1.t1 + INTERVAL {_FUNNEL_WINDOW_S} SECOND
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS step_index, '{_FUNNEL_STEPS[0]}' AS step_name,
+       CAST((SELECT count(*) FROM t1) AS BIGINT) AS users
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[1]}', CAST((SELECT count(*) FROM t2) AS BIGINT)
+UNION ALL
+SELECT 3, '{_FUNNEL_STEPS[2]}', CAST((SELECT count(*) FROM t3) AS BIGINT)
+"""
+
+_RETENTION_MAX_OFFSET = 30
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first active date,
+    counted on each later active day (offset <= 30)."""
+    ev = read_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, max_offset_days=_RETENTION_MAX_OFFSET)
+
+
+SQL_RETENTION_COHORTS = f"""
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+), f AS (
+  SELECT user_id, min(d) AS cohort FROM a GROUP BY user_id
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_date,
+       CAST(a.d - f.cohort AS INTEGER) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM a JOIN f USING (user_id)
+WHERE a.d - f.cohort <= {_RETENTION_MAX_OFFSET}
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + per-source token budgets + DSIR affinity
+# (LLM-pipeline surface)
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing at seq_len=512: the oracle is the
+    single-partition global window; the Spark plan is the two-phase
+    distributed prefix scan (see functions/chunking.pack_sequences)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", seq_len=_SEQ_LEN)
+
+
+SQL_SEQ_PACK = f"""
+WITH toks AS ({_SQL_TOKS}
+), n AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+  FROM toks WHERE len(t) > 0
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM n
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {_SEQ_LEN} AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % {_SEQ_LEN} AS BIGINT) AS pack_offset
+FROM c
+"""
+
+_SOURCE_TOKEN_BUDGET = 1000
+
+
+def q_source_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap: admit docs per source in deterministic
+    md5(doc_id) order until 1000 tokens (first doc always kept)."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_n = docs.withColumn("n_tokens", token_count(F.col("text")))
+    capped = token_budget_cap(
+        with_n, "source", "doc_id", "n_tokens", budget=_SOURCE_TOKEN_BUDGET
+    )
+    return capped.select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+SQL_SOURCE_TOKEN_CAPS = f"""
+WITH n AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+             PARTITION BY source
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM n
+)
+SELECT doc_id, source, n_tokens
+FROM c WHERE cum <= {_SOURCE_TOKEN_BUDGET} OR cum = n_tokens
+"""
+
+_DSIR_BUCKETS = 256
+
+
+def q_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-unigram affinity of every document toward the
+    lang='en' slice (integer-exact signed divergence — see
+    functions/ngrams.hashed_ngram_affinity)."""
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return hashed_ngram_affinity(
+        docs, target, "doc_id", "text", n=1, n_buckets=_DSIR_BUCKETS
+    )
+
+
+SQL_DSIR_AFFINITY = f"""
+WITH toks AS ({_SQL_TOKS}
+), g AS (
+  SELECT doc_id, u.x AS g FROM toks, unnest(t) AS u(x)
+), b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+  FROM g
+), tb AS (
+  SELECT b.b FROM b JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+), rc AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM b GROUP BY b
+), tc AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY b
+), model AS (
+  SELECT rc.b,
+         (COALESCE(tc.ct, 0) * (SELECT count(*) FROM b)
+          - rc.cr * (SELECT count(*) FROM tb)) AS w
+  FROM rc LEFT JOIN tc USING (b)
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(m.w) AS BIGINT) AS affinity
+FROM b JOIN model m USING (b)
+GROUP BY b.doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "uv_daily": q_uv_daily,
     "new_visitor_daily": q_new_visitor_daily,
@@ -2120,6 +2312,11 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "chunk_dedup": q_chunk_dedup,
     "quality_classifier": q_quality_classifier,
+    "funnel_conversion": q_funnel_conversion,
+    "retention_cohorts": q_retention_cohorts,
+    "seq_pack": q_seq_pack,
+    "source_token_caps": q_source_token_caps,
+    "dsir_affinity": q_dsir_affinity,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -2180,4 +2377,9 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
+    "seq_pack": SQL_SEQ_PACK,
+    "source_token_caps": SQL_SOURCE_TOKEN_CAPS,
+    "dsir_affinity": SQL_DSIR_AFFINITY,
 }

@@ -132,3 +132,32 @@ def read_kafka_stream(
     return reader.load().selectExpr(
         "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value", "timestamp"
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    multiline: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines file(s) -> (clean, dirty) DataFrames — the batch twin of
+    ``parse_log_stream`` (T1 dirty side-output semantics, BaseLogApp.java:
+    55-71) for corpus ingest, where JSONL is the lingua franca.
+
+    The schema is REQUIRED: runtime inference reads the data twice and
+    produces layout-dependent column types — both unacceptable at 100 TB.
+
+    Implementation: text scan + ``parse_log_stream`` (``from_json`` with a
+    PERMISSIVE corrupt-record channel) rather than the native json reader —
+    Spark's json source refuses plans that touch ONLY its internal corrupt
+    column (its suggested workaround is caching the scan, unacceptable at
+    100 TB), while the from_json formulation keeps both outputs as plain
+    filters over one text scan.
+    """
+    if multiline:
+        raise ValueError(
+            "read_jsonl is line-delimited by contract; use "
+            "spark.read.json(multiLine=True) for document-per-file JSON"
+        )
+    raw = spark.read.text(path)
+    return parse_log_stream(raw, "value", schema)
