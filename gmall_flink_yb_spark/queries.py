@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
@@ -78,8 +79,15 @@ from gmall_flink_yb_spark.functions.chunking import (
 from gmall_flink_yb_spark.functions.ngrams import (
     decontaminate,
     distinctive_terms,
+    gram_rows,
     hashed_ngram_affinity,
     span_dup_stats,
+)
+from gmall_flink_yb_spark.functions.profile import profile_columns
+from gmall_flink_yb_spark.functions.sketch import (
+    CM_WIDTH,
+    count_min_build,
+    count_min_estimate,
 )
 from gmall_flink_yb_spark.operators.asof import asof_join
 from gmall_flink_yb_spark.operators.funnel import (
@@ -2260,6 +2268,83 @@ GROUP BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters + one-pass profiling
+# ---------------------------------------------------------------------------
+
+
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by COUNT-MIN estimated frequency, with the exact count
+    alongside — the oracle checks the sketch itself (including the
+    overestimate property), not just the ranking."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = gram_rows(docs, "doc_id", "text", 1).select(
+        F.col("g").alias("token")
+    )
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    sketch = count_min_build(grams, "token")
+    est = count_min_estimate(grams.distinct(), sketch, "token")
+    exact = grams.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return (
+        est.join(exact, "token")
+        .orderBy(F.desc("est_count"), "token")
+        .limit(20)
+    )
+
+
+SQL_CM_HEAVY_HITTERS = f"""
+WITH toks AS ({_SQL_TOKS}
+), g AS (
+  SELECT u.x AS token FROM toks, unnest(t) AS u(x)
+), jb AS (
+  SELECT token, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))
+              AS BIGINT) % {CM_WIDTH} AS bucket
+  FROM g, unnest([0, 1, 2, 3]) AS _j(j)
+), sk AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt FROM jb GROUP BY 1, 2
+), est AS (
+  SELECT token, min(cnt) AS est_count
+  FROM (SELECT DISTINCT token, j, bucket FROM jb) i JOIN sk USING (j, bucket)
+  GROUP BY token
+), exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count FROM g GROUP BY token
+)
+SELECT est.token, CAST(est.est_count AS BIGINT) AS est_count,
+       exact.exact_count
+FROM est JOIN exact USING (token)
+ORDER BY est_count DESC, token
+LIMIT 20
+"""
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan profile of every non-float documents column: counts, nulls,
+    exact ndv, cast min/max, total cast length."""
+    docs = read_table(spark, sf_dir, "documents")
+    return profile_columns(docs)
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+         CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         min(CAST({c} AS VARCHAR)) AS min_repr,
+         max(CAST({c} AS VARCHAR)) AS max_repr,
+         CAST(sum(COALESCE(length(CAST({c} AS VARCHAR)), 0)) AS BIGINT)
+             AS sum_len
+  FROM documents"""
+
+
+SQL_PROFILE_DOCUMENTS = " UNION ALL ".join(
+    _profile_col_sql(c) for c in ["doc_id", "text", "lang", "source", "n_chars"]
+)
+
+
 QUERIES: dict[str, QueryFn] = {
     "uv_daily": q_uv_daily,
     "new_visitor_daily": q_new_visitor_daily,
@@ -2317,6 +2402,8 @@ QUERIES: dict[str, QueryFn] = {
     "seq_pack": q_seq_pack,
     "source_token_caps": q_source_token_caps,
     "dsir_affinity": q_dsir_affinity,
+    "cm_heavy_hitters": q_cm_heavy_hitters,
+    "profile_documents": q_profile_documents,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -2382,4 +2469,6 @@ ORACLES: dict[str, str] = {
     "seq_pack": SQL_SEQ_PACK,
     "source_token_caps": SQL_SOURCE_TOKEN_CAPS,
     "dsir_affinity": SQL_DSIR_AFFINITY,
+    "cm_heavy_hitters": SQL_CM_HEAVY_HITTERS,
+    "profile_documents": SQL_PROFILE_DOCUMENTS,
 }
