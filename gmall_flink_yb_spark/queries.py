@@ -83,6 +83,7 @@ from gmall_flink_yb_spark.functions.ngrams import (
     hashed_ngram_affinity,
     span_dup_stats,
 )
+from gmall_flink_yb_spark.functions.bloom import bloom_build, bloom_probe
 from gmall_flink_yb_spark.functions.profile import profile_columns
 from gmall_flink_yb_spark.functions.sketch import (
     CM_WIDTH,
@@ -2345,6 +2346,71 @@ SQL_PROFILE_DOCUMENTS = " UNION ALL ".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Bloom runtime filter: high-value order keys -> lineitem pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_PRICE_MIN = 490000
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune lineitem order keys through a bloom filter of high-value
+    orders, then flag which candidates are true matches — the oracle
+    reproduces the exact false-positive set, proving the filter
+    bit-for-bit. Probe side never shuffles (k broadcast joins)."""
+    orders = read_table(spark, sf_dir, "orders")
+    line = read_table(spark, sf_dir, "lineitem")
+    hi = orders.filter(F.col("o_totalprice") > _BLOOM_PRICE_MIN).select(
+        F.col("o_orderkey").alias("key")
+    )
+    bloom = bloom_build(hi, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    probe = line.select(F.col("l_orderkey").alias("key")).distinct()
+    cand = bloom_probe(probe, bloom, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    return cand.join(
+        F.broadcast(hi.withColumn("_true", F.lit(1))), "key", "left"
+    ).select(
+        F.col("key").alias("l_orderkey"),
+        F.coalesce(F.col("_true"), F.lit(0)).cast("int").alias("is_true"),
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = f"""
+WITH hi AS (
+  SELECT o_orderkey AS key FROM orders WHERE o_totalprice > {_BLOOM_PRICE_MIN}
+), pos AS (
+  SELECT key, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_BLOOM_BITS} AS p
+  FROM hi, unnest([0, 1, 2]) AS _j(j)
+), bloom AS (
+  SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+             AS bits
+  FROM pos GROUP BY 1
+), probe AS (
+  SELECT DISTINCT l_orderkey AS key FROM lineitem
+), ppos AS (
+  SELECT key, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                  || CAST(key AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_BLOOM_BITS} AS p
+  FROM probe, unnest([0, 1, 2]) AS _j(j)
+), hit AS (
+  SELECT ppos.key
+  FROM ppos JOIN bloom ON bloom.w = ppos.p // 32
+  WHERE (bloom.bits & (CAST(1 AS BIGINT) << CAST(ppos.p % 32 AS INTEGER)))
+        = (CAST(1 AS BIGINT) << CAST(ppos.p % 32 AS INTEGER))
+  GROUP BY ppos.key HAVING count(*) = {_BLOOM_K}
+)
+SELECT hit.key AS l_orderkey,
+       CAST(CASE WHEN hi.key IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS is_true
+FROM hit LEFT JOIN hi ON hi.key = hit.key
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "uv_daily": q_uv_daily,
     "new_visitor_daily": q_new_visitor_daily,
@@ -2404,6 +2470,7 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_affinity": q_dsir_affinity,
     "cm_heavy_hitters": q_cm_heavy_hitters,
     "profile_documents": q_profile_documents,
+    "bloom_semi_join": q_bloom_semi_join,
     # rows-only (HLL sketch estimates are not reproducible cross-engine):
     "uv_daily_approx": q_uv_daily_approx,
 }
@@ -2471,4 +2538,5 @@ ORACLES: dict[str, str] = {
     "dsir_affinity": SQL_DSIR_AFFINITY,
     "cm_heavy_hitters": SQL_CM_HEAVY_HITTERS,
     "profile_documents": SQL_PROFILE_DOCUMENTS,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
 }
