@@ -6,10 +6,11 @@ implemented operator from SURVEY.md §2 (+ the LLM-pipeline surface) as
 equivalents. MinHash, SimHash, SRP-LSH, IVF (registered at its provably
 exact n_probe == n_centroids point), and the multimodal feature dedup all
 run portable md5-derived parameterizations that DuckDB reproduces
-bit-for-bit, so every approximate operator is fully oracle-checked. The
-single query absent from ``oracle_sql()`` is ``uv_daily_approx``
-(HyperLogLog++ sketch estimates are engine-internal); the driver records
-the weaker rows-only check for it, by design.
+bit-for-bit, so every approximate operator is fully oracle-checked —
+including ``uv_daily_approx``: the HLL estimate itself is engine-internal,
+so its registered form emits the exact count plus a within-3-sigma boolean
+the oracle asserts TRUE, making even the sketch's accuracy contract a
+hash-gated check. Every entry in ``queries()`` has an ``oracle_sql()`` row.
 """
 
 from __future__ import annotations

@@ -84,6 +84,7 @@ from gmall_flink_yb_spark.functions.ngrams import (
     span_dup_stats,
 )
 from gmall_flink_yb_spark.functions.bloom import bloom_build, bloom_probe
+from gmall_flink_yb_spark.functions.layout import zcell_stats
 from gmall_flink_yb_spark.functions.profile import profile_columns
 from gmall_flink_yb_spark.functions.sketch import (
     CM_WIDTH,
@@ -1188,24 +1189,51 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_COS_THRESHOLD}
 """
 
 # ---------------------------------------------------------------------------
-# uv_daily_approx is the single remaining rows-only query: HyperLogLog++
-# sketch estimates are engine-internal and not bit-reproducible in DuckDB.
-# Every other approximate operator (MinHash, SimHash, SRP-LSH, IVF, feature
-# dedup) runs a portable md5-derived parameterization and is fully
-# hash-checked against SQL.
+# uv_daily_approx: HyperLogLog++ sketch estimates are engine-internal and not
+# bit-reproducible in DuckDB, so the raw estimate can never hash-match. The
+# registered query instead emits a CHECKABLE contract: the exact count plus a
+# boolean asserting the sketch landed within its published error bound
+# (3 standard deviations of rsd). The oracle recomputes the exact count and
+# asserts TRUE — the hash matches iff the HLL estimate honored its contract.
 # ---------------------------------------------------------------------------
 
+_UV_RSD = 0.02
+
+
 def q_uv_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB UV path: approx_count_distinct (HyperLogLog++) — sketch
-    states merge map-side, so the shuffle carries one sketch per group
-    instead of the distinct keys themselves. Rows-only check (HLL estimates
-    aren't bit-reproducible in DuckDB); tests assert the estimate lands
-    within the sketch's error bound of the exact answer."""
+    """The 100 TB UV path is approx_count_distinct (HyperLogLog++) alone —
+    sketch states merge map-side, so the shuffle carries one sketch per group
+    instead of the distinct keys themselves. This verification query runs the
+    sketch NEXT TO the exact aggregate (one shuffle — both aggregates share
+    the groupBy) and emits whether the estimate sits within 3*rsd of exact,
+    making the approximate operator oracle-checkable: the DuckDB side asserts
+    approx_ok = TRUE, so a sketch that drifts out of tolerance hash-fails."""
     ev = read_table(spark, sf_dir, "events")
     return (
         ev.groupBy(_dt().alias("dt"))
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("uv_approx"))
+        .agg(
+            F.countDistinct("user_id").alias("uv_exact"),
+            F.approx_count_distinct("user_id", rsd=_UV_RSD).alias("_approx"),
+        )
+        .select(
+            "dt",
+            "uv_exact",
+            (
+                F.abs(F.col("_approx") - F.col("uv_exact"))
+                <= F.greatest(
+                    F.lit(1.0), F.lit(3.0 * _UV_RSD) * F.col("uv_exact")
+                )
+            ).alias("approx_ok"),
+        )
     )
+
+
+SQL_UV_DAILY_APPROX = """
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS dt,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uv_exact,
+       TRUE AS approx_ok
+FROM events GROUP BY 1
+"""
 
 
 _MINHASH_N = 32
@@ -2411,6 +2439,71 @@ FROM hit LEFT JOIN hi ON hi.key = hit.key
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout (functions/layout.py): multi-dimensional clustering so
+# parquet min/max footers prune files on EVERY curve dimension. The cell
+# report below is the deterministic surface: the oracle re-derives the whole
+# quantize + bit-interleave pipeline in SQL, so the curve is proven bit-exact,
+# and the per-cell min/max spans are exactly what a file-skipping planner
+# would read from footers after `zorder_layout(...).write`.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_SHIFT = 26  # 32-bit z -> 64 coarse cells
+_Z_QTY_LO, _Z_QTY_HI = 1.0, 50.0
+_Z_PRICE_LO, _Z_PRICE_HI = 0.0, 200_000.0
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    line = read_table(spark, sf_dir, "lineitem")
+    return zcell_stats(
+        line,
+        cols=[F.col("l_quantity"), F.col("l_extendedprice")],
+        names=["qty", "price"],
+        bounds=[(_Z_QTY_LO, _Z_QTY_HI), (_Z_PRICE_LO, _Z_PRICE_HI)],
+        bits_per_dim=_Z_BITS,
+        cell_shift=_Z_SHIFT,
+    )
+
+
+def _z_quant_sql(col: str, lo: float, hi: float, bits: int) -> str:
+    buckets = (1 << bits) - 1
+    return (
+        f"GREATEST(0, LEAST({buckets}, CAST(floor("
+        f"(CAST({col} AS DOUBLE) - {float(lo)!r}) / {float(hi - lo)!r} "
+        f"* {float(buckets + 1)!r}) AS BIGINT)))"
+    )
+
+
+def _z_interleave_sql(qcols: list[str], bits: int) -> str:
+    k = len(qcols)
+    terms = [
+        f"((({q} >> {b}) & 1) << {b * k + d})"
+        for d, q in enumerate(qcols)
+        for b in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+SQL_ZORDER_CELLS = f"""
+WITH q AS (
+  SELECT {_z_quant_sql('l_quantity', _Z_QTY_LO, _Z_QTY_HI, _Z_BITS)} AS qq,
+         {_z_quant_sql('l_extendedprice', _Z_PRICE_LO, _Z_PRICE_HI, _Z_BITS)}
+             AS qp,
+         l_quantity, l_extendedprice
+  FROM lineitem
+), z AS (
+  SELECT ({_z_interleave_sql(['qq', 'qp'], _Z_BITS)}) >> {_Z_SHIFT} AS zcell,
+         l_quantity, l_extendedprice
+  FROM q
+)
+SELECT zcell, CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM z GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "uv_daily": q_uv_daily,
     "new_visitor_daily": q_new_visitor_daily,
@@ -2471,7 +2564,7 @@ QUERIES: dict[str, QueryFn] = {
     "cm_heavy_hitters": q_cm_heavy_hitters,
     "profile_documents": q_profile_documents,
     "bloom_semi_join": q_bloom_semi_join,
-    # rows-only (HLL sketch estimates are not reproducible cross-engine):
+    "zorder_cells": q_zorder_cells,
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -2539,4 +2632,8 @@ ORACLES: dict[str, str] = {
     "cm_heavy_hitters": SQL_CM_HEAVY_HITTERS,
     "profile_documents": SQL_PROFILE_DOCUMENTS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "zorder_cells": SQL_ZORDER_CELLS,
+    # the estimate itself is engine-internal; the contract (within 3*rsd of
+    # exact) IS deterministic, so even the HLL sketch is oracle-gated
+    "uv_daily_approx": SQL_UV_DAILY_APPROX,
 }
