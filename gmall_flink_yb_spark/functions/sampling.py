@@ -165,3 +165,46 @@ def token_budget_cap(
         )
         .drop("_cum_tokens")
     )
+
+
+def shard_assign(
+    df: DataFrame, key_col: str | Column, n_shards: int
+) -> DataFrame:
+    """Append a deterministic `shard` column: md5(key) mod n_shards.
+
+    Training-data delivery: the corpus must land in N equal shards whose
+    membership is reproducible (re-running the pipeline after adding one
+    source must not reshuffle every existing shard — md5 keying guarantees
+    a doc's shard never depends on what else is in the corpus). Pure
+    narrow projection; the writer (`write_shards`) pays the single
+    unavoidable placement shuffle. md5 (not xxhash64) so the assignment is
+    engine-portable: DuckDB ('0x'||substr(md5(x),1,15))::BIGINT % n.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return df.withColumn("shard", (h % F.lit(n_shards)).cast("int"))
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    order_col: str | None = None,
+) -> None:
+    """Write `df` as n_shards hash-sharded parquet directories
+    (shard=NNN/...). One shuffle (repartition on the shard id) so each
+    shard is written by its own tasks; optional in-shard ordering (e.g.
+    curriculum order) is a local sort, not a second shuffle. At 100 TB
+    raise n_shards so each shard stays in the 1-10 GB range the training
+    loader wants."""
+    out = shard_assign(df, key_col, n_shards).repartition(
+        n_shards, "shard"
+    )
+    if order_col is not None:
+        out = out.sortWithinPartitions("shard", order_col)
+    out.write.partitionBy("shard").mode("overwrite").parquet(path)

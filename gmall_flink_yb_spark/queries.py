@@ -64,6 +64,7 @@ from gmall_flink_yb_spark.functions.sampling import (
     domain_mix_sample,
     hash_sample,
     sample_threshold,
+    shard_assign,
     stratified_sample,
     token_budget_cap,
 )
@@ -85,6 +86,7 @@ from gmall_flink_yb_spark.functions.ngrams import (
 )
 from gmall_flink_yb_spark.functions.bloom import bloom_build, bloom_probe
 from gmall_flink_yb_spark.functions.layout import zcell_stats
+from gmall_flink_yb_spark.functions.clustering import kmeans_fit_assign
 from gmall_flink_yb_spark.functions.profile import profile_columns
 from gmall_flink_yb_spark.functions.sketch import (
     CM_WIDTH,
@@ -2113,6 +2115,105 @@ FROM assign a LEFT JOIN dups d USING (vec_id)
 
 
 # ---------------------------------------------------------------------------
+# Distributed spherical k-means (functions/clustering.py): Lloyd iterations
+# where the only thing that ever moves is the k x dim centroid state. The
+# oracle replays the ENTIRE deterministic trajectory — md5 init, iteration-1
+# assignment (cosine argmax, cid tie-break), mean update, iteration-2
+# assignment — and compares the final per-(cluster, dim) state, so the
+# trained model itself is hash-checked, not just row counts.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_DIM = 64  # embeddings table vector width (TESTDATA.md)
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    state = kmeans_fit_assign(
+        emb, n_clusters=_KMEANS_K, n_iterations=2
+    )
+    return state.select(
+        "cluster_id",
+        "n_members",
+        "dim",
+        F.round("c", 6).alias("c"),
+    )
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KMEANS_K}
+), a1 AS (
+  SELECT e.vec_id, e.v, c0.cid
+  FROM e CROSS JOIN c0
+  QUALIFY row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, c0.cv) DESC, c0.cid) = 1
+), s1 AS (
+  SELECT cid, dims.i AS i, avg(v[dims.i]) AS c
+  FROM a1, (SELECT unnest(range(1, {_KMEANS_DIM + 1})) AS i) dims
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT cid, list(c ORDER BY i) AS cv FROM s1 GROUP BY cid
+), a2 AS (
+  SELECT e.vec_id, e.v, c1.cid
+  FROM e CROSS JOIN c1
+  QUALIFY row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, c1.cv) DESC, c1.cid) = 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(dims.i AS INTEGER) AS dim,
+       round(avg(v[dims.i]), 6) AS c
+FROM a2, (SELECT unnest(range(1, {_KMEANS_DIM + 1})) AS i) dims
+GROUP BY cid, dims.i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hash-sharded training-data delivery (functions/sampling.py::shard_assign /
+# write_shards): the manifest below is the audit surface a training loader
+# reads — per-shard doc/token/source counts. md5 keying makes membership
+# engine-portable, so the oracle reproduces the exact shard of every doc.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sharded = shard_assign(
+        docs.withColumn("n_tokens", token_count(F.col("text"))),
+        "doc_id",
+        _N_SHARDS,
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH s AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_N_SHARDS} AS INTEGER) AS shard,
+         source,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM s GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2565,6 +2666,8 @@ QUERIES: dict[str, QueryFn] = {
     "profile_documents": q_profile_documents,
     "bloom_semi_join": q_bloom_semi_join,
     "zorder_cells": q_zorder_cells,
+    "kmeans_clusters": q_kmeans_clusters,
+    "shard_manifest": q_shard_manifest,
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -2633,6 +2736,8 @@ ORACLES: dict[str, str] = {
     "profile_documents": SQL_PROFILE_DOCUMENTS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "zorder_cells": SQL_ZORDER_CELLS,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "shard_manifest": SQL_SHARD_MANIFEST,
     # the estimate itself is engine-internal; the contract (within 3*rsd of
     # exact) IS deterministic, so even the HLL sketch is oracle-gated
     "uv_daily_approx": SQL_UV_DAILY_APPROX,
