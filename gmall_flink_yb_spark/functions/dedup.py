@@ -700,6 +700,131 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the HIGH-DIAMETER scale path.
+
+    ``connected_components`` (min-label propagation) needs diameter rounds:
+    perfect for near-dup graphs (cliques, short chains), quadratic-time for
+    a 10k-long chain. The star rewrites contract ANY graph in O(log n)
+    rounds by re-wiring edges instead of flooding labels:
+    - large-star: every node's larger neighbors re-attach to the minimum of
+      its closed neighborhood;
+    - small-star: every node's smaller-or-equal neighbors (and the node)
+      re-attach to the smallest of them.
+    Both preserve connectivity; a fixed point is a forest of stars whose
+    centers are the component minima, so components read straight off the
+    final edge list. Each round is two groupBy-join phases over the CURRENT
+    edge set (which only shrinks toward star form — never grows beyond 2x
+    input), and convergence is a (count, hash-xor) signature equality — one
+    tiny aggregate per round, no driver-side data.
+
+    Same contract as ``connected_components``: returns (node, component)
+    for every node appearing in ``pairs``; raises RuntimeError if not
+    converged within ``max_iterations`` (for star rounds that means
+    ~2^max_iterations nodes — never in practice).
+    """
+    h0 = F.greatest(F.col(id_a), F.col(id_b))
+    l0 = F.least(F.col(id_a), F.col(id_b))
+    e = (
+        pairs.select(h0.alias("h"), l0.alias("l"))
+        .filter(F.col("h") != F.col("l"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("h").alias("node"))
+        .union(e.select(F.col("l").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    spark = pairs.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    prev_sig = None
+    converged = False
+    try:
+        cur = e
+        for _ in range(max_iterations):
+            # -- large-star: (u,v) both directions; m(u) = min(N(u) ∪ {u});
+            #    emit (v, m(u)) for v > u  (v > u >= m(u), so h=v, l=m)
+            sym = cur.select(
+                F.col("h").alias("u"), F.col("l").alias("v")
+            ).union(cur.select(F.col("l").alias("u"), F.col("h").alias("v")))
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m"))
+            )
+            # duplicates between here and new_e's distinct are harmless
+            # (min is dup-insensitive), so no intermediate distinct
+            ls = (
+                sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("h"), F.col("m").alias("l"))
+            )
+            # -- small-star on edges already pointing larger -> smaller:
+            #    m(h) = min of h's smaller neighbors; emit (l, m) l != m,
+            #    plus (h, m)
+            mins2 = ls.groupBy("h").agg(F.min("l").alias("mn"))
+            j = ls.join(mins2, "h")
+            # localCheckpoint: an iterative DataFrame loop's logical plan
+            # otherwise grows every round and re-analysis cost dominates
+            # (the cache only short-circuits execution, not planning). On a
+            # multi-executor cluster prefer a durable checkpoint dir; in
+            # either mode lineage stays O(1) per round.
+            new_e = (
+                j.where(F.col("l") != F.col("mn"))
+                .select(F.col("l").alias("h"), F.col("mn").alias("l"))
+                .union(j.select("h", F.col("mn").alias("l")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            sig_row = new_e.agg(
+                F.count(F.lit(1)).alias("n"),
+                # xor-fold: order-independent and overflow-free under ANSI
+                F.expr("bit_xor(xxhash64(h, l))").alias("s"),
+            ).collect()[0]
+            sig = (sig_row["n"], sig_row["s"])
+            if cur is not e:
+                cur.unpersist()
+            cur = new_e
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_star did not converge in "
+                f"{max_iterations} rounds"
+            )
+        # fixed point is a star forest: (h, l) == (node, component-min);
+        # centers have no outgoing edge and are their own component
+        comp = nodes.join(
+            cur.select(F.col("h").alias("node"), F.col("l").alias("c")),
+            "node",
+            "left",
+        ).select(
+            "node", F.coalesce(F.col("c"), F.col("node")).alias("component")
+        )
+        # materialize before unpersisting the lineage we built it from
+        comp = comp.persist(StorageLevel.MEMORY_AND_DISK)
+        comp.count()
+        if cur is not e:
+            cur.unpersist()
+        return comp
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        nodes.unpersist()
+        e.unpersist()
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -478,6 +478,102 @@ FROM events GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# The 100 TB quantile path: percentile_approx (Greenwald-Khanna sketch) —
+# mergeable partial state, so the shuffle carries one sketch per group
+# instead of the values. Like the HLL UV query, the estimate itself is
+# engine-internal, so the registered form emits the CONTRACT: the observed
+# rank of each estimate, which must sit within the sketch's rank-error bound
+# of the target quantile. The oracle asserts the booleans TRUE — a sketch
+# that drifts out of its published bound hash-fails the round.
+# ---------------------------------------------------------------------------
+
+_PCT_ACCURACY = 10_000          # GK bound: rank error <= n / accuracy
+_PCT_EPS = 1.0 / _PCT_ACCURACY  # as a rank fraction
+
+
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(_PCT_ACCURACY)
+        ).alias("ap")
+    )
+    # rank-check join: ap is k rows (one per group) — broadcast, no shuffle
+    # beyond the one groupBy the exact ranks need anyway
+    j = ev.join(F.broadcast(ap), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("value") <= F.element_at("ap", 1)).cast("long")
+        ).alias("r50"),
+        F.sum(
+            (F.col("value") <= F.element_at("ap", 2)).cast("long")
+        ).alias("r95"),
+    )
+    # GK guarantees the estimate is an actual sample whose rank is within
+    # eps*n of the target; allow one extra rank for <= vs < boundary ties
+    tol = F.lit(_PCT_EPS) * F.col("n") + F.lit(1.0)
+    return ranks.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("r50") - F.lit(0.5) * F.col("n")) <= tol).alias(
+            "p50_ok"
+        ),
+        (F.abs(F.col("r95") - F.lit(0.95) * F.col("n")) <= tol).alias(
+            "p95_ok"
+        ),
+    )
+
+
+SQL_VALUE_PERCENTILES_APPROX = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Pivot (wide serving tables): day x event-type count matrix — the shape the
+# reference's ClickHouse visitor-stats table serves (VisitorStatsApp intent,
+# SURVEY.md §2.9). Explicit value list: at 100 TB an unpinned pivot needs a
+# distinct-scan planning pass AND produces an unstable schema; serving
+# tables pin their columns.
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(_dt().alias("dt"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "dt",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS dt,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+           AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS view
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # Sliding windows: 2 h windows advancing hourly. The oracle mirrors Spark's
 # window assignment exactly — an event at t belongs to every window start in
 # (t - width, t] on the slide grid, enumerated with generate_series.
@@ -2668,6 +2764,8 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_cells": q_zorder_cells,
     "kmeans_clusters": q_kmeans_clusters,
     "shard_manifest": q_shard_manifest,
+    "events_pivot": q_events_pivot,
+    "value_percentiles_approx": q_value_percentiles_approx,
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -2738,6 +2836,8 @@ ORACLES: dict[str, str] = {
     "zorder_cells": SQL_ZORDER_CELLS,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "shard_manifest": SQL_SHARD_MANIFEST,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "value_percentiles_approx": SQL_VALUE_PERCENTILES_APPROX,
     # the estimate itself is engine-internal; the contract (within 3*rsd of
     # exact) IS deterministic, so even the HLL sketch is oracle-gated
     "uv_daily_approx": SQL_UV_DAILY_APPROX,

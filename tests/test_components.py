@@ -30,3 +30,60 @@ def test_reversed_edge_direction_irrelevant(spark):
     pairs = spark.createDataFrame([(5, 1), (5, 3)], "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 3: 1, 5: 1}
+
+
+def test_star_matches_label_propagation(spark):
+    from gmall_flink_yb_spark.functions.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            (10, 11),
+            (20, 21), (21, 22), (20, 22),
+            (7, 30), (30, 8),  # min in the middle of a chain
+        ],
+        "id_a long, id_b long",
+    )
+    lp = {r.node: r.component for r in connected_components(pairs).collect()}
+    st = {
+        r.node: r.component
+        for r in connected_components_star(pairs).collect()
+    }
+    assert st == lp
+
+
+def test_star_handles_long_path_in_log_rounds(spark):
+    """A 200-node path has diameter 199: min-label propagation would need
+    199 rounds (its max_iterations=50 raises — too expensive to demonstrate
+    in CI), while the star rewrites contract it within 15 — THE reason the
+    variant exists."""
+    from gmall_flink_yb_spark.functions.dedup import connected_components_star
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components_star(pairs, max_iterations=15).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_star_random_graph_parity(spark):
+    from random import Random
+
+    from gmall_flink_yb_spark.functions.dedup import connected_components_star
+
+    rng = Random(42)
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(130)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    lp = {r.node: r.component for r in connected_components(pairs).collect()}
+    st = {
+        r.node: r.component
+        for r in connected_components_star(pairs).collect()
+    }
+    assert st == lp
