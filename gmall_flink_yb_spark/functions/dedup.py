@@ -671,12 +671,13 @@ def connected_components(
                     "label",
                     (F.col("label") < F.col("own")).alias("_changed"),
                 )
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            # One action: the full-scan aggregate materializes EVERY
-            # partition of the persisted frame (a limit(1) probe would cache
-            # only the first partition, so unpersisting the parent would
-            # force later rounds to recompute through an ever-deeper
-            # unpersisted lineage chain).
+            # localCheckpoint (eager) both materializes every partition AND
+            # truncates the logical plan: with a plain persist the analyzer
+            # re-walks an O(rounds)-deep lineage every iteration (persist
+            # short-circuits execution, not re-analysis), which grows
+            # per-round planning cost and eventually OOMs the driver on
+            # long loops. One job per round either way.
+            ).localCheckpoint(eager=True)
             changed = new_labels.agg(
                 F.sum(F.col("_changed").cast("long")).alias("c")
             ).collect()[0]["c"]
