@@ -335,6 +335,119 @@ FROM lineitem GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# TPC-H Q3/Q5 analogs over the driver tables: the canonical selective-dim ->
+# fact join-agg shapes. Both plans keep the ONE unavoidable fact shuffle
+# (lineitem x orders on orderkey) and broadcast everything else; decimal-
+# before-SUM keeps revenue exact so the Q3 top-10 cut is tie-stable across
+# engines (ties broken by l_orderkey).
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1998-06-15"
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _Q3_CUTOFF
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _Q3_CUTOFF
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q3_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: fact joins its one shuffle partner (orders) on orderkey;
+    customer/supplier/nation/region are all broadcast, and the
+    same-nation predicate (c_nationkey = s_nationkey) runs as a cheap
+    post-join filter on broadcast columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(
+            F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q5_LOCAL_SUPPLIER = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # DWM order-wide (J1 equi-part + J2 chained broadcast dim enrichment —
 # OrderWideApp.java:89-121; dims snowflake customer->nation->region plays
 # user/province/... from OrderWide.java:40-53)
@@ -2766,6 +2879,8 @@ QUERIES: dict[str, QueryFn] = {
     "shard_manifest": q_shard_manifest,
     "events_pivot": q_events_pivot,
     "value_percentiles_approx": q_value_percentiles_approx,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_local_supplier": q_q5_local_supplier,
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -2838,6 +2953,8 @@ ORACLES: dict[str, str] = {
     "shard_manifest": SQL_SHARD_MANIFEST,
     "events_pivot": SQL_EVENTS_PIVOT,
     "value_percentiles_approx": SQL_VALUE_PERCENTILES_APPROX,
+    "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
+    "q5_local_supplier": SQL_Q5_LOCAL_SUPPLIER,
     # the estimate itself is engine-internal; the contract (within 3*rsd of
     # exact) IS deterministic, so even the HLL sketch is oracle-gated
     "uv_daily_approx": SQL_UV_DAILY_APPROX,

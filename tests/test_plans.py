@@ -125,3 +125,22 @@ def test_quality_classifier_zero_exchanges(spark, sf_dir):
     df = q_quality_classifier(spark, sf_dir)
     assert num_exchanges(df) == 0, num_exchanges(df)
     assert scans_are_vectorized(df)
+
+
+def test_q3_q5_broadcast_dims_single_fact_shuffle(spark, sf_dir):
+    """TPC-H Q3/Q5 shapes: every dim side broadcasts; the only exchanges
+    are the groupBy's (fact never shuffles for a join)."""
+    from gmall_flink_yb_spark.queries import (
+        q_q3_shipping_priority,
+        q_q5_local_supplier,
+    )
+
+    for q, max_ex in [(q_q3_shipping_priority, 2), (q_q5_local_supplier, 2)]:
+        df = q(spark, sf_dir)
+        joins = join_strategies(df)
+        assert joins and all(s == "BroadcastHashJoin" for s in joins), (
+            q.__name__,
+            joins,
+        )
+        # groupBy exchange (+ possible final sort/limit exchange for Q3)
+        assert num_exchanges(df) <= max_ex, (q.__name__, num_exchanges(df))
