@@ -447,6 +447,63 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1
 """
 
+_Q18_MIN_QTY = 150
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — aggregate-derived HAVING filter feeding a fact-fact join.
+    The per-order quantity aggregate IS the semi-join (only qualifying
+    orderkeys survive it), so lineitem shuffles once on orderkey, joins
+    orders on the same key (orders is a fact at scale — no broadcast), and
+    only customer broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        per_order.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_Q18_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         > {_Q18_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
 # ---------------------------------------------------------------------------
 # DWM order-wide (J1 equi-part + J2 chained broadcast dim enrichment —
 # OrderWideApp.java:89-121; dims snowflake customer->nation->region plays
@@ -2881,6 +2938,7 @@ QUERIES: dict[str, QueryFn] = {
     "value_percentiles_approx": q_value_percentiles_approx,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_local_supplier": q_q5_local_supplier,
+    "q18_large_orders": q_q18_large_orders,
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -2955,6 +3013,7 @@ ORACLES: dict[str, str] = {
     "value_percentiles_approx": SQL_VALUE_PERCENTILES_APPROX,
     "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
     "q5_local_supplier": SQL_Q5_LOCAL_SUPPLIER,
+    "q18_large_orders": SQL_Q18_LARGE_ORDERS,
     # the estimate itself is engine-internal; the contract (within 3*rsd of
     # exact) IS deterministic, so even the HLL sketch is oracle-gated
     "uv_daily_approx": SQL_UV_DAILY_APPROX,
