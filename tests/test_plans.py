@@ -144,3 +144,19 @@ def test_q3_q5_broadcast_dims_single_fact_shuffle(spark, sf_dir):
         )
         # groupBy exchange (+ possible final sort/limit exchange for Q3)
         assert num_exchanges(df) <= max_ex, (q.__name__, num_exchanges(df))
+
+
+def test_q18_fact_fact_shuffle_plus_broadcast_dim(spark, sf_dir):
+    """Q18: lineitem-agg x orders is a fact-fact join (must NOT broadcast a
+    fact at scale — but at sf0.001 AQE may legitimately pick broadcast for
+    the tiny filtered agg side); customer is always a BroadcastHashJoin."""
+    from gmall_flink_yb_spark.queries import q_q18_large_orders
+
+    df = q_q18_large_orders(spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastHashJoin" in joins, joins
+    # plan executes and the top-100 cut is deterministic
+    rows = df.collect()
+    assert len(rows) <= 100
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
