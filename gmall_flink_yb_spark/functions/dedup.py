@@ -701,6 +701,45 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def select_canonical(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection: given near-dup CLUSTERS, keep exactly
+    one doc per cluster — the highest-``score_col`` member (ties to the
+    smallest id). This is the last step of the dedup pipeline the min-id
+    convention skips: curation keeps the BEST representative (longest text,
+    highest quality score), not an arbitrary one.
+
+    ``components`` is (node, component) from ``connected_components`` /
+    ``connected_components_star``; docs absent from it are their own
+    singleton cluster and always kept. Returns every input doc as
+    (id_col, component, keep) with keep ∈ {0,1}.
+
+    Scale: one broadcast-or-shuffle join (components is the small near-dup
+    subgraph) plus one window shuffle on component — the window partitions
+    are cluster-sized (tiny), so no skew risk.
+    """
+    comp = components.select(
+        F.col("node"), F.col("component").alias("_comp")
+    )
+    joined = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(score_col).alias("_score"),
+    ).join(comp, F.col("_id") == F.col("node"), "left")
+    component = F.coalesce(F.col("_comp"), F.col("_id"))
+    w = Window.partitionBy(component).orderBy(
+        F.desc("_score"), F.col("_id")
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        component.cast("long").alias("component"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

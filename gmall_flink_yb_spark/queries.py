@@ -30,6 +30,7 @@ from gmall_flink_yb_spark.functions.dedup import (
     jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    select_canonical,
     simhash_pairs,
 )
 from gmall_flink_yb_spark.functions.similarity import (
@@ -1573,6 +1574,45 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline end-to-end: exact-Jaccard pairs -> connected
+    components -> keep the LONGEST doc per cluster (ties to smallest id).
+    Singleton docs (no near-dup) are their own cluster and always kept."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=_CLUSTER_THRESHOLD, n=3
+    )
+    comps = connected_components(pairs)
+    return select_canonical(docs, comps, "doc_id", "n_chars")
+
+
+SQL_DEDUP_CANONICAL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_sql_dedup_jaccard(_CLUSTER_THRESHOLD)})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+), comp AS (
+  SELECT node, CAST(min(label) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+       CAST(CASE WHEN row_number() OVER (
+             PARTITION BY COALESCE(c.component, d.doc_id)
+             ORDER BY d.n_chars DESC, d.doc_id) = 1
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 # The 60-bit md5 hash, identical to dedup._md5_long (parity-tested Spark
 # conv(substr(md5(x),1,15),16,10) == DuckDB ('0x'||substr(md5(x),1,15))::BIGINT)
 def _sql_md5_long(expr: str) -> str:
@@ -2939,6 +2979,7 @@ QUERIES: dict[str, QueryFn] = {
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_local_supplier": q_q5_local_supplier,
     "q18_large_orders": q_q18_large_orders,
+    "dedup_canonical": q_dedup_canonical,
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -3014,6 +3055,7 @@ ORACLES: dict[str, str] = {
     "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
     "q5_local_supplier": SQL_Q5_LOCAL_SUPPLIER,
     "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
     # the estimate itself is engine-internal; the contract (within 3*rsd of
     # exact) IS deterministic, so even the HLL sketch is oracle-gated
     "uv_daily_approx": SQL_UV_DAILY_APPROX,

@@ -87,3 +87,27 @@ def test_star_random_graph_parity(spark):
         for r in connected_components_star(pairs).collect()
     }
     assert st == lp
+
+
+def test_select_canonical_keep_best(spark):
+    from pyspark.sql import Row
+
+    from gmall_flink_yb_spark.functions.dedup import select_canonical
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, n_chars=10),
+            Row(doc_id=2, n_chars=50),   # best of cluster {1,2,3}
+            Row(doc_id=3, n_chars=50),   # tie -> smaller id 2 wins
+            Row(doc_id=9, n_chars=1),    # singleton: always kept
+        ]
+    )
+    comps = spark.createDataFrame(
+        [Row(node=1, component=1), Row(node=2, component=1),
+         Row(node=3, component=1)]
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in select_canonical(docs, comps).collect()
+    }
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 0), 9: (9, 1)}
