@@ -448,6 +448,95 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1
 """
 
+# ---------------------------------------------------------------------------
+# Equi-width histogram (codegen'd width_bucket-style binning — the profiling
+# primitive behind every data-quality dashboard) and CUBE grouping sets
+# (all 2^k subtotal combinations in ONE pass — Spark expands the cube
+# map-side, so the fact scans once, not 2^k times).
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    bin_ = F.least(
+        F.lit(_HIST_BINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(width)).cast(
+                "int"
+            ),
+        ),
+    )
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(_HIST_LO) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT event_type,
+         LEAST({_HIST_BINS - 1},
+               GREATEST(0, CAST(floor((value - {_HIST_LO!r})
+                                      / {(_HIST_HI - _HIST_LO) / _HIST_BINS!r})
+                               AS INTEGER))) AS bin
+  FROM events
+)
+SELECT event_type, bin,
+       {_HIST_LO!r} + bin * {(_HIST_HI - _HIST_LO) / _HIST_BINS!r} AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, order year): every subtotal combination — the
+    serving-layer rollup family the reference's ADS layer intended. One
+    fact pass; Spark's Expand operator emits the 4 grouping combinations
+    map-side before the single aggregate shuffle."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.cube("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_CUBE = """
+SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY CUBE (1, 2)
+"""
+
+
 _Q18_MIN_QTY = 150
 
 
@@ -2980,6 +3069,8 @@ QUERIES: dict[str, QueryFn] = {
     "q5_local_supplier": q_q5_local_supplier,
     "q18_large_orders": q_q18_large_orders,
     "dedup_canonical": q_dedup_canonical,
+    "value_histogram": q_value_histogram,
+    "revenue_cube": q_revenue_cube,
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -3056,6 +3147,8 @@ ORACLES: dict[str, str] = {
     "q5_local_supplier": SQL_Q5_LOCAL_SUPPLIER,
     "q18_large_orders": SQL_Q18_LARGE_ORDERS,
     "dedup_canonical": SQL_DEDUP_CANONICAL,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "revenue_cube": SQL_REVENUE_CUBE,
     # the estimate itself is engine-internal; the contract (within 3*rsd of
     # exact) IS deterministic, so even the HLL sketch is oracle-gated
     "uv_daily_approx": SQL_UV_DAILY_APPROX,
