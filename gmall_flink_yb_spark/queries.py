@@ -537,6 +537,60 @@ GROUP BY CUBE (1, 2)
 """
 
 
+# ---------------------------------------------------------------------------
+# Running totals (cumulative window): per-nation daily revenue accumulated
+# over time — the serving-layer "growth curve" shape. The window runs over
+# the PRE-AGGREGATED daily frame (one row per nation-day), so the sort is
+# tiny; never window over raw facts when an aggregate can come first.
+# ---------------------------------------------------------------------------
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("_rev"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "n_name",
+        "order_month",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").over(w).cast("double").alias("running_revenue"),
+    )
+
+
+SQL_RUNNING_REVENUE = """
+WITH daily AS (
+  SELECT n_name, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, order_month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY n_name ORDER BY order_month
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS running_revenue
+FROM daily
+"""
+
+
 _Q18_MIN_QTY = 150
 
 
@@ -3071,6 +3125,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_canonical": q_dedup_canonical,
     "value_histogram": q_value_histogram,
     "revenue_cube": q_revenue_cube,
+    "running_revenue": q_running_revenue,
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -3149,6 +3204,7 @@ ORACLES: dict[str, str] = {
     "dedup_canonical": SQL_DEDUP_CANONICAL,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "revenue_cube": SQL_REVENUE_CUBE,
+    "running_revenue": SQL_RUNNING_REVENUE,
     # the estimate itself is engine-internal; the contract (within 3*rsd of
     # exact) IS deterministic, so even the HLL sketch is oracle-gated
     "uv_daily_approx": SQL_UV_DAILY_APPROX,

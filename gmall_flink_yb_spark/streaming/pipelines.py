@@ -408,3 +408,86 @@ def write_kafka_dynamic_topic(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingestion with incremental near-dup rejection — the
+# LLM-pipeline twin of the CDC router: every micro-batch of new documents is
+# audited against the already-curated corpus (plus itself) before admission.
+# ---------------------------------------------------------------------------
+
+
+def start_incremental_dedup_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Admit new documents into a curated corpus, rejecting near-dups of
+    anything already admitted (or of a smaller-id doc in the same batch).
+
+    The corpus IS the output: ``corpus_dir/ingest_batch=N`` holds batch N's
+    admitted docs. Replay safety without a transaction log:
+    - each batch OVERWRITES only its own batchId-keyed partition, and
+    - the dedup reference reads strictly SMALLER batch ids, so a replayed
+      batch never sees its own half-written previous attempt as "corpus"
+      (which would reject every doc as a dup of itself).
+
+    At 100 TB the reference side's signatures/band buckets would be a
+    checkpointed index appended per batch (functions/dedup.
+    incremental_lsh_dedup docstring); the audit itself only ever joins
+    incoming x (corpus ∪ incoming) — corpus x corpus pairs are never
+    formed, so per-batch cost tracks batch size, not corpus size.
+
+    Requires globally increasing doc ids across batches (ingest order =
+    greedy keep order). Mirrors the reference's idempotent-sink discipline
+    (BaseLogApp's batchId-keyed fanout above).
+    """
+    from gmall_flink_yb_spark.functions.dedup import incremental_lsh_dedup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        incoming = batch_df.persist()
+        try:
+            try:
+                corpus = (
+                    spark.read.option("basePath", corpus_dir)
+                    .parquet(corpus_dir)
+                    .filter(F.col("ingest_batch") < batch_id)
+                    .select(id_col, text_col)
+                )
+            except Exception:  # first batch: corpus dir doesn't exist yet
+                corpus = spark.createDataFrame(
+                    [], incoming.select(id_col, text_col).schema
+                )
+            verdicts = incremental_lsh_dedup(
+                corpus,
+                incoming.select(id_col, text_col),
+                id_col,
+                text_col,
+                threshold=threshold,
+            )
+            # verdicts schema is (doc_id, keep int, dup_of, est_jaccard)
+            # regardless of id_col (ids are cast to long inside the audit)
+            kept = incoming.join(
+                verdicts.filter(F.col("keep") == 1).select(
+                    F.col("doc_id").alias("_keep_id")
+                ),
+                F.col(id_col).cast("long") == F.col("_keep_id"),
+            ).drop("_keep_id")
+            kept.write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, f"ingest_batch={batch_id}")
+            )
+        finally:
+            incoming.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

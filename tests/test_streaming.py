@@ -607,3 +607,66 @@ def test_cdc_routing_registers_catalog_tables(spark, tmp_path):
         assert spark.table(f"`{db}`.`dim_user_info`").columns == ["id", "name"]
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Streaming corpus ingestion: batch-2 near-dups of batch-1 docs are
+    rejected; within-batch dups keep the smallest id; the final corpus
+    matches the batch-mode incremental audit run batch by batch."""
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_file_stream,
+        start_incremental_dedup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the farmer watches from the old wooden fence nearby"
+    )
+    uniq = (
+        "completely different content about distributed query engines "
+        "and columnar storage formats for large scale analytics"
+    )
+    b1 = [(1, base), (2, uniq)]
+    # 3 dups b1's doc 1 (near-identical); 4 is new; 5 dups 4 in-batch
+    b2 = [
+        (3, base + " extra"),
+        (4, "a third totally unrelated piece of text about sailing ships "
+            "crossing the atlantic with cargo and passengers aboard"),
+        (5, "a third totally unrelated piece of text about sailing ships "
+            "crossing the atlantic with cargo and passengers onboard"),
+    ]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage_{i}"))
+        part = [
+            f
+            for f in os.listdir(tmp_path / f"stage_{i}")
+            if f.endswith(".parquet")
+        ]
+        os.rename(tmp_path / f"stage_{i}" / part[0], src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    stream = read_file_stream(
+        spark, str(src), schema, max_files_per_trigger=1, glob="*.parquet"
+    )
+    q = start_incremental_dedup_stream(
+        spark,
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+    admitted = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert admitted == [1, 2, 4]
