@@ -538,6 +538,87 @@ GROUP BY CUBE (1, 2)
 
 
 # ---------------------------------------------------------------------------
+# Windowed top-k per group and anti-join — the two remaining canonical join/
+# window shapes. Top-k: rank() over cluster-sized partitions (ties keep both
+# rows — rank, not row_number — so the cut is deterministic without a
+# tiebreak column). Anti-join: the "orphans" audit every referential
+# pipeline needs; Spark compiles left_anti + broadcast to a probe-only pass.
+# ---------------------------------------------------------------------------
+
+
+def q_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            F.col("rnk").cast("int").alias("rnk"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+
+
+SQL_TOP_ORDERS_PER_NATION = """
+SELECT n_name, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT n_name, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY n_name
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+WHERE rnk <= 3
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential coverage audit: per segment, total customers, customers
+    WITH orders (semi), and orphans WITHOUT (anti). One broadcast of the
+    distinct order-key set; both the semi and anti verdicts come from the
+    SAME probe-only pass over customer (a left join against keys-only,
+    aggregated twice) — no shuffle of the probed table, no second scan."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    keys = orders.select("o_custkey").distinct()
+    probed = cust.join(
+        F.broadcast(keys),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left",
+    )
+    has = F.col("o_custkey").isNotNull().cast("long")
+    return probed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(has).alias("n_with_orders"),
+        F.sum(1 - has).alias("n_orphans"),
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders
+                                  WHERE o_custkey = c_custkey)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders
+                                  WHERE o_custkey = c_custkey)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_orphans
+FROM customer
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Running totals (cumulative window): per-nation daily revenue accumulated
 # over time — the serving-layer "growth curve" shape. The window runs over
 # the PRE-AGGREGATED daily frame (one row per nation-day), so the sort is
@@ -3126,6 +3207,8 @@ QUERIES: dict[str, QueryFn] = {
     "value_histogram": q_value_histogram,
     "revenue_cube": q_revenue_cube,
     "running_revenue": q_running_revenue,
+    "top_orders_per_nation": q_top_orders_per_nation,
+    "customers_without_orders": q_customers_without_orders,
     "uv_daily_approx": q_uv_daily_approx,
 }
 
@@ -3205,6 +3288,8 @@ ORACLES: dict[str, str] = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "revenue_cube": SQL_REVENUE_CUBE,
     "running_revenue": SQL_RUNNING_REVENUE,
+    "top_orders_per_nation": SQL_TOP_ORDERS_PER_NATION,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     # the estimate itself is engine-internal; the contract (within 3*rsd of
     # exact) IS deterministic, so even the HLL sketch is oracle-gated
     "uv_daily_approx": SQL_UV_DAILY_APPROX,
