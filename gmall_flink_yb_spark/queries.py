@@ -338,7 +338,8 @@ FROM lineitem GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 # TPC-H Q3/Q5 analogs over the driver tables: the canonical selective-dim ->
 # fact join-agg shapes. Both plans keep the ONE unavoidable fact shuffle
-# (lineitem x orders on orderkey) and broadcast everything else; decimal-
+# (lineitem x orders on orderkey — orders stays fact-sized even filtered,
+# so it is never broadcast) and broadcast only the true dims; decimal-
 # before-SUM keeps revenue exact so the Q3 top-10 cut is tie-stable across
 # engines (ties broken by l_orderkey).
 # ---------------------------------------------------------------------------
@@ -359,11 +360,9 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
     return (
         li.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(cust),
-                    F.col("o_custkey") == F.col("c_custkey"),
-                )
+            orders.join(
+                F.broadcast(cust),
+                F.col("o_custkey") == F.col("c_custkey"),
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -397,9 +396,10 @@ LIMIT 10
 
 
 def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 shape: fact joins its one shuffle partner (orders) on orderkey;
-    customer/supplier/nation/region are all broadcast, and the
-    same-nation predicate (c_nationkey = s_nationkey) runs as a cheap
+    """Q5 shape: the fact (lineitem) shuffle-joins its one fact partner
+    (orders, also fact-sized even after the one-year cut) on orderkey;
+    customer/supplier/nation/region are the true dims and are broadcast.
+    The same-nation predicate (c_nationkey = s_nationkey) runs as a cheap
     post-join filter on broadcast columns."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders").filter(
@@ -414,9 +414,7 @@ def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
     return (
-        li.join(
-            F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
-        )
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -898,26 +896,34 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(ap), "event_type")
     ranks = j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(
-            (F.col("value") <= F.element_at("ap", 1)).cast("long")
-        ).alias("r50"),
-        F.sum(
-            (F.col("value") <= F.element_at("ap", 2)).cast("long")
-        ).alias("r95"),
+        *[
+            agg
+            for idx, tag in ((1, "50"), (2, "95"))
+            for agg in (
+                F.sum(
+                    (F.col("value") < F.element_at("ap", idx)).cast("long")
+                ).alias(f"lo{tag}"),
+                F.sum(
+                    (F.col("value") <= F.element_at("ap", idx)).cast("long")
+                ).alias(f"hi{tag}"),
+            )
+        ],
     )
-    # GK guarantees the estimate is an actual sample whose rank is within
-    # eps*n of the target; allow one extra rank for <= vs < boundary ties
+    # GK guarantees the estimate is an actual sample with SOME rank in
+    # [count(<est)+1, count(<=est)] within eps*n of the target — with
+    # duplicate-heavy data the max rank alone can exceed the bound even
+    # when the sketch honors its contract, so check interval overlap
+    # (plus one rank of slack for the <= / < boundary).
     tol = F.lit(_PCT_EPS) * F.col("n") + F.lit(1.0)
-    return ranks.select(
-        "event_type",
-        "n",
-        (F.abs(F.col("r50") - F.lit(0.5) * F.col("n")) <= tol).alias(
-            "p50_ok"
-        ),
-        (F.abs(F.col("r95") - F.lit(0.95) * F.col("n")) <= tol).alias(
-            "p95_ok"
-        ),
-    )
+
+    def _ok(tag: str, p: float):
+        target = F.lit(p) * F.col("n")
+        return (
+            (F.col(f"lo{tag}") + 1 <= target + tol)
+            & (F.col(f"hi{tag}") >= target - tol)
+        ).alias(f"p{tag}_ok")
+
+    return ranks.select("event_type", "n", _ok("50", 0.5), _ok("95", 0.95))
 
 
 SQL_VALUE_PERCENTILES_APPROX = """

@@ -27,6 +27,7 @@ import os
 import re
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -453,6 +454,11 @@ def start_incremental_dedup_stream(
             return
         incoming = batch_df.persist()
         try:
+            # ONLY "no corpus yet" (path-not-found) may fall back to an
+            # empty reference. Any other read error (transient FS fault,
+            # corrupt file) must fail the batch so the checkpoint retries
+            # it — swallowing it would silently admit near-dups of
+            # already-admitted docs.
             try:
                 corpus = (
                     spark.read.option("basePath", corpus_dir)
@@ -460,7 +466,9 @@ def start_incremental_dedup_stream(
                     .filter(F.col("ingest_batch") < batch_id)
                     .select(id_col, text_col)
                 )
-            except Exception:  # first batch: corpus dir doesn't exist yet
+            except AnalysisException as exc:
+                if "PATH_NOT_FOUND" not in str(exc):
+                    raise
                 corpus = spark.createDataFrame(
                     [], incoming.select(id_col, text_col).schema
                 )
