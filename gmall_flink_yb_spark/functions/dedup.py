@@ -23,12 +23,65 @@ default for production throughput.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_yb_spark.functions.text import doc_fingerprint
 from gmall_flink_yb_spark.operators.keywords import tokenize
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage, durably when possible.
+
+    ``localCheckpoint`` stores blocks on executors only — an executor loss
+    mid-loop kills an iterative job on a real cluster. When the context has
+    a checkpoint dir configured (``sc.setCheckpointDir`` — HDFS/S3 on a
+    cluster), use a reliable ``checkpoint`` instead so the loop survives
+    executor loss at 100 TB; single-JVM local mode keeps the cheaper
+    executor-local form.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _enter_loop_session(src: DataFrame, tag: str) -> tuple[SparkSession, DataFrame, str]:
+    """Move ``src`` into a FRESH session (shared SparkContext, shared cache
+    and checkpoint state, independent runtime conf) and disable AQE there.
+
+    Iterative loops run many tiny, explicitly-partitioned stages; AQE's
+    per-stage re-planning round-trip is pure latency for them (measured 3x
+    wall-clock at sf0.1). Flipping ``spark.sql.adaptive.enabled`` on the
+    CALLER's session would affect every concurrent query on a shared
+    session — scoping the toggle to a private session keeps the loop fast
+    without touching anyone else's plans. Returns (loop_session,
+    src-rebound-into-it, global-temp-view-name to drop on exit).
+    """
+    from gmall_flink_yb_spark.sources.readers import _ensure_read_confs
+
+    caller = src.sparkSession
+    loop = caller.newSession()
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    # if the cache were ever evicted, a re-scan from the loop session must
+    # read parquet with the same timestamp confs as the caller
+    _ensure_read_confs(loop)
+    name = f"_loop_{tag}_{uuid.uuid4().hex}"
+    src.createOrReplaceGlobalTempView(name)
+    return loop, loop.table(f"global_temp.{name}"), name
+
+
+def _exit_loop_session(result: DataFrame, caller: SparkSession) -> DataFrame:
+    """Re-bind the loop session's result DataFrame to the caller's session
+    (analysis is eager, so the view can be dropped immediately)."""
+    name = f"_loop_out_{uuid.uuid4().hex}"
+    result.createOrReplaceGlobalTempView(name)
+    rebound = caller.table(f"global_temp.{name}")
+    caller.catalog.dropGlobalTempView(name)
+    return rebound
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -601,15 +654,20 @@ def connected_components(
     that carries the next round's labels, so the action both materializes
     every partition of the cache (keeping recompute lineage O(1) deep) and
     answers "converged?" — no separate probe job, no collect of data. For
-    graphs with large diameter at 100 TB scale the same loop accepts a
-    large-star/small-star rewrite; near-dup graphs never need it.
+    graphs with large diameter at 100 TB scale use
+    ``connected_components_star`` (O(log n) rounds); near-dup graphs never
+    need it.
 
-    AQE is suspended inside the loop: adaptive planning adds one
-    re-optimization round-trip per shuffle stage, which for an iterative
-    loop of tiny stages is pure latency (measured 3x wall-clock at sf0.1:
-    ~2.1s/round with AQE vs ~0.6s without). The loop's partitioning is
-    already sized explicitly to the subgraph (below), which is the part
-    AQE would otherwise fix; the caller's conf is restored on exit.
+    The loop runs in a PRIVATE session (``_enter_loop_session``) with AQE
+    off: adaptive planning adds one re-optimization round-trip per shuffle
+    stage, pure latency for an iterative loop of tiny stages (measured 3x
+    wall-clock at sf0.1: ~2.1s/round with AQE vs ~0.6s without). The
+    loop's partitioning is already sized explicitly to the subgraph
+    (below), which is the part AQE would otherwise fix; concurrent queries
+    on the caller's session are untouched. Per-round lineage truncation is
+    a durable ``checkpoint`` when the context has a checkpoint dir (so an
+    executor loss mid-loop doesn't kill the job on a real cluster), else
+    ``localCheckpoint`` — see ``_truncate_lineage``.
 
     Raises RuntimeError if max_iterations is exhausted before convergence
     (silently returning half-propagated labels would corrupt clusters).
@@ -622,9 +680,13 @@ def connected_components(
     # this the entire upstream pair-generation pipeline executes twice
     # (measured 12s of a 19s run at sf0.1)
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    caller = pairs.sparkSession
+    _, lpairs, in_view = _enter_loop_session(pairs, "cc")
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        lpairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(
+            lpairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -635,9 +697,6 @@ def connected_components(
     # per partition; at 1B edges this is still 1000-way parallel. Both
     # frames hash on the join key, so each round's join adds no exchange.
     n_parts = max(1, min(edges.count() // 1_000_000 + 1, 4096))
-    spark = pairs.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     edges_by_dst = None
     try:
         edges_by_dst = edges.repartition(n_parts, "dst").persist(
@@ -671,13 +730,15 @@ def connected_components(
                     "label",
                     (F.col("label") < F.col("own")).alias("_changed"),
                 )
-            # localCheckpoint (eager) both materializes every partition AND
-            # truncates the logical plan: with a plain persist the analyzer
-            # re-walks an O(rounds)-deep lineage every iteration (persist
+            # eager truncation both materializes every partition AND cuts
+            # the logical plan: with a plain persist the analyzer re-walks
+            # an O(rounds)-deep lineage every iteration (persist
             # short-circuits execution, not re-analysis), which grows
             # per-round planning cost and eventually OOMs the driver on
-            # long loops. One job per round either way.
-            ).localCheckpoint(eager=True)
+            # long loops. One job per round either way; durable when a
+            # checkpoint dir is set.
+            )
+            new_labels = _truncate_lineage(new_labels)
             changed = new_labels.agg(
                 F.sum(F.col("_changed").cast("long")).alias("c")
             ).collect()[0]["c"]
@@ -688,17 +749,19 @@ def connected_components(
                 converged = True
                 break
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         if edges_by_dst is not None:
             edges_by_dst.unpersist()
         edges.unpersist()
         pairs.unpersist()
+        caller.catalog.dropGlobalTempView(in_view)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations; raise max_iterations (rounds needed = graph diameter)"
         )
-    return labels.select("node", F.col("label").alias("component"))
+    return _exit_loop_session(
+        labels.select("node", F.col("label").alias("component")), caller
+    )
 
 
 def select_canonical(
@@ -770,10 +833,12 @@ def connected_components_star(
     converged within ``max_iterations`` (for star rounds that means
     ~2^max_iterations nodes — never in practice).
     """
+    caller = pairs.sparkSession
+    _, lpairs, in_view = _enter_loop_session(pairs, "ccs")
     h0 = F.greatest(F.col(id_a), F.col(id_b))
     l0 = F.least(F.col(id_a), F.col(id_b))
     e = (
-        pairs.select(h0.alias("h"), l0.alias("l"))
+        lpairs.select(h0.alias("h"), l0.alias("l"))
         .filter(F.col("h") != F.col("l"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -784,9 +849,6 @@ def connected_components_star(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    spark = pairs.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     prev_sig = None
     converged = False
     try:
@@ -814,17 +876,17 @@ def connected_components_star(
             #    plus (h, m)
             mins2 = ls.groupBy("h").agg(F.min("l").alias("mn"))
             j = ls.join(mins2, "h")
-            # localCheckpoint: an iterative DataFrame loop's logical plan
-            # otherwise grows every round and re-analysis cost dominates
-            # (the cache only short-circuits execution, not planning). On a
-            # multi-executor cluster prefer a durable checkpoint dir; in
-            # either mode lineage stays O(1) per round.
-            new_e = (
+            # lineage truncation: an iterative DataFrame loop's logical
+            # plan otherwise grows every round and re-analysis cost
+            # dominates (the cache only short-circuits execution, not
+            # planning). Durable checkpoint when the context has a
+            # checkpoint dir (cluster), executor-local otherwise; lineage
+            # stays O(1) per round in either mode.
+            new_e = _truncate_lineage(
                 j.where(F.col("l") != F.col("mn"))
                 .select(F.col("l").alias("h"), F.col("mn").alias("l"))
                 .union(j.select("h", F.col("mn").alias("l")))
                 .distinct()
-                .localCheckpoint(eager=True)
             )
             sig_row = new_e.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -858,11 +920,11 @@ def connected_components_star(
         comp.count()
         if cur is not e:
             cur.unpersist()
-        return comp
+        return _exit_loop_session(comp, caller)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         nodes.unpersist()
         e.unpersist()
+        caller.catalog.dropGlobalTempView(in_view)
 
 
 def simhash_pairs(

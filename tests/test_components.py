@@ -89,6 +89,61 @@ def test_star_random_graph_parity(spark):
     assert st == lp
 
 
+def test_caller_session_aqe_untouched(spark):
+    """The CC loops disable AQE only in their private session — the
+    caller's conf must never flip mid-loop (shared-session safety)."""
+    from gmall_flink_yb_spark.functions.dedup import connected_components_star
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    lp = connected_components(pairs)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    st = connected_components_star(pairs)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert {r.node: r.component for r in lp.collect()} == want
+    assert {r.node: r.component for r in st.collect()} == want
+
+
+def test_durable_checkpoint_mode(spark, tmp_path):
+    """With a reliable checkpoint dir set, both CC variants must route
+    lineage truncation through df.checkpoint (files appear under the dir)
+    and still produce correct components — the fault-tolerant cluster
+    mode of _truncate_lineage."""
+    import os
+
+    from gmall_flink_yb_spark.functions.dedup import connected_components_star
+
+    sc = spark.sparkContext
+    assert not sc.getCheckpointDir(), "fixture session should start bare"
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (20, 21)], "id_a long, id_b long"
+        )
+        want = {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20}
+        lp = {r.node: r.component for r in connected_components(pairs).collect()}
+        st = {
+            r.node: r.component
+            for r in connected_components_star(pairs).collect()
+        }
+        assert lp == want and st == want
+        written = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckpt)
+            for f in files
+        ]
+        assert written, "reliable checkpoint dir was never written to"
+    finally:
+        # scala setCheckpointDir has no unset; clear via the underlying option
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+
+
 def test_select_canonical_keep_best(spark):
     from pyspark.sql import Row
 
