@@ -8,18 +8,33 @@ pipeline needs a clustering pass — SemDeDup's codebook
 exactly this: k centroids fitted to the embedding space.
 
 Scale design (100 TB):
-- The centroid set is a MODEL PARAMETER (k x dim doubles, a few KB). Each
-  Lloyd iteration moves ONLY that: assignment folds the centroids into the
-  plan as literals — a narrow, zero-shuffle, codegen'd struct-greatest per
-  row (same engine as semantic_dedup's assignment) — and the update step is
-  one groupBy over (cluster, dim) rows whose output is k*dim rows collected
-  to the driver. The corpus itself is scanned once per iteration and never
-  shuffled beyond the k*dim-row aggregate.
+- The centroid set is a MODEL PARAMETER (k x dim doubles). For small k it
+  folds into the plan as literals — assignment is a narrow, zero-shuffle,
+  codegen'd struct-greatest per row (same engine as semantic_dedup's
+  assignment) — and the update step is one groupBy over (cluster, dim)
+  rows whose k*dim-row output is collected to the driver. The corpus
+  itself is scanned once per iteration and never shuffled beyond the
+  k*dim-row aggregate.
+- Once k*dim exceeds ``max_folded_kdim`` (SemDeDup-scale codebooks:
+  k = 10^4..10^5), the per-iteration driver collect and the k*dim-literal
+  expression tree both stop scaling. The loop then switches to DISTRIBUTED
+  centroid state: centroids stay a k-row DataFrame, assignment is a
+  broadcast cross join + per-id max-struct argmax (map-side combine folds
+  the n*k scored rows back to one row per doc before the shuffle), and
+  the next iteration's centroids are rebuilt distributively — the driver
+  never materializes the model.
 - No RNG: init centroids are the k vectors with the smallest
   md5(cast(id as string)) — a uniform, engine-reproducible sample, so the
   whole trajectory (init -> assign -> update -> assign ...) is
   deterministic and a SQL oracle can replay it iteration by iteration
   (queries.py::SQL_KMEANS_CLUSTERS unrolls the same two iterations).
+- Trajectory determinism: intermediate centroid means are rounded to 12
+  decimal places before feeding the next assignment (in BOTH the Spark
+  loop and the SQL replay). Distributed double avg is
+  partition-order-dependent in its last ulp; unrounded, a near-tie
+  assignment could flip between engines (or between Spark runs) and break
+  the oracle hash. 12 dp is far below any semantic difference and far
+  above ulp noise for unit-scale embedding coordinates.
 - Cosine assignment (spherical k-means): embeddings are direction-coded;
   mean vectors need no explicit renormalization because cosine ignores
   magnitude. Ties break toward the smallest centroid id.
@@ -30,9 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gmall_flink_yb_spark.functions.dedup import _truncate_lineage
 from gmall_flink_yb_spark.functions.similarity import _as_double, cosine
 
 __all__ = ["kmeans_fit_assign"]
+
+_TRAJ_DP = 12  # intermediate-centroid rounding (see module docstring)
 
 
 def _nearest(cent: list[tuple[int, list[float]]]) -> F.Column:
@@ -52,19 +70,37 @@ def _nearest(cent: list[tuple[int, list[float]]]) -> F.Column:
     return -best["nid"]
 
 
+def _shape_state(state: DataFrame) -> DataFrame:
+    return state.select(
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.col("n").alias("n_members"),
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("c"),
+    )
+
+
 def kmeans_fit_assign(
     embeddings: DataFrame,
     n_clusters: int = 8,
     n_iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_folded_kdim: int = 32_768,
 ) -> DataFrame:
     """Run ``n_iterations`` Lloyd steps from the deterministic md5 init and
     return the final per-(cluster, dim) state: one row per centroid
     coordinate, ``(cluster_id, n_members, dim, c)`` with dim 1-based and
     c the UNROUNDED post-assignment coordinate mean (callers round for
-    cross-engine comparison). cluster_id is the init vector's id — stable
-    across iterations, so downstream joins don't re-key every step.
+    cross-engine comparison; only the means that feed the NEXT iteration
+    are rounded to 12 dp — see module docstring). cluster_id is the init
+    vector's id — stable across iterations, so downstream joins don't
+    re-key every step.
+
+    ``max_folded_kdim`` picks the engine: k*dim at or below it uses the
+    literal-folded zero-shuffle assignment; above it, centroids stay a
+    broadcast-joined DataFrame and the driver never holds the model.
+    Both paths follow the identical trajectory (same init, same rounding,
+    same tie-breaks).
 
     A cluster that loses every member simply drops out of the state (same
     semantics as the SQL replay); with the md5-uniform init and cosine
@@ -76,12 +112,23 @@ def kmeans_fit_assign(
         F.col(id_col).cast("long").alias("id"),
         _as_double(F.col(vec_col)).alias("vec"),
     )
-    # k*dim doubles — a model parameter, the one legitimate collect
-    init_rows = (
-        e.orderBy(F.md5(F.col("id").cast("string")), "id")
-        .limit(n_clusters)
-        .collect()
-    )
+    init = e.orderBy(F.md5(F.col("id").cast("string")), "id").limit(n_clusters)
+
+    probe = init.select("vec").head(1)
+    if not probe:
+        raise ValueError("kmeans_fit_assign: embeddings input is empty")
+    dim = len(probe[0]["vec"])
+    if n_clusters * dim <= max_folded_kdim:
+        return _fit_folded(e, init, n_clusters, n_iterations)
+    return _fit_distributed(e, init, n_iterations)
+
+
+def _fit_folded(
+    e: DataFrame, init: DataFrame, n_clusters: int, n_iterations: int
+) -> DataFrame:
+    """Small-k path: centroids fold into the plan as literals (zero-shuffle
+    assignment); the k*dim-row state is the one legitimate collect."""
+    init_rows = init.collect()
     if not init_rows:
         raise ValueError("kmeans_fit_assign: embeddings input is empty")
     cent = [(int(r["id"]), list(r["vec"])) for r in init_rows]
@@ -89,26 +136,66 @@ def kmeans_fit_assign(
     for it in range(n_iterations):
         assigned = e.withColumn("cid", _nearest(cent))
         state = (
-            assigned.select(
-                "cid", F.posexplode("vec").alias("pos", "x")
-            )
+            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("c"), F.count(F.lit(1)).alias("n"))
         )
         if it == n_iterations - 1:
-            return state.select(
-                F.col("cid").cast("long").alias("cluster_id"),
-                F.col("n").alias("n_members"),
-                (F.col("pos") + 1).cast("int").alias("dim"),
-                F.col("c"),
-            )
-        rows = state.collect()
-        by_cid: dict[int, list[float]] = {}
-        for r in rows:
-            by_cid.setdefault(int(r["cid"]), [0.0] * 0)
+            return _shape_state(state)
+        rows = state.select(
+            "cid", "pos", F.round("c", _TRAJ_DP).alias("c")
+        ).collect()
         dim = max(r["pos"] for r in rows) + 1
-        by_cid = {c: [0.0] * dim for c in by_cid}
+        by_cid: dict[int, list[float]] = {
+            int(r["cid"]): [0.0] * dim for r in rows
+        }
         for r in rows:
             by_cid[int(r["cid"])][int(r["pos"])] = float(r["c"])
         cent = sorted(by_cid.items())
+    raise AssertionError("unreachable")
+
+
+def _fit_distributed(
+    e: DataFrame, init: DataFrame, n_iterations: int
+) -> DataFrame:
+    """Large-k path: the centroid set never leaves the cluster. Assignment
+    scores n*k (doc, centroid) rows from a broadcast cross join, and the
+    per-doc argmax partial-aggregates map-side, so the one shuffle per
+    iteration carries n rows, not n*k. Each iteration's k-row centroid
+    frame is eagerly materialized (lineage truncated) — otherwise round
+    i's plan would chain i full corpus scans."""
+    if not e.head(1):
+        raise ValueError("kmeans_fit_assign: embeddings input is empty")
+    cent_df = _truncate_lineage(
+        init.select(F.col("id").alias("ccid"), F.col("vec").alias("cv"))
+    )
+    for it in range(n_iterations):
+        scored = e.crossJoin(F.broadcast(cent_df)).select(
+            "id",
+            "vec",
+            F.struct(
+                cosine(F.col("vec"), F.col("cv")).alias("s"),
+                (-F.col("ccid")).cast("long").alias("nid"),
+            ).alias("cand"),
+        )
+        assigned = (
+            scored.groupBy("id")
+            .agg(F.max("cand").alias("b"), F.first("vec").alias("vec"))
+            .select("id", "vec", (-F.col("b.nid")).alias("cid"))
+        )
+        state = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("c"), F.count(F.lit(1)).alias("n"))
+        )
+        if it == n_iterations - 1:
+            return _shape_state(state)
+        cent_df = _truncate_lineage(
+            state.groupBy(F.col("cid").alias("ccid")).agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: F.round(s["c"], _TRAJ_DP),
+                ).alias("cv")
+            )
+        )
     raise AssertionError("unreachable")

@@ -2688,7 +2688,10 @@ c0 AS (
       PARTITION BY e.vec_id
       ORDER BY list_cosine_similarity(e.v, c0.cv) DESC, c0.cid) = 1
 ), s1 AS (
-  SELECT cid, dims.i AS i, avg(v[dims.i]) AS c
+  -- 12dp round matches the Spark loop's trajectory rounding: distributed
+  -- double avg differs from sequential avg in the last ulp, which unrounded
+  -- could flip a near-tie assignment in a2
+  SELECT cid, dims.i AS i, round(avg(v[dims.i]), 12) AS c
   FROM a1, (SELECT unnest(range(1, {_KMEANS_DIM + 1})) AS i) dims
   GROUP BY 1, 2
 ), c1 AS (

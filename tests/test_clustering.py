@@ -70,6 +70,48 @@ def test_validates_args(spark):
         )
 
 
+def test_distributed_path_matches_folded(spark, sf_dir):
+    """Forcing the broadcast-joined centroid engine (max_folded_kdim=0)
+    must reproduce the literal-folded trajectory: same init, same 12dp
+    rounding, same tie-breaks => same final state (up to avg ulp noise,
+    compared at 6 dp like the oracle)."""
+    from gmall_flink_yb_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    folded = {
+        (r["cluster_id"], r["dim"]): (r["n_members"], round(r["c"], 6))
+        for r in kmeans_fit_assign(emb, 4, 2).collect()
+    }
+    dist = {
+        (r["cluster_id"], r["dim"]): (r["n_members"], round(r["c"], 6))
+        for r in kmeans_fit_assign(emb, 4, 2, max_folded_kdim=0).collect()
+    }
+    assert dist == folded
+
+
+def test_large_k_smoke_no_driver_model(spark):
+    """k=1024 on a synthetic corpus: the distributed path must fit and
+    return k*dim state rows without the driver ever holding the model
+    (no collect of centroid state between iterations)."""
+    from random import Random
+
+    rng = Random(7)
+    n, dim, k = 3000, 8, 1024
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows)
+    state = kmeans_fit_assign(emb, n_clusters=k, n_iterations=2).collect()
+    clusters = {r["cluster_id"] for r in state}
+    # non-degenerate: many clusters keep members; every state row is a
+    # (cluster, dim) coordinate and membership sums to n
+    assert len(clusters) > k // 4
+    assert all(1 <= r["dim"] <= dim for r in state)
+    total = sum(r["n_members"] for r in state if r["dim"] == 1)
+    assert total == n
+
+
 def test_assignment_is_narrow_no_shuffle(spark, sf_dir):
     """The assignment step must fold centroids in as literals — zero
     exchanges before the (cluster, dim) aggregate's own shuffle."""
