@@ -15,12 +15,15 @@ metadata (routing, filtering, sampling decisions) must select around
 ``content`` so the parquet scan prunes it (binary columns are only fetched
 when referenced).
 
-The actual codec work (JPEG decode, audio resample, video frame extraction)
-requires libraries not present in this container; those calls are STUBBED
-behind ``use_real_codecs=True`` -> NotImplementedError, and the default path
-uses a deterministic fake payload format (FAKE_HEADER below) so the
-Spark-side plumbing — schema, batching, partitioning, multi-row emission —
-is real and testable end-to-end.
+The actual codec work runs behind ``use_real_codecs=True``: image decode
+and resize are implemented via pillow WHEN IMPORTABLE (the import is
+probed up front so a missing dependency fails at plan time, not inside an
+executor task), and raise a clearly-marked NotImplementedError otherwise —
+this container ships no codec libraries, so tests pytest.importorskip and
+skip visibly. The default path uses a deterministic fake payload format
+(FAKE_HEADER below) so the Spark-side plumbing — schema, batching,
+partitioning, multi-row emission — is real and testable end-to-end either
+way. Audio/video codecs (av) remain stubbed.
 
 Fake payload format (deterministic, oracle-friendly):
     bytes 0..3   magic b"FMM1"
@@ -76,18 +79,59 @@ def synthesize_media(
     )
 
 
-def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
-    """Parse each payload's header into typed metadata columns.
+def _require_pillow() -> None:
+    """Probe the codec dependency at PLAN time (driver) so a missing
+    library is a clear error, not a per-task executor traceback."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "use_real_codecs=True needs pillow, which is not installed in "
+            "this environment; the deterministic fake-payload path "
+            "(use_real_codecs=False) exercises the same Spark plumbing"
+        ) from exc
 
-    With real codecs this is where PIL/libav would run; the container has
-    neither, so that path raises (clearly-marked stub). The fake-format path
-    exercises identical plumbing: binary in, struct-typed metadata out,
-    batch-at-a-time over Arrow.
+
+def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """Parse each payload into typed metadata columns.
+
+    Real mode (pillow importable): `content` is treated as an encoded
+    image (PNG/JPEG/...); width/height come from the actual decoder, and
+    payloads pillow cannot open get zeroed metadata — same kept-row
+    contract as the fake path, so downstream dirty-data routing is
+    identical. Fake mode parses the FMM1 header. Both are Arrow
+    batch-at-a-time mapInPandas with the same output schema.
     """
     if use_real_codecs:
-        raise NotImplementedError(
-            "real image/audio codecs are not available in this environment; "
-            "install pillow/av and implement the codec branch here"
+        _require_pillow()
+
+        def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            for pdf in batches:
+                out = pdf[["media_id", "media_type", "content"]].copy()
+                widths, heights, n_bytes = [], [], []
+                for buf in pdf["content"]:
+                    b = bytes(buf)
+                    try:
+                        with Image.open(io.BytesIO(b)) as im:
+                            w, h = im.size
+                    except Exception:
+                        w, h = 0, 0  # undecodable -> zeroed metadata
+                    widths.append(w)
+                    heights.append(h)
+                    n_bytes.append(len(b))
+                out["width"] = pd.Series(widths, dtype="int32")
+                out["height"] = pd.Series(heights, dtype="int32")
+                out["body_bytes"] = pd.Series(n_bytes, dtype="int64")
+                yield out
+
+        return df.mapInPandas(
+            decode_real,
+            "media_id long, media_type string, content binary, "
+            "width int, height int, body_bytes long",
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,11 +162,38 @@ def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
 def resize_images(
     df: DataFrame, target_w: int, target_h: int, use_real_codecs: bool = False
 ) -> DataFrame:
-    """Rewrite each image payload's header to the target dimensions (the fake
-    analogue of a real resize; body carried through untouched). Only
-    media_type == 'image' rows are transformed; others pass through."""
+    """Resize image payloads to the target dimensions. Real mode decodes
+    with pillow, resizes, and re-encodes as PNG (undecodable payloads pass
+    through untouched); fake mode rewrites the FMM1 header and carries the
+    body through. Only media_type == 'image' rows are transformed; others
+    pass through."""
     if use_real_codecs:
-        raise NotImplementedError("real resize needs pillow; see decode_media")
+        _require_pillow()
+
+        def resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            def _one(b: bytes) -> bytes:
+                try:
+                    with Image.open(io.BytesIO(b)) as im:
+                        resized = im.resize((target_w, target_h))
+                except Exception:
+                    return b  # undecodable -> unchanged
+                buf = io.BytesIO()
+                resized.save(buf, format="PNG")
+                return buf.getvalue()
+
+            for pdf in batches:
+                out = pdf.copy()
+                is_img = out["media_type"] == "image"
+                out.loc[is_img, "content"] = out.loc[is_img, "content"].map(
+                    lambda b: _one(bytes(b))
+                )
+                yield out
+
+        return df.mapInPandas(resize_real, df.schema)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         header = FAKE_MAGIC + struct.pack(">HH", target_w, target_h)

@@ -62,11 +62,47 @@ def test_decode_media(media):
     assert got["width"] == 0 and got["height"] == 0
 
 
-def test_real_codec_path_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
+def test_real_codec_missing_dep_raises_clearly(media):
+    """Without pillow the real path must fail at PLAN time with a clear
+    message (not a per-task executor traceback); with pillow installed the
+    real tests below run instead."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        pytest.skip("pillow installed: real-codec path covered below")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pillow"):
         decode_media(media, use_real_codecs=True)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="pillow"):
         resize_images(media, 224, 224, use_real_codecs=True)
+
+
+def test_real_codec_decode_and_resize(spark):
+    """Real-codec path: decode an actual PNG's dimensions and resize it.
+    Skips visibly when pillow is absent (this container ships no codecs) —
+    same skipped-not-silent discipline as the Kafka broker tests."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = PIL_Image.new("RGB", (32, 20), (200, 10, 10))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "image", png), (2, "image", b"not-an-image")],
+        "media_id long, media_type string, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_media(df, use_real_codecs=True).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (32, 20)
+    assert (rows[2]["width"], rows[2]["height"]) == (0, 0)  # kept, zeroed
+
+    resized = decode_media(
+        resize_images(df, 8, 8, use_real_codecs=True), use_real_codecs=True
+    )
+    rrows = {r["media_id"]: r for r in resized.collect()}
+    assert (rrows[1]["width"], rrows[1]["height"]) == (8, 8)
+    assert bytes(rrows[2]["content"]) == b"not-an-image"  # passthrough
 
 
 def test_resize_only_touches_images(media):
