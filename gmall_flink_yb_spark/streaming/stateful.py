@@ -1,8 +1,9 @@
 """Keyed stateful streaming operators (applyInPandasWithState).
 
-These are the ONLY two places the engine needs true per-key streaming state;
+These are the only places the engine needs true per-key streaming state
+(visitor correction, CEP bounce, and the ADS funnel/retention forms below);
 everything else in the reference maps to declarative Structured Streaming
-(SURVEY.md §7.3). Both operators take a FLAT event frame (key/ts plus scalar
+(SURVEY.md §7.3). All operators take a FLAT event frame (key/ts plus scalar
 columns) — flatten nested structs before calling.
 
 Scale notes: state per key is tiny (one flag / one pending timestamp), keys
@@ -20,7 +21,13 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 
 def correct_is_new_stream(
@@ -154,4 +161,165 @@ def detect_bounce_stream(
         stateStructType="pending double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def funnel_steps_stream(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Streaming form of ``operators.funnel.funnel_conversion``: emits one
+    append row ``(user, step_index, step_ts)`` the moment a user's
+    first-qualifying chain ADVANCES to a step — the micro-batch analogue of
+    the batch min-timestamp propagation (funnel.py:35), so
+
+        counts-per-step over this output == funnel_conversion's ``users``.
+
+    State per user is ``len(steps)`` timestamps (the achieved chain) —
+    constant-size, never the event list.
+
+    Ingest-order contract: within a micro-batch rows are processed in
+    event-time order (sorted here); ACROSS micro-batches each user's
+    events must arrive in non-decreasing event-time order (the daily/
+    hourly-partitioned replay reality, same contract as
+    ``start_incremental_dedup_stream``'s increasing doc ids). Under it the
+    first qualifying step-k event IS the min-ts qualifying event, so
+    streaming == batch exactly; an out-of-order step-1 arrival that would
+    re-base a chain batch-side is ignored here (no retraction in append
+    mode).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps}")
+    user_field = events.schema[user_col]
+    out_schema = StructType(
+        [
+            StructField(user_col, user_field.dataType),
+            StructField("step_index", IntegerType()),
+            StructField("step_ts", TimestampType()),
+        ]
+    )
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n = len(steps)
+    win = float(window_seconds)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[pdf[type_col].isin(step_idx)]
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        t = list(state.get) if state.exists else [-1.0] * n
+        hit_steps: list[int] = []
+        hit_ts: list[float] = []
+        for ts_val, typ in zip(pdf[ts_col], pdf[type_col]):
+            ts_s = ts_val.timestamp()
+            i = step_idx[typ]
+            if i == 0:
+                qualifies = t[0] < 0
+            else:
+                qualifies = (
+                    t[i] < 0
+                    and t[i - 1] >= 0
+                    and ts_s > t[i - 1]
+                    and ts_s <= t[0] + win
+                )
+            if qualifies:
+                t[i] = ts_s
+                hit_steps.append(i + 1)
+                hit_ts.append(ts_s)
+        state.update(tuple(t))
+        if hit_steps:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]] * len(hit_steps),
+                    "step_index": pd.Series(hit_steps, dtype="int32"),
+                    "step_ts": pd.to_datetime(hit_ts, unit="s"),
+                }
+            )
+
+    state_schema = ", ".join(f"t{i} double" for i in range(n))
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def retention_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int = 30,
+) -> DataFrame:
+    """Streaming form of ``operators.funnel.retention_cohorts``: emits one
+    append row ``(user, cohort_date, day_offset)`` the FIRST time a user is
+    seen active ``day_offset`` days after their cohort (first-active) date,
+    so ``countDistinct(user)`` per (cohort_date, day_offset) over this
+    output equals the batch query's ``active_users``.
+
+    State per user: the cohort date (epoch days) plus one int64 BITMASK of
+    already-emitted offsets — which is why ``max_offset_days`` must be < 63.
+    Constant-size state per user, no event history.
+
+    Same cross-batch ingest-order contract as ``funnel_steps_stream``: a
+    user's first-ever event must not arrive after a later-dated one in a
+    previous micro-batch (within-batch disorder is sorted away); negative
+    offsets from contract violations are dropped, not retracted.
+    """
+    if not 0 < max_offset_days < 63:
+        raise ValueError("max_offset_days must be in [1, 62] (bitmask state)")
+    user_field = events.schema[user_col]
+    out_schema = StructType(
+        [
+            StructField(user_col, user_field.dataType),
+            StructField("cohort_date", StringType()),
+            StructField("day_offset", IntegerType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        days = sorted(
+            {int(ts_val.timestamp() // 86400) for ts_val in pdf[ts_col]}
+        )
+        cohort, emitted = state.get if state.exists else (-1, 0)
+        out_off: list[int] = []
+        for d in days:
+            if cohort < 0:
+                cohort = d
+            off = d - cohort
+            if 0 <= off <= max_offset_days and not (emitted >> off) & 1:
+                emitted |= 1 << off
+                out_off.append(off)
+        state.update((cohort, emitted))
+        if out_off:
+            cohort_str = pd.Timestamp(cohort * 86400, unit="s").strftime(
+                "%Y-%m-%d"
+            )
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]] * len(out_off),
+                    "cohort_date": [cohort_str] * len(out_off),
+                    "day_offset": pd.Series(out_off, dtype="int32"),
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="cohort long, emitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

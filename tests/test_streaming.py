@@ -670,3 +670,149 @@ def test_incremental_dedup_stream(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     )
     assert admitted == [1, 2, 4]
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark, tmp_path_factory):
+    """Three time-ordered files -> three micro-batches; chains that span
+    batch boundaries, a window-expired step, and an out-of-window user."""
+    steps_rows_b1 = [
+        (1, _ts(100.0), "view"),
+        (1, _ts(110.0), "click"),      # u1 advances to step2 in batch 1
+        (2, _ts(120.0), "view"),
+        (3, _ts(130.0), "click"),      # no view yet: never qualifies
+        (4, _ts(140.0), "view"),
+        (5, _ts(150.0), "other"),      # noise
+    ]
+    steps_rows_b2 = [
+        (1, _ts(200.0), "purchase"),   # u1 completes across batches
+        (2, _ts(210.0), "click"),      # u2 advances across batches
+        (4, _ts(999.0), "click"),      # past u4's 500s window: no advance
+        (5, _ts(220.0), "view"),
+    ]
+    steps_rows_b3 = [
+        (2, _ts(300.0), "purchase"),   # u2 completes
+        (5, _ts(230.0), "click"),
+        (5, _ts(231.0), "click"),      # second qualifying click: ignored
+    ]
+    d = tmp_path_factory.mktemp("funnel_events")
+    for i, rows in enumerate([steps_rows_b1, steps_rows_b2, steps_rows_b3]):
+        spark.createDataFrame(rows, FUNNEL_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"b{i}"))
+        part = [f for f in os.listdir(d / f"b{i}") if f.endswith(".parquet")]
+        os.rename(d / f"b{i}" / part[0], d / f"{i:02d}.parquet")
+        os.utime(d / f"{i:02d}.parquet",
+                 (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    all_df = spark.read.schema(FUNNEL_SCHEMA).parquet(str(d))
+    return str(d), all_df
+
+
+def test_funnel_stream_matches_batch(spark, funnel_events):
+    from gmall_flink_yb_spark.operators.funnel import funnel_conversion
+    from gmall_flink_yb_spark.streaming.stateful import funnel_steps_stream
+
+    path, all_df = funnel_events
+    steps = ["view", "click", "purchase"]
+    stream = read_file_stream(
+        spark, path, FUNNEL_SCHEMA, max_files_per_trigger=1, glob="*.parquet"
+    )
+    got = _run_to_memory(
+        funnel_steps_stream(stream, steps, window_seconds=500),
+        spark,
+        "funnel_s",
+    )
+    stream_counts = {
+        r["step_index"]: r["users"]
+        for r in got.groupBy("step_index")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    batch = {
+        r["step_index"]: r["users"]
+        for r in funnel_conversion(all_df, steps, window_seconds=500).collect()
+    }
+    # batch emits every step_index (zero-filled); stream only emits reached
+    # steps — compare on the batch's support
+    assert batch == {1: 4, 2: 3, 3: 2}
+    for i, n in batch.items():
+        assert stream_counts.get(i, 0) == n, (i, stream_counts, batch)
+    # the per-user advance rows carry the SAME first-qualifying timestamps
+    # the batch min-propagation computes
+    u1 = {
+        r["step_index"]: r["step_ts"].timestamp()
+        for r in got.filter(F.col("user_id") == 1).collect()
+    }
+    assert u1 == {1: 100.0, 2: 110.0, 3: 200.0}
+
+
+def test_retention_stream_matches_batch(spark, funnel_events):
+    """Retention over multi-day activity: reuse the funnel fixture's users
+    plus day-spanning timestamps written as a fourth time-ordered file."""
+    from gmall_flink_yb_spark.operators.funnel import retention_cohorts
+    from gmall_flink_yb_spark.streaming.stateful import retention_stream
+
+    rows_day0 = [
+        (1, _ts(100.0), "view"),
+        (2, _ts(200.0), "view"),
+        (3, _ts(300.0), "view"),
+    ]
+    rows_day1 = [
+        (1, _ts(86400.0 + 100), "click"),      # u1 back on day 1
+        (3, _ts(86400.0 + 200), "view"),
+        (4, _ts(86400.0 + 300), "view"),       # u4's cohort is day 1
+    ]
+    rows_day3 = [
+        (1, _ts(3 * 86400.0 + 50), "view"),    # u1 back on day 3
+        (4, _ts(3 * 86400.0 + 60), "view"),    # u4 offset 2
+        (4, _ts(3 * 86400.0 + 61), "view"),    # same-day dup: one emission
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="retention_events")
+    for i, rows in enumerate([rows_day0, rows_day1, rows_day3]):
+        spark.createDataFrame(rows, FUNNEL_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"b{i}"))
+        part = [
+            f
+            for f in os.listdir(os.path.join(d, f"b{i}"))
+            if f.endswith(".parquet")
+        ]
+        os.rename(
+            os.path.join(d, f"b{i}", part[0]),
+            os.path.join(d, f"{i:02d}.parquet"),
+        )
+        os.utime(
+            os.path.join(d, f"{i:02d}.parquet"),
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    all_df = spark.read.schema(FUNNEL_SCHEMA).parquet(d)
+    stream = read_file_stream(
+        spark, d, FUNNEL_SCHEMA, max_files_per_trigger=1, glob="*.parquet"
+    )
+    got = _run_to_memory(
+        retention_stream(stream, max_offset_days=30), spark, "retention_s"
+    )
+    stream_counts = {
+        (r["cohort_date"], r["day_offset"]): r["active_users"]
+        for r in got.groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .collect()
+    }
+    batch_counts = {
+        (r["cohort_date"], r["day_offset"]): r["active_users"]
+        for r in retention_cohorts(all_df, max_offset_days=30).collect()
+    }
+    assert stream_counts == batch_counts
+    assert batch_counts[("1970-01-01", 0)] == 3  # cohort day-0 size
+    assert batch_counts[("1970-01-01", 3)] == 1  # u1 back on day 3
