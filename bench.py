@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,15 +37,17 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-N per query (default 2): this box carries background load that
-    # swings single runs 3-8x; the minimum is closest to the query's actual
-    # cost. The cache is cleared before every repeat so a query's own
-    # persist() calls re-materialize each time — every repeat is a full
-    # cold-cache execution, min only removes load-spike noise.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # median-of-N per query (default 3): this box carries background load
+    # that swings single runs 3-8x; the median is a robust, regression-
+    # detectable estimate (best-of-N hides slowdowns that hit most runs).
+    # The cache is cleared before every repeat so a query's own persist()
+    # calls re-materialize each time — every repeat is a full cold-cache
+    # execution; the median only removes load-spike noise.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name, fn in QUERIES.items():
-        best = None
+        samples: list[float] = []
         for _ in range(runs):
             spark.catalog.clearCache()
             t0 = time.time()
@@ -52,9 +55,9 @@ def main() -> None:
             # noop sink materializes EVERY column (count() would let
             # Catalyst prune the projections and under-report)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = [round(s, 3) for s in sorted(samples)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -65,6 +68,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": runs,
+                "estimator": "median",
+                "samples": spreads,
             }
         )
     )

@@ -156,6 +156,55 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b, size_a, size_b) pairs whose PREFIXES intersect
+    — the skew-bounded core of ``jaccard_prefix_pairs``, factored out so the
+    hot-shingle property (a boilerplate shingle shared by every doc ranks
+    last and never generates candidates) is directly testable."""
+    # global df via hash aggregate + join, NOT a count-over-window: the
+    # window formulation full-sorts every shingle row by token, while the
+    # aggregate does map-side partial counting and only shuffles unique
+    # tokens (measured ~2x faster on the prefix build at sf0.1)
+    dfs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "token")
+    # same partition+order spec => rnk and set_size share one sort/WindowExec
+    w_doc_all = w_doc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        toks.join(dfs, "token")
+        .withColumn("set_size", F.count(F.lit(1)).over(w_doc_all))
+        .withColumn("rnk", F.row_number().over(w_doc))
+    )
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size"))
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rnk") <= prefix_len).select(
+        "doc_id", "token", "set_size"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+            & (F.col("a.set_size") >= F.lit(threshold) * F.col("b.set_size"))
+            & (F.col("b.set_size") >= F.lit(threshold) * F.col("a.set_size")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -186,48 +235,7 @@ def jaccard_prefix_pairs(
     toks = shingle_rows(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # global df via hash aggregate + join, NOT a count-over-window: the
-    # window formulation full-sorts every shingle row by token, while the
-    # aggregate does map-side partial counting and only shuffles unique
-    # tokens (measured ~2x faster on the prefix build at sf0.1)
-    dfs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "token")
-    # same partition+order spec => rnk and set_size share one sort/WindowExec
-    w_doc_all = w_doc.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = (
-        toks.join(dfs, "token")
-        .withColumn("set_size", F.count(F.lit(1)).over(w_doc_all))
-        .withColumn("rnk", F.row_number().over(w_doc))
-    )
-    prefix_len = (
-        F.col("set_size")
-        - F.ceil(F.lit(threshold) * F.col("set_size"))
-        + F.lit(1)
-    )
-    prefix = ranked.filter(F.col("rnk") <= prefix_len).select(
-        "doc_id", "token", "set_size"
-    )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
-            & (F.col("a.set_size") >= F.lit(threshold) * F.col("b.set_size"))
-            & (F.col("b.set_size") >= F.lit(threshold) * F.col("a.set_size")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _jaccard_prefix_candidates(toks, threshold)
     ta = toks.alias("ta")
     tb = toks.alias("tb")
     inter = (

@@ -16,6 +16,19 @@ BaseLogApp.java:74). These operators make the mitigation explicit:
   on key. Spark's hash aggregate already does map-side partial aggregation,
   so this only wins for algebraic aggs whose partial states are large
   (e.g. collect_set) or under extreme single-key skew.
+
+WHEN to reach for these (the documented threshold, exercised by
+tests/test_merge_skew.py): salt once a single key's row share exceeds
+~1/shuffle_partitions — at that point the key's reducer is the whole
+stage's straggler bound and AQE cannot split it further (skew-split works
+on partitions, not keys: a partition holding ONE giant key is
+unsplittable). Below that share, leave it to AQE's skew-join/partition
+splitting; above it, buckets ~= ceil(key_share * shuffle_partitions * 2)
+spreads the key back to average-partition size. For keyed-state streaming
+(uv/bounce), the same hot device is bounded per-key by CONSTANT state
+(one flag / one pending ts), so throughput skews but memory does not —
+mitigate upstream by dropping bot devices, the reference's exposure
+(BaseLogApp.java:74).
 """
 
 from __future__ import annotations

@@ -110,3 +110,146 @@ def test_salted_agg_matches_plain_agg(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def _hot_key_events(spark, n=40_000, hot_share=0.5):
+    """Synthetic skewed log: one device ('hot') owns hot_share of all rows,
+    the rest spread over 200 mids; two event days."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    n_hot = int(n * hot_share)
+    rows = spark.range(n).select(
+        F.when(F.col("id") < n_hot, F.lit("hot"))
+        .otherwise(F.concat(F.lit("m"), (F.col("id") % 200).cast("string")))
+        .alias("mid"),
+        (
+            F.lit(base)
+            + F.make_interval(
+                secs=((F.col("id") * 5) % (2 * 86400)).cast("double")
+            )
+        ).alias("ts"),
+        F.lit("1").alias("is_new"),
+        (F.col("id") % 7 == 0).alias("is_entry"),
+        F.col("id").alias("event_id"),
+    )
+    return rows
+
+
+def test_uv_bounce_correct_under_hot_key(spark):
+    """One mid = 50% of events (the bot-device scenario, SURVEY §4.2): the
+    keyed operators must stay correct — UV counts the hot device once per
+    day like any other, bounce processes its giant per-key window — and
+    complete without a straggler dominating (generous wall-clock smoke
+    bound; the load-bearing spread assertions are below)."""
+    import time
+
+    from gmall_flink_yb_spark.operators.bounce import detect_bounce_batch
+    from gmall_flink_yb_spark.operators.visitor import unique_visitors_batch
+
+    ev = _hot_key_events(spark).persist()
+    try:
+        t0 = time.time()
+        uv = {
+            str(r["_uv_date"]): r["uv"]
+            for r in unique_visitors_batch(ev, key_col="mid", ts_col="ts")
+            .groupBy("_uv_date")
+            .agg(F.count(F.lit(1)).alias("uv"))
+            .collect()
+        }
+        detect_bounce_batch(
+            ev, key_col="mid", ts_col="ts", is_entry=F.col("is_entry"),
+            window_seconds=10, order_cols=["event_id"],
+        ).count()
+        elapsed = time.time() - t0
+    finally:
+        ev.unpersist()
+    # 200 cold mids + hot appear on both days; ids < 20k (hot) hit day 1
+    # only via modulo spread — assert exact per-day distinct counts
+    assert uv == {"2024-01-01": 201, "2024-01-02": 201}
+    assert elapsed < 120, f"hot-key pipeline took {elapsed:.0f}s"
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """The documented threshold mechanism: a key with 50% row share melts
+    one reducer (share >> 1/shuffle_partitions); salting with b buckets
+    must cut the max per-group row count to ~hot/b."""
+    n, buckets = 40_000, 16
+    ev = _hot_key_events(spark, n=n)
+    salted_sizes = (
+        ev.withColumn("_salt", (F.rand(seed=42) * buckets).cast("int"))
+        .groupBy("mid", "_salt")
+        .count()
+    )
+    hot_max = (
+        salted_sizes.filter(F.col("mid") == "hot")
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    hot_total = n // 2
+    # unsalted: one group of hot_total rows; salted: ~hot_total/buckets,
+    # allow 2x for rand() imbalance
+    assert hot_max <= 2 * hot_total / buckets, hot_max
+    # and the salted aggregate still returns the exact answer
+    from gmall_flink_yb_spark.operators.skew import salted_agg
+
+    got = {
+        r["mid"]: r["n"]
+        for r in salted_agg(
+            ev, ["mid"], {"n": F.count(F.lit(1))}, buckets=buckets
+        ).collect()
+    }
+    assert got["hot"] == hot_total
+    assert sum(got.values()) == n
+
+
+def test_hot_shingle_generates_no_prefix_candidates(spark):
+    """PPJoin prefix filter under a 100%-df boilerplate shingle: every doc
+    shares the same 12-token header, so a naive inverted-index self-join
+    fans out to all ~n^2/2 pairs through those shingles; the prefix filter
+    must rank them LAST (df desc) and generate ZERO candidates when the
+    docs' unique bodies don't overlap. This is the documented skew answer
+    for jaccard at scale (functions/dedup.py::jaccard_prefix_pairs)."""
+    from gmall_flink_yb_spark.functions.dedup import (
+        _jaccard_prefix_candidates,
+        jaccard_prefix_pairs,
+        shingle_rows,
+    )
+
+    n_docs = 80
+    boiler = "terms of service apply to all content on this site always"
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                boiler
+                + " "
+                + " ".join(f"u{i}w{j}" for j in range(30)),
+            )
+            for i in range(n_docs)
+        ],
+        "doc_id long, text string",
+    )
+    toks = shingle_rows(docs, "doc_id", "text", 3)
+    # the hot shingles really are in every doc
+    hot_df = (
+        toks.groupBy("token").count().agg(F.max("count").alias("m")).collect()
+    )[0]["m"]
+    assert hot_df == n_docs
+    # naive candidate fan-out through ANY shared shingle: all pairs
+    a, b = toks.alias("a"), toks.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert naive == n_docs * (n_docs - 1) // 2
+    # prefix filter: boilerplate ranks last, prefixes are disjoint
+    assert _jaccard_prefix_candidates(toks, 0.5).count() == 0
+    # and the full operator returns no pairs (ground truth: J ~= 0.25 < t)
+    assert jaccard_prefix_pairs(docs, "doc_id", "text", 0.5).count() == 0

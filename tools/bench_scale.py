@@ -1,0 +1,132 @@
+"""Scale-slope bench for the dedup chain: 1x vs 10x documents.
+
+The per-round driver bench (sf0.1) runs each dedup query in ~1-7 s, which
+mostly measures fixed overhead — it cannot tell a near-linear operator from
+a quadratic one. This harness measures the SLOPE: the same five queries on
+the sf0.1 documents table and on a 10x replica of it, reporting
+t(10x)/t(1x) per query. Near-linear operators should land <= ~12x
+(10x data + shuffle growth); anything beyond that names its offending
+stage.
+
+The 10x corpus is NOT ten verbatim copies: each replica r salts every word
+gap with a replica token (``s<r>``), so cross-replica doc pairs share no
+shingles and the near-dup graph keeps its organic 1x structure scaled 10x.
+Verbatim replication would instead multiply every dup clique by 10 and grow
+PAIR counts ~100x — a quadratic-input benchmark that would mis-grade a
+linear operator. MinHash/SimHash signatures see the same effect (salted
+shingle sets are disjoint across replicas).
+
+Run:  python tools/bench_scale.py [--runs N] [--sf-dir DIR] [--out DIR]
+Prints one JSON line: {"queries": {name: {"t1": s, "t10": s, "slope": x}}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gmall_flink_yb_spark.queries import QUERIES
+from gmall_flink_yb_spark.session import get_spark
+from gmall_flink_yb_spark.sources.readers import read_table
+
+DEDUP_QUERIES = [
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_canonical",
+    "dedup_incremental",
+]
+
+REPLICAS = 10
+ID_STRIDE = 1_000_000_000
+
+
+def build_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]:
+    """Write the 1x corpus (re-laid-out for I/O parity) and the salted 10x
+    corpus under out_dir; returns their sf-dir-shaped directories."""
+    base = read_table(spark, sf_dir, "documents")
+    one_dir = os.path.join(out_dir, "scale1x")
+    ten_dir = os.path.join(out_dir, "scale10x")
+    base.write.mode("overwrite").parquet(
+        os.path.join(one_dir, "documents.parquet")
+    )
+    replicas = [
+        base.select(
+            (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+            F.regexp_replace("text", " ", f" s{r} ").alias("text"),
+            *[
+                c
+                for c in base.columns
+                if c not in ("doc_id", "text")
+            ],
+        )
+        for r in range(REPLICAS)
+    ]
+    ten = replicas[0]
+    for rep in replicas[1:]:
+        ten = ten.unionByName(rep)
+    ten.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(ten_dir, "documents.parquet")
+    )
+    return one_dir, ten_dir
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
+    fn = QUERIES[name]
+    samples = []
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.time() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/spark_graft_scale")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    one_dir, ten_dir = build_corpora(spark, args.sf_dir, args.out)
+    n1 = spark.read.parquet(os.path.join(one_dir, "documents.parquet")).count()
+    n10 = spark.read.parquet(os.path.join(ten_dir, "documents.parquet")).count()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in DEDUP_QUERIES:
+        t1 = time_query(spark, name, one_dir, args.runs)
+        t10 = time_query(spark, name, ten_dir, args.runs)
+        out[name] = {
+            "t1": round(t1, 2),
+            "t10": round(t10, 2),
+            "slope": round(t10 / t1, 2),
+        }
+        print(
+            f"# {name}: 1x {t1:.2f}s  10x {t10:.2f}s  slope {t10 / t1:.1f}x",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {"docs_1x": n1, "docs_10x": n10, "runs": args.runs, "queries": out}
+        )
+    )
+    spark.stop()
+    if not args.keep:
+        shutil.rmtree(args.out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
