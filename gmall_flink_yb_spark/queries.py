@@ -85,6 +85,7 @@ from gmall_flink_yb_spark.functions.ngrams import (
     hashed_ngram_affinity,
     span_dup_stats,
 )
+from gmall_flink_yb_spark.functions.winnow import winnow_overlap_pairs
 from gmall_flink_yb_spark.functions.bloom import bloom_build, bloom_probe
 from gmall_flink_yb_spark.functions.layout import zcell_stats
 from gmall_flink_yb_spark.functions.clustering import kmeans_fit_assign
@@ -725,6 +726,46 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+"""
+
+
+_Q4_LATE_DAYS = 60
+
+
+def q_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — EXISTS decorrelated to a LEFT SEMI join. orders ⋉ lineitem
+    on orderkey with the lateness range predicate attached to the join:
+    each side shuffles once on the key, the semi join keeps at most one
+    match per order (no fan-out), and the priority roll-up is a tiny
+    post-agg. At 100 TB both sides are facts — shuffled-hash/SMJ semi on
+    the join key is exactly the plan that survives; no broadcast wanted."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_Q4_LATE_ORDERS = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY
+)
+GROUP BY 1 ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
@@ -2339,6 +2380,60 @@ FROM f GROUP BY doc_id
 """
 
 
+_WINNOW_K = 5
+_WINNOW_W = 4
+_WINNOW_MIN_SHARED = 2
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (Schleimer et al. 2003): documents
+    sharing >= 2 winnowed k-gram fingerprints — catches PARTIAL copies
+    (a lifted paragraph) that whole-document Jaccard misses. Per-doc
+    phase is one exchange (gram lead + sliding min share a sort); the
+    pair phase is an inverted-index join on the fingerprint value."""
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+    )
+
+
+SQL_WINNOW_OVERLAP = f"""
+WITH toks AS ({_SQL_TOKS}
+), g AS (
+  SELECT doc_id,
+         CAST(i - 1 AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(t[i:i+{_WINNOW_K - 1}],
+                                                  ' ')), 1, 15)) AS BIGINT)
+             AS gh,
+         greatest(CAST(len(t) AS BIGINT) - {_WINNOW_K - 1}, 1) AS n_grams
+  FROM toks,
+       unnest(range(1, greatest(CAST(len(t) AS BIGINT) - {_WINNOW_K - 1}, 1)
+                       + 1)) AS u(i)
+  WHERE len(t) > 0
+), wm AS (
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+         pos, n_grams
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wm
+  WHERE pos <= greatest(n_grams - {_WINNOW_W}, 0)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+"""
+
+
 _CHUNK_SIZE = 32
 _CHUNK_STRIDE = 24
 
@@ -3219,6 +3314,8 @@ QUERIES: dict[str, QueryFn] = {
     "top_orders_per_nation": q_top_orders_per_nation,
     "customers_without_orders": q_customers_without_orders,
     "uv_daily_approx": q_uv_daily_approx,
+    "q4_late_orders": q_q4_late_orders,
+    "winnow_overlap": q_winnow_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -3302,4 +3399,6 @@ ORACLES: dict[str, str] = {
     # the estimate itself is engine-internal; the contract (within 3*rsd of
     # exact) IS deterministic, so even the HLL sketch is oracle-gated
     "uv_daily_approx": SQL_UV_DAILY_APPROX,
+    "q4_late_orders": SQL_Q4_LATE_ORDERS,
+    "winnow_overlap": SQL_WINNOW_OVERLAP,
 }

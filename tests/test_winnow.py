@@ -1,0 +1,123 @@
+"""Winnowing fingerprints (Schleimer et al. 2003) — LLM-pipeline surface.
+
+Pins the semantics the DuckDB oracle assumes: gram positions, short-doc
+single-window behavior, the w+k-1 shared-substring guarantee, and the
+partial-copy detection property whole-document Jaccard misses.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_flink_yb_spark.functions.winnow import (
+    gram_hash_rows,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gram_rows_positions_and_truncation(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "x y"), (3, "")])
+    rows = gram_hash_rows(df, "doc_id", "text", k=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 4 tokens, k=3 -> 2 grams at pos 0,1
+    assert sorted(r["pos"] for r in by_doc[1]) == [0, 1]
+    assert all(r["n_grams"] == 2 for r in by_doc[1])
+    # doc 2: short doc -> single truncated gram
+    assert [r["pos"] for r in by_doc[2]] == [0]
+    assert by_doc[2][0]["n_grams"] == 1
+    # doc 3: empty -> no rows
+    assert 3 not in by_doc
+
+
+def test_short_doc_gets_one_global_min_fingerprint(spark):
+    # 4 tokens, k=3 -> 2 grams < w=4 -> one window over all grams
+    df = _docs(spark, [(1, "a b c d")])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    assert len(fps) == 1
+    grams = gram_hash_rows(df, "doc_id", "text", k=3).collect()
+    assert fps[0]["fp"] == min(r["gh"] for r in grams)
+
+
+def test_density_and_determinism(spark):
+    text = " ".join(f"tok{i * 7919 % 1000}" for i in range(200))
+    df = _docs(spark, [(1, text)])
+    n_fp = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).count()
+    # 196 grams, window density ~2/(w+1) -> far fewer fingerprints than grams
+    assert 2 <= n_fp <= 120
+    again = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).count()
+    assert n_fp == again
+
+
+def test_shared_substring_guarantee(spark):
+    # any shared token run of >= w+k-1 tokens must yield a shared fingerprint
+    shared = " ".join(f"s{i}" for i in range(8))  # 8 >= w+k-1 = 4+5-1
+    df = _docs(
+        spark,
+        [
+            (1, "left context here " + shared + " tail one"),
+            (2, "completely different opening words " + shared + " other end"),
+            (3, "nothing in common with those documents at all whatsoever"),
+        ],
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    sets = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[1] & sets[2], "shared substring must produce a common fingerprint"
+
+
+def test_overlap_pairs_detects_partial_copy_only(spark):
+    lifted = " ".join(f"p{i}" for i in range(30))
+    df = _docs(
+        spark,
+        [
+            (1, "intro alpha beta " + lifted + " outro gamma"),
+            (2, "unrelated start " + lifted + " unrelated finish"),
+            (3, "totally separate text with zero overlapping runs of tokens"),
+        ],
+    )
+    pairs = winnow_overlap_pairs(
+        df, "doc_id", "text", k=5, w=4, min_shared=2
+    ).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert not any(3 in p for p in keys)
+
+
+def test_max_bucket_drops_boilerplate_fingerprint(spark):
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [(i, f"doc {i} unique words here " + boiler) for i in range(1, 7)]
+    df = _docs(spark, rows)
+    capped = winnow_overlap_pairs(
+        df, "doc_id", "text", k=5, w=4, min_shared=1, max_bucket=3
+    ).count()
+    uncapped = winnow_overlap_pairs(
+        df, "doc_id", "text", k=5, w=4, min_shared=1
+    ).count()
+    assert uncapped > 0
+    assert capped < uncapped
+
+
+def test_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, "doc_id", "text", k=0, w=4)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, "doc_id", "text", k=3, w=0)
+
+
+def test_single_exchange_per_doc_phase(spark):
+    # gram lead-assembly and the sliding min share one (doc_id, pos) sort:
+    # the fingerprint plan must contain exactly one hashpartitioning on
+    # doc_id and no second sort-exchange for the min window
+    df = _docs(spark, [(1, "a b c d e f g h i j")])
+    plan = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(doc_id") <= 2  # window sort + distinct
