@@ -8,13 +8,15 @@ t(10x)/t(1x) per query. Near-linear operators should land <= ~12x
 (10x data + shuffle growth); anything beyond that names its offending
 stage.
 
-The 10x corpus is NOT ten verbatim copies: each replica r salts every word
-gap with a replica token (``s<r>``), so cross-replica doc pairs share no
-shingles and the near-dup graph keeps its organic 1x structure scaled 10x.
-Verbatim replication would instead multiply every dup clique by 10 and grow
-PAIR counts ~100x — a quadratic-input benchmark that would mis-grade a
-linear operator. MinHash/SimHash signatures see the same effect (salted
-shingle sets are disjoint across replicas).
+The 10x corpus is NOT ten verbatim copies: each replica r suffixes every
+word with a replica tag (``<word>s<r>``), so cross-replica doc pairs share
+no shingles and the near-dup graph keeps its organic 1x structure scaled
+10x. Verbatim replication would instead multiply every dup clique by 10 and
+grow PAIR counts ~100x — a quadratic-input benchmark that would mis-grade a
+linear operator. The suffix (rather than inserting salt TOKENS between
+words) keeps per-document token counts identical to the 1x corpus, so the
+only variable is document COUNT. MinHash/SimHash signatures see the same
+effect (salted shingle sets are disjoint across replicas).
 
 Run:  python tools/bench_scale.py [--runs N] [--sf-dir DIR] [--out DIR]
 Prints one JSON line: {"queries": {name: {"t1": s, "t10": s, "slope": x}}}.
@@ -34,7 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from gmall_flink_yb_spark.queries import QUERIES
+from gmall_flink_yb_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from gmall_flink_yb_spark.queries import _LSH_DIM, _LSH_PLANES, QUERIES
 from gmall_flink_yb_spark.session import get_spark
 from gmall_flink_yb_spark.sources.readers import read_table
 
@@ -62,7 +69,9 @@ def build_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]:
     replicas = [
         base.select(
             (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
-            F.regexp_replace("text", " ", f" s{r} ").alias("text"),
+            F.regexp_replace("text", r"([a-zA-Z0-9]+)", f"$1s{r}").alias(
+                "text"
+            ),
             *[
                 c
                 for c in base.columns
@@ -78,6 +87,69 @@ def build_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]:
         os.path.join(ten_dir, "documents.parquet")
     )
     return one_dir, ten_dir
+
+
+def build_embedding_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]:
+    """1x and 10x embeddings corpora for the ANN corpus-scaling slope.
+
+    Replicas are verbatim copies under shifted vec_ids: the slope experiment
+    pins the QUERY side to the 1x query set (corpus scaling is the 100 TB
+    question; the registered queries' %50 query rule would otherwise grow
+    the query side 10x too and measure a 100x workload, mis-grading linear
+    operators). Tie-heavy top-k results from identical copies don't matter
+    here — only the timing does.
+    """
+    base = read_table(spark, sf_dir, "embeddings")
+    one_dir = os.path.join(out_dir, "escale1x")
+    ten_dir = os.path.join(out_dir, "escale10x")
+    base.write.mode("overwrite").parquet(
+        os.path.join(one_dir, "embeddings.parquet")
+    )
+    replicas = [
+        base.select(
+            (F.col("vec_id") + F.lit(r * ID_STRIDE)).alias("vec_id"),
+            *[c for c in base.columns if c != "vec_id"],
+        )
+        for r in range(REPLICAS)
+    ]
+    ten = replicas[0]
+    for rep in replicas[1:]:
+        ten = ten.unionByName(rep)
+    ten.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(ten_dir, "embeddings.parquet")
+    )
+    return one_dir, ten_dir
+
+
+# (name, corpus->DataFrame) ANN stages with a PINNED query set; semantic_dedup
+# and embedding_near_dup are excluded by design: verbatim replication
+# multiplies every true near-dup clique 10x, growing their PAIR output ~100x —
+# a quadratic-input benchmark, not a plan property.
+def _ann_stages(queries_df):
+    return [
+        ("ann_brute_topk", lambda c: brute_force_topk(c, queries_df, k=5)),
+        (
+            "ann_lsh_topk",
+            lambda c: lsh_bucket_topk(
+                c, queries_df, k=5, n_planes=_LSH_PLANES, dim=_LSH_DIM
+            ),
+        ),
+        (
+            "ann_ivf_topk",
+            lambda c: ivf_topk(c, queries_df, k=5, n_centroids=16, n_probe=4),
+        ),
+    ]
+
+
+def time_df(spark, make_df, corpus_dir: str, runs: int) -> float:
+    samples = []
+    corpus = read_table(spark, corpus_dir, "embeddings")
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        make_df(corpus).write.format("noop").mode("overwrite").save()
+        samples.append(time.time() - t0)
+    return statistics.median(samples)
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
@@ -97,18 +169,47 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/spark_graft_scale")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--skip-dedup", action="store_true")
+    ap.add_argument("--skip-ann", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    one_dir, ten_dir = build_corpora(spark, args.sf_dir, args.out)
-    n1 = spark.read.parquet(os.path.join(one_dir, "documents.parquet")).count()
-    n10 = spark.read.parquet(os.path.join(ten_dir, "documents.parquet")).count()
-
+    n1 = n10 = 0
     out: dict[str, dict[str, float]] = {}
-    for name in DEDUP_QUERIES:
+    for name in [] if args.skip_dedup else DEDUP_QUERIES:
+        if not n1:
+            one_dir, ten_dir = build_corpora(spark, args.sf_dir, args.out)
+            n1 = spark.read.parquet(
+                os.path.join(one_dir, "documents.parquet")
+            ).count()
+            n10 = spark.read.parquet(
+                os.path.join(ten_dir, "documents.parquet")
+            ).count()
         t1 = time_query(spark, name, one_dir, args.runs)
         t10 = time_query(spark, name, ten_dir, args.runs)
+        out[name] = {
+            "t1": round(t1, 2),
+            "t10": round(t10, 2),
+            "slope": round(t10 / t1, 2),
+        }
+        print(
+            f"# {name}: 1x {t1:.2f}s  10x {t10:.2f}s  slope {t10 / t1:.1f}x",
+            file=sys.stderr,
+        )
+    stages = []
+    if not args.skip_ann:
+        e1_dir, e10_dir = build_embedding_corpora(spark, args.sf_dir, args.out)
+        queries_df = (
+            read_table(spark, args.sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 50 == 0)
+            .persist()
+        )
+        queries_df.count()
+        stages = _ann_stages(queries_df)
+    for name, make_df in stages:
+        t1 = time_df(spark, make_df, e1_dir, args.runs)
+        t10 = time_df(spark, make_df, e10_dir, args.runs)
         out[name] = {
             "t1": round(t1, 2),
             "t10": round(t10, 2),
