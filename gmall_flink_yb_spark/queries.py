@@ -85,6 +85,7 @@ from gmall_flink_yb_spark.functions.ngrams import (
     hashed_ngram_affinity,
     span_dup_stats,
 )
+from gmall_flink_yb_spark.functions.bpe import char_pair_counts
 from gmall_flink_yb_spark.functions.winnow import winnow_overlap_pairs
 from gmall_flink_yb_spark.functions.bloom import bloom_build, bloom_probe
 from gmall_flink_yb_spark.functions.layout import zcell_stats
@@ -2380,6 +2381,38 @@ FROM f GROUP BY doc_id
 """
 
 
+_BPE_TOP_N = 50
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step (Sennrich et al. 2016): adjacent character
+    pairs weighted by word frequency, top-50 merge candidates. Iterates
+    on the vocabulary-sized word-count table, never the corpus — the
+    property that makes tokenizer training tractable at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    return char_pair_counts(docs, "text", top_n=_BPE_TOP_N)
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH toks AS ({_SQL_TOKS}
+), w AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+  FROM toks, unnest(t) AS u(tok)
+  GROUP BY 1
+), p AS (
+  SELECT substr(word, CAST(i AS INTEGER), 1) || ' ' ||
+         substr(word, CAST(i AS INTEGER) + 1, 1) AS pair,
+         n
+  FROM w, unnest(range(1, length(word))) AS u(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+FROM p GROUP BY 1
+ORDER BY 2 DESC, 1
+LIMIT {_BPE_TOP_N}
+"""
+
+
 _WINNOW_K = 5
 _WINNOW_W = 4
 _WINNOW_MIN_SHARED = 2
@@ -3316,6 +3349,7 @@ QUERIES: dict[str, QueryFn] = {
     "uv_daily_approx": q_uv_daily_approx,
     "q4_late_orders": q_q4_late_orders,
     "winnow_overlap": q_winnow_overlap,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -3401,4 +3435,5 @@ ORACLES: dict[str, str] = {
     "uv_daily_approx": SQL_UV_DAILY_APPROX,
     "q4_late_orders": SQL_Q4_LATE_ORDERS,
     "winnow_overlap": SQL_WINNOW_OVERLAP,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
 }

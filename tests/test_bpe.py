@@ -1,0 +1,56 @@
+"""BPE-style pair counting (functions/bpe.py) — LLM-pipeline surface.
+
+Pins the semantics the DuckDB oracle assumes: word-frequency weighting,
+single-char words contributing no pairs, and the deterministic
+(count desc, pair asc) top-n cut.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gmall_flink_yb_spark.functions.bpe import char_pair_counts, word_counts
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_counts_weighting(spark):
+    df = _docs(spark, [(1, "aa bb aa"), (2, "aa, CC!")])
+    out = {r["word"]: r["n"] for r in word_counts(df, "text").collect()}
+    assert out == {"aa": 3, "bb": 1, "cc": 1}
+
+
+def test_pair_counts_weighted_by_word_frequency(spark):
+    # "ab" occurs 3 times -> pair (a b) weight 3; "xy" once
+    df = _docs(spark, [(1, "ab ab xy"), (2, "ab")])
+    rows = char_pair_counts(df, "text", top_n=10).collect()
+    got = {r["pair"]: r["n_occurrences"] for r in rows}
+    assert got == {"a b": 3, "x y": 1}
+
+
+def test_single_char_words_yield_no_pairs(spark):
+    df = _docs(spark, [(1, "a b c a")])
+    assert char_pair_counts(df, "text", top_n=10).count() == 0
+
+
+def test_within_word_adjacency_only(spark):
+    # pairs never span word boundaries: "ab cd" has (a b) and (c d), not (b c)
+    df = _docs(spark, [(1, "ab cd")])
+    got = {r["pair"] for r in char_pair_counts(df, "text", top_n=10).collect()}
+    assert got == {"a b", "c d"}
+
+
+def test_topn_cut_is_deterministic_on_ties(spark):
+    # all pairs tie at weight 1 -> the cut keeps the lexicographically
+    # smallest pairs (count desc, pair asc is a total order)
+    df = _docs(spark, [(1, "zz yy xx ww")])
+    rows = char_pair_counts(df, "text", top_n=2).collect()
+    assert [r["pair"] for r in rows] == ["w w", "x x"]
+
+
+def test_rejects_bad_topn(spark):
+    df = _docs(spark, [(1, "ab")])
+    with pytest.raises(ValueError):
+        char_pair_counts(df, "text", top_n=0)
