@@ -66,3 +66,84 @@ def char_pair_counts(
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(top_n)
     )
+
+
+def _sym_pairs(w: DataFrame) -> DataFrame:
+    """(pair, n) adjacent symbol pairs of the ``r`` spaced-symbol column."""
+    syms = w.select(F.split(F.trim("r"), " ").alias("s"), "n").filter(
+        F.size("s") >= 2
+    )
+    return syms.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s") - 1),
+                lambda i: F.concat(
+                    F.element_at("s", i),
+                    F.lit(" "),
+                    F.element_at("s", i + 1),
+                ),
+            )
+        ).alias("pair"),
+        "n",
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+    passes_per_merge: int = 3,
+) -> DataFrame:
+    """Full BPE training loop: (step, pair, n_occurrences) — the merge
+    table a tokenizer trainer would emit, learned distributed.
+
+    Words are represented as space-separated symbol sequences
+    (`` c h a r s ``). Each step counts adjacent symbol pairs weighted by
+    word frequency, picks the (count desc, pair asc) maximum — ONE row of
+    model state crossing to the driver per step, like the k-means centroid
+    collect — and merges that pair everywhere.
+
+    Merge application is ``passes_per_merge`` iterated leftmost
+    non-overlapping replaces of `` a b `` with `` ab `` — a defined,
+    PORTABLE semantic (Java's replaceAll and RE2's global replace agree on
+    leftmost non-overlap), which the DuckDB oracle replays pass-for-pass.
+    A same-symbol run longer than ~2^passes may stay partially merged —
+    identical in both engines, so the trajectory is still bit-reproducible.
+
+    Scale: the loop never touches the corpus after the one ``word_counts``
+    shuffle; every iteration is a vocabulary-sized aggregate plus narrow
+    per-row replaces.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+    base = word_counts(df, text_col).select(
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias(
+            "r"
+        ),
+        "n",
+    ).persist()
+    w = base
+    merges: list[tuple[int, str, int]] = []
+    try:
+        for step in range(n_merges):
+            best = (
+                _sym_pairs(w)
+                .groupBy("pair")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.desc("cnt"), "pair")
+                .first()
+            )
+            if best is None:
+                break
+            pair, cnt = best["pair"], int(best["cnt"])
+            merges.append((step, pair, cnt))
+            pat = f" {pair} "
+            rep = " " + pair.replace(" ", "") + " "
+            for _ in range(passes_per_merge):
+                w = w.withColumn("r", F.regexp_replace("r", pat, rep))
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, pair string, n_occurrences long"
+    )

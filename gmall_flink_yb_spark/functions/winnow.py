@@ -44,13 +44,19 @@ from gmall_flink_yb_spark.operators.keywords import tokenize
 
 
 def gram_hash_rows(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, portable: bool = True
 ) -> DataFrame:
-    """(doc_id, pos, gh, n_grams): positioned 60-bit hashes of the document's
+    """(doc_id, pos, gh, n_grams): positioned hashes of the document's
     token k-grams (duplicates KEPT — winnowing needs the positional stream,
     unlike ``shingle_rows``). Docs shorter than k tokens yield their single
     truncated gram (``concat_ws`` skips null leads); empty docs yield no
-    rows."""
+    rows.
+
+    ``portable=True`` (default, and what the registered query uses) hashes
+    with the 60-bit md5 family DuckDB reproduces bit-for-bit;
+    ``portable=False`` is the production path — ``xxhash64`` costs one
+    integer mix instead of a cryptographic digest + hex conversion (same
+    fast-vs-portable split as the MinHash family in ``dedup``)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -63,11 +69,13 @@ def gram_hash_rows(
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")) - (k - 1),
         F.lit(1),
     )
+    gram = F.concat_ws(" ", *leads)
+    gh = _md5_long(gram) if portable else F.xxhash64(gram)
     return (
         toks.select(
             "doc_id",
             (F.row_number().over(w) - 1).alias("pos"),
-            _md5_long(F.concat_ws(" ", *leads)).alias("gh"),
+            gh.alias("gh"),
             n_grams.alias("n_grams"),
         )
         .filter(F.col("pos") < F.col("n_grams"))
@@ -80,6 +88,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 5,
     w: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """(doc_id, fp): the distinct winnowed fingerprint set of each document.
 
@@ -93,7 +102,7 @@ def winnow_fingerprints(
     """
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
-    grams = gram_hash_rows(df, id_col, text_col, k)
+    grams = gram_hash_rows(df, id_col, text_col, k, portable=portable)
     win = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -120,6 +129,7 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_bucket: int | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, n_shared): document pairs sharing >= ``min_shared``
     winnowed fingerprints, id_a < id_b.
@@ -131,7 +141,7 @@ def winnow_overlap_pairs(
     many documents before the join — the boilerplate-header guard at corpus
     scale, same role as LSH hot-bucket capping.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w, portable=portable)
     if max_bucket is not None:
         counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
         fps = (

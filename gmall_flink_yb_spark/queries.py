@@ -85,7 +85,7 @@ from gmall_flink_yb_spark.functions.ngrams import (
     hashed_ngram_affinity,
     span_dup_stats,
 )
-from gmall_flink_yb_spark.functions.bpe import char_pair_counts
+from gmall_flink_yb_spark.functions.bpe import char_pair_counts, learn_bpe
 from gmall_flink_yb_spark.functions.winnow import winnow_overlap_pairs
 from gmall_flink_yb_spark.functions.bloom import bloom_build, bloom_probe
 from gmall_flink_yb_spark.functions.layout import zcell_stats
@@ -2413,6 +2413,72 @@ LIMIT {_BPE_TOP_N}
 """
 
 
+_BPE_MERGES = 6
+_BPE_PASSES = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training loop: 6 merge steps learned distributed, one
+    1-row model-state collect per step (the k-means pattern). The oracle
+    replays the whole trajectory — pair counts, argmax, and every
+    merge-application regex pass — so the training loop itself is
+    hash-gated, not just its first iteration."""
+    docs = read_table(spark, sf_dir, "documents")
+    return learn_bpe(
+        docs, "text", n_merges=_BPE_MERGES, passes_per_merge=_BPE_PASSES
+    )
+
+
+def _bpe_merges_sql(n_merges: int, passes: int) -> str:
+    """Unrolled DuckDB replay of ``learn_bpe``: per step, a pair-count CTE,
+    a 1-row argmax CTE, and ``passes`` nested global regexp_replace calls
+    whose pattern/replacement come from that argmax — the exact same
+    leftmost non-overlapping semantics Java's replaceAll applies."""
+    ctes = [
+        f"toks AS ({_SQL_TOKS}\n)",
+        """w0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS r, n
+  FROM (SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+        FROM toks, unnest(t) AS u(tok) GROUP BY 1)
+)""",
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT s[j] || ' ' || s[j + 1] AS pair, n
+  FROM (SELECT string_split(trim(r), ' ') AS s, n FROM w{i}) t,
+       unnest(range(1, len(s))) AS u(j)
+  WHERE len(s) >= 2
+)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p{i}
+  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
+)"""
+        )
+        expr = "r"
+        for _ in range(passes):
+            expr = (
+                f"regexp_replace({expr},"
+                f" (SELECT ' ' || pair || ' ' FROM b{i}),"
+                f" (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b{i}),"
+                f" 'g')"
+            )
+        ctes.append(
+            f"w{i + 1} AS MATERIALIZED (\n  SELECT {expr} AS r, n FROM w{i}\n)"
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, pair, cnt AS n_occurrences"
+        f" FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+SQL_BPE_MERGES = _bpe_merges_sql(_BPE_MERGES, _BPE_PASSES)
+
+
 _WINNOW_K = 5
 _WINNOW_W = 4
 _WINNOW_MIN_SHARED = 2
@@ -3350,6 +3416,7 @@ QUERIES: dict[str, QueryFn] = {
     "q4_late_orders": q_q4_late_orders,
     "winnow_overlap": q_winnow_overlap,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES: dict[str, str] = {
@@ -3436,4 +3503,5 @@ ORACLES: dict[str, str] = {
     "q4_late_orders": SQL_Q4_LATE_ORDERS,
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "bpe_merges": SQL_BPE_MERGES,
 }

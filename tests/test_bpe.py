@@ -54,3 +54,27 @@ def test_rejects_bad_topn(spark):
     df = _docs(spark, [(1, "ab")])
     with pytest.raises(ValueError):
         char_pair_counts(df, "text", top_n=0)
+
+
+def test_learn_bpe_trajectory(spark):
+    # corpus: "aaab" x2, "ab" x1 — hand-computed trajectory:
+    # step0: pairs {a a:4, a b:3} -> merge "a a"  ([a,a,a,b] -> [aa,a,b])
+    # step1: pairs {a b:3, aa a:2} -> merge "a b"
+    # step2: pairs {aa ab:2}       -> merge "aa ab"
+    from gmall_flink_yb_spark.functions.bpe import learn_bpe
+
+    df = _docs(spark, [(1, "aaab aaab ab")])
+    rows = [
+        (r["step"], r["pair"], r["n_occurrences"])
+        for r in learn_bpe(df, "text", n_merges=3).orderBy("step").collect()
+    ]
+    assert rows == [(0, "a a", 4), (1, "a b", 3), (2, "aa ab", 2)]
+
+
+def test_learn_bpe_stops_when_pairs_exhausted(spark):
+    from gmall_flink_yb_spark.functions.bpe import learn_bpe
+
+    # single 2-char word: one merge is possible, then no pairs remain
+    df = _docs(spark, [(1, "ab")])
+    rows = learn_bpe(df, "text", n_merges=5).collect()
+    assert len(rows) == 1 and rows[0]["pair"] == "a b"

@@ -170,3 +170,50 @@ def test_q18_fact_fact_shuffle_plus_broadcast_dim(spark, sf_dir):
     assert len(rows) <= 100
     prices = [r["o_totalprice"] for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    """Q4: the EXISTS must decorrelate to a single semi join on orderkey —
+    with auto-broadcast off (both sides are facts at 100 TB), exactly one
+    shuffled SEMI join and no fan-out join of any other kind."""
+    import re
+
+    from gmall_flink_yb_spark.plans.inspect import _simple_plan
+    from gmall_flink_yb_spark.queries import q_q4_late_orders
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_q4_late_orders(spark, sf_dir)
+        plan = _simple_plan(df)
+        semi = re.findall(
+            r"\b(?:SortMergeJoin|ShuffledHashJoin)\b.*LeftSemi", plan
+        )
+        all_joins = re.findall(r"Join\b", plan)
+        assert len(semi) == 1, plan
+        assert len(all_joins) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bpe_scan_pruned_to_text(spark, sf_dir):
+    """BPE pair counting reads ONLY the text column — dragging the rest of
+    the documents table through a tokenizing scan is a pruning bug."""
+    from gmall_flink_yb_spark.queries import q_bpe_pair_counts
+
+    schemas = read_schemas(q_bpe_pair_counts(spark, sf_dir))
+    assert len(schemas) == 1
+    assert "text" in schemas[0]
+    assert "source" not in schemas[0] and "lang" not in schemas[0]
+
+
+def test_winnow_overlap_scan_pruned(spark, sf_dir):
+    """Winnowing reads only (doc_id, text); the pair join must be an
+    equi-join on the fingerprint, never a cartesian."""
+    from gmall_flink_yb_spark.plans.inspect import _simple_plan
+    from gmall_flink_yb_spark.queries import q_winnow_overlap
+
+    df = q_winnow_overlap(spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas and all("n_chars" not in s for s in schemas), schemas
+    assert "CartesianProduct" not in _simple_plan(df)

@@ -121,3 +121,22 @@ def test_single_exchange_per_doc_phase(spark):
     df = _docs(spark, [(1, "a b c d e f g h i j")])
     plan = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning(doc_id") <= 2  # window sort + distinct
+
+
+def test_fast_hash_path_same_detection(spark):
+    # production xxhash64 path: different fingerprint VALUES, same
+    # detection behavior on the same shared-substring input
+    lifted = " ".join(f"p{i}" for i in range(30))
+    df = _docs(
+        spark,
+        [
+            (1, "intro alpha beta " + lifted + " outro gamma"),
+            (2, "unrelated start " + lifted + " unrelated finish"),
+            (3, "totally separate text with zero overlapping runs of tokens"),
+        ],
+    )
+    pairs = winnow_overlap_pairs(
+        df, "doc_id", "text", k=5, w=4, min_shared=2, portable=False
+    ).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys and not any(3 in p for p in keys)

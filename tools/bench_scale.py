@@ -53,6 +53,14 @@ DEDUP_QUERIES = [
     "dedup_incremental",
 ]
 
+FACT_QUERIES = [
+    "q1_pricing_summary",
+    "q18_large_orders",
+    "order_wide",
+    "uv_daily",
+    "session_stats",
+]
+
 REPLICAS = 10
 ID_STRIDE = 1_000_000_000
 
@@ -121,6 +129,59 @@ def build_embedding_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]
     return one_dir, ten_dir
 
 
+def _replicate(df, id_cols: list[str]):
+    """10x union with every id column shifted by a per-replica stride, so
+    each replica keeps its internal join/grouping structure and replicas
+    never collide (orderkeys still join within a replica; user streams
+    stay intact per replica)."""
+    replicas = [
+        df.select(
+            *[
+                (F.col(c) + F.lit(r * ID_STRIDE)).alias(c)
+                if c in id_cols
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        for r in range(REPLICAS)
+    ]
+    out = replicas[0]
+    for rep in replicas[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def build_fact_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]:
+    """1x / 10x relational-core corpora: lineitem + orders replicated on
+    shifted orderkeys (joins stay per-replica), events on shifted
+    user/event ids (10x organic user streams); dims copied verbatim —
+    dims stay dim-sized at any fact scale, which is exactly the broadcast
+    story the plans rely on."""
+    one_dir = os.path.join(out_dir, "fscale1x")
+    ten_dir = os.path.join(out_dir, "fscale10x")
+    replicated = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+        "events": ["event_id", "user_id"],
+    }
+    dims = ["region", "nation", "customer", "supplier", "part"]
+    for t in dims:
+        df = read_table(spark, sf_dir, t)
+        for d in (one_dir, ten_dir):
+            df.write.mode("overwrite").parquet(
+                os.path.join(d, f"{t}.parquet")
+            )
+    for t, id_cols in replicated.items():
+        base = read_table(spark, sf_dir, t)
+        base.write.mode("overwrite").parquet(
+            os.path.join(one_dir, f"{t}.parquet")
+        )
+        _replicate(base, id_cols).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ten_dir, f"{t}.parquet"))
+    return one_dir, ten_dir
+
+
 # (name, corpus->DataFrame) ANN stages with a PINNED query set; semantic_dedup
 # and embedding_near_dup are excluded by design: verbatim replication
 # multiplies every true near-dup clique 10x, growing their PAIR output ~100x —
@@ -171,6 +232,7 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--skip-ann", action="store_true")
+    ap.add_argument("--skip-facts", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("bench-scale")
@@ -219,6 +281,21 @@ def main() -> None:
             f"# {name}: 1x {t1:.2f}s  10x {t10:.2f}s  slope {t10 / t1:.1f}x",
             file=sys.stderr,
         )
+    if not args.skip_facts:
+        f1_dir, f10_dir = build_fact_corpora(spark, args.sf_dir, args.out)
+        for name in FACT_QUERIES:
+            t1 = time_query(spark, name, f1_dir, args.runs)
+            t10 = time_query(spark, name, f10_dir, args.runs)
+            out[name] = {
+                "t1": round(t1, 2),
+                "t10": round(t10, 2),
+                "slope": round(t10 / t1, 2),
+            }
+            print(
+                f"# {name}: 1x {t1:.2f}s  10x {t10:.2f}s  "
+                f"slope {t10 / t1:.1f}x",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
             {"docs_1x": n1, "docs_10x": n10, "runs": args.runs, "queries": out}
