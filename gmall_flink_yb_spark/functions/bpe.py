@@ -147,3 +147,66 @@ def learn_bpe(
     return spark.createDataFrame(
         merges, "step int, pair string, n_occurrences long"
     )
+
+
+def apply_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merge_pairs: list[str],
+    passes_per_merge: int = 3,
+) -> DataFrame:
+    """(doc_id, n_symbols_raw, n_symbols_bpe): encode every document with a
+    learned merge list and report its symbol count before/after — the
+    compression the tokenizer actually buys, per document.
+
+    The whole document is one spaced-symbol string with ``|`` word
+    boundaries (boundaries can never merge: learned pairs contain only
+    [a-z0-9] symbols, so no pattern matches across ``|``). Each merge is
+    the same ``passes_per_merge``-iterated leftmost-non-overlap replace the
+    training loop used, making encode/train semantics identical — and the
+    oracle replays it on the document side too.
+
+    Scale: entirely narrow — no shuffle, no Python; cost is
+    len(merge_pairs) x passes regex passes over the text, the classic
+    CPU-bound tokenizer map stage.
+    """
+    toks = F.filter(
+        tokenize(F.col(text_col)), lambda t: F.length(t) > 0
+    )
+    spaced = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(
+                F.col("_toks"),
+                lambda w: F.regexp_replace(w, "(.)", "$1 "),
+            ),
+            "| ",
+        ),
+    )
+    out = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("_toks"),
+    ).select("doc_id", "_toks", spaced.alias("r"))
+    for pair in merge_pairs:
+        pat = f" {pair} "
+        rep = " " + pair.replace(" ", "") + " "
+        for _ in range(passes_per_merge):
+            out = out.withColumn("r", F.regexp_replace("r", pat, rep))
+    symbols = F.filter(
+        F.split(F.trim("r"), " "), lambda s: s != F.lit("|")
+    )
+    n_raw = F.aggregate(
+        F.col("_toks"), F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.size("_toks") == 0, F.lit(0))
+        .otherwise(n_raw)
+        .cast("long")
+        .alias("n_symbols_raw"),
+        F.when(F.size("_toks") == 0, F.lit(0))
+        .otherwise(F.size(symbols))
+        .cast("long")
+        .alias("n_symbols_bpe"),
+    )

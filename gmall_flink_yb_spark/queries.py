@@ -85,7 +85,11 @@ from gmall_flink_yb_spark.functions.ngrams import (
     hashed_ngram_affinity,
     span_dup_stats,
 )
-from gmall_flink_yb_spark.functions.bpe import char_pair_counts, learn_bpe
+from gmall_flink_yb_spark.functions.bpe import (
+    apply_bpe,
+    char_pair_counts,
+    learn_bpe,
+)
 from gmall_flink_yb_spark.functions.winnow import winnow_overlap_pairs
 from gmall_flink_yb_spark.functions.bloom import bloom_build, bloom_probe
 from gmall_flink_yb_spark.functions.layout import zcell_stats
@@ -2429,11 +2433,26 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merges_sql(n_merges: int, passes: int) -> str:
+def _bpe_apply_expr(base: str, step: int, passes: int) -> str:
+    """``passes`` nested global regexp_replace calls whose pattern and
+    replacement come from step ``step``'s argmax CTE."""
+    expr = base
+    for _ in range(passes):
+        expr = (
+            f"regexp_replace({expr},"
+            f" (SELECT ' ' || pair || ' ' FROM b{step}),"
+            f" (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b{step}),"
+            f" 'g')"
+        )
+    return expr
+
+
+def _bpe_cte_prefix(n_merges: int, passes: int) -> list[str]:
     """Unrolled DuckDB replay of ``learn_bpe``: per step, a pair-count CTE,
-    a 1-row argmax CTE, and ``passes`` nested global regexp_replace calls
-    whose pattern/replacement come from that argmax — the exact same
-    leftmost non-overlapping semantics Java's replaceAll applies."""
+    a 1-row argmax CTE, and the merge applied to the vocabulary — the exact
+    same leftmost non-overlapping semantics Java's replaceAll applies.
+    MATERIALIZED throughout: inlined CTEs would re-expand the whole chain
+    at every reference (6 references per step) — exponential blowup."""
     ctes = [
         f"toks AS ({_SQL_TOKS}\n)",
         """w0 AS MATERIALIZED (
@@ -2457,26 +2476,78 @@ def _bpe_merges_sql(n_merges: int, passes: int) -> str:
   GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
 )"""
         )
-        expr = "r"
-        for _ in range(passes):
-            expr = (
-                f"regexp_replace({expr},"
-                f" (SELECT ' ' || pair || ' ' FROM b{i}),"
-                f" (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b{i}),"
-                f" 'g')"
-            )
         ctes.append(
-            f"w{i + 1} AS MATERIALIZED (\n  SELECT {expr} AS r, n FROM w{i}\n)"
+            f"w{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT {_bpe_apply_expr('r', i, passes)} AS r, n FROM w{i}\n)"
         )
+    return ctes
+
+
+def _bpe_merges_sql(n_merges: int, passes: int) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT CAST({i} AS INTEGER) AS step, pair, cnt AS n_occurrences"
         f" FROM b{i}"
         for i in range(n_merges)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return (
+        "WITH " + ",\n".join(_bpe_cte_prefix(n_merges, passes)) + "\n" + unions
+    )
+
+
+def _bpe_encode_sql(n_merges: int, passes: int) -> str:
+    """Doc-side replay: the same learned argmax CTEs drive the same nested
+    replaces over every document's spaced-symbol string (`|` word
+    boundaries can never merge — learned pairs are [a-z0-9] only)."""
+    ctes = _bpe_cte_prefix(n_merges, passes)
+    ctes.append(
+        """d0 AS MATERIALIZED (
+  SELECT doc_id, t,
+         ' ' || array_to_string(
+             list_transform(t, w -> regexp_replace(w, '(.)', '\\1 ', 'g')),
+             '| ') AS r
+  FROM toks
+)"""
+    )
+    for i in range(n_merges):
+        ctes.append(
+            f"d{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT doc_id, t, {_bpe_apply_expr('r', i, passes)} AS r"
+            f" FROM d{i}\n)"
+        )
+    final = f"""SELECT doc_id,
+       CAST(CASE WHEN len(t) = 0 THEN 0
+                 ELSE length(array_to_string(t, '')) END AS BIGINT)
+           AS n_symbols_raw,
+       CAST(CASE WHEN len(t) = 0 THEN 0
+                 ELSE len(list_filter(string_split(trim(r), ' '),
+                                      s -> s != '|')) END AS BIGINT)
+           AS n_symbols_bpe
+FROM d{n_merges}"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 SQL_BPE_MERGES = _bpe_merges_sql(_BPE_MERGES, _BPE_PASSES)
+SQL_BPE_ENCODE = _bpe_encode_sql(_BPE_MERGES, _BPE_PASSES)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode: learn the 6-step merge table, then apply it to
+    every document and report per-doc symbol counts before/after — the
+    compression the learned vocabulary buys. The merge list is the only
+    state crossing to the driver (6 rows); the encode pass is entirely
+    narrow."""
+    docs = read_table(spark, sf_dir, "documents")
+    merge_pairs = [
+        r["pair"]
+        for r in learn_bpe(
+            docs, "text", n_merges=_BPE_MERGES, passes_per_merge=_BPE_PASSES
+        )
+        .orderBy("step")
+        .collect()
+    ]
+    return apply_bpe(
+        docs, "doc_id", "text", merge_pairs, passes_per_merge=_BPE_PASSES
+    )
 
 
 _WINNOW_K = 5
@@ -3417,6 +3488,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_overlap": q_winnow_overlap,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLES: dict[str, str] = {
@@ -3504,4 +3576,5 @@ ORACLES: dict[str, str] = {
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "bpe_merges": SQL_BPE_MERGES,
+    "bpe_encode": SQL_BPE_ENCODE,
 }

@@ -78,3 +78,26 @@ def test_learn_bpe_stops_when_pairs_exhausted(spark):
     df = _docs(spark, [(1, "ab")])
     rows = learn_bpe(df, "text", n_merges=5).collect()
     assert len(rows) == 1 and rows[0]["pair"] == "a b"
+
+
+def test_apply_bpe_counts(spark):
+    from gmall_flink_yb_spark.functions.bpe import apply_bpe
+
+    # "aaab": [a,a,a,b] -"a a"-> [aa,a,b] -"a b"-> [aa,ab] = 2 symbols
+    # "ab":   [a,b]     -"a b"-> [ab] = 1 symbol
+    df = _docs(spark, [(1, "aaab ab"), (2, "")])
+    rows = {
+        r["doc_id"]: (r["n_symbols_raw"], r["n_symbols_bpe"])
+        for r in apply_bpe(df, "doc_id", "text", ["a a", "a b"]).collect()
+    }
+    assert rows[1] == (6, 3)
+    assert rows[2] == (0, 0)
+
+
+def test_apply_bpe_never_merges_across_word_boundary(spark):
+    from gmall_flink_yb_spark.functions.bpe import apply_bpe
+
+    # "ba ab": the a|a adjacency spans a word boundary — "a a" must NOT fire
+    df = _docs(spark, [(1, "ba ab")])
+    row = apply_bpe(df, "doc_id", "text", ["a a"]).first()
+    assert (row["n_symbols_raw"], row["n_symbols_bpe"]) == (4, 4)
