@@ -10,7 +10,11 @@ bit-for-bit, so every approximate operator is fully oracle-checked —
 including ``uv_daily_approx``: the HLL estimate itself is engine-internal,
 so its registered form emits the exact count plus a within-3-sigma boolean
 the oracle asserts TRUE, making even the sketch's accuracy contract a
-hash-gated check. Every entry in ``queries()`` has an ``oracle_sql()`` row.
+hash-gated check. Iterative training loops (spherical k-means, BPE
+tokenizer learning + encode) are hash-gated too: their oracles replay the
+full trajectory — every centroid update / merge argmax / regex pass — in
+unrolled (materialized) SQL. Every entry in ``queries()`` has an
+``oracle_sql()`` row.
 """
 
 from __future__ import annotations

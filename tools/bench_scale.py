@@ -51,6 +51,7 @@ DEDUP_QUERIES = [
     "dedup_clusters",
     "dedup_canonical",
     "dedup_incremental",
+    "winnow_overlap",
 ]
 
 FACT_QUERIES = [
