@@ -114,17 +114,21 @@ def kmeans_fit_assign(
     )
     init = e.orderBy(F.md5(F.col("id").cast("string")), "id").limit(n_clusters)
 
-    probe = init.select("vec").head(1)
+    # probe the dimensionality from the RAW frame, not `init`: head(1) on
+    # init would execute the full corpus orderBy(md5)+limit sort just to
+    # read one vector length, and that same sort job runs again when the
+    # chosen path materializes the init centroids
+    probe = e.select(F.size("vec").alias("d")).head(1)
     if not probe:
         raise ValueError("kmeans_fit_assign: embeddings input is empty")
-    dim = len(probe[0]["vec"])
+    dim = probe[0]["d"]
     if n_clusters * dim <= max_folded_kdim:
-        return _fit_folded(e, init, n_clusters, n_iterations)
+        return _fit_folded(e, init, n_iterations)
     return _fit_distributed(e, init, n_iterations)
 
 
 def _fit_folded(
-    e: DataFrame, init: DataFrame, n_clusters: int, n_iterations: int
+    e: DataFrame, init: DataFrame, n_iterations: int
 ) -> DataFrame:
     """Small-k path: centroids fold into the plan as literals (zero-shuffle
     assignment); the k*dim-row state is the one legitimate collect."""
@@ -164,8 +168,6 @@ def _fit_distributed(
     iteration carries n rows, not n*k. Each iteration's k-row centroid
     frame is eagerly materialized (lineage truncated) — otherwise round
     i's plan would chain i full corpus scans."""
-    if not e.head(1):
-        raise ValueError("kmeans_fit_assign: embeddings input is empty")
     cent_df = _truncate_lineage(
         init.select(F.col("id").alias("ccid"), F.col("vec").alias("cv"))
     )

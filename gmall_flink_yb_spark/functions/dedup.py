@@ -42,10 +42,22 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     cluster), use a reliable ``checkpoint`` instead so the loop survives
     executor loss at 100 TB; single-JVM local mode keeps the cheaper
     executor-local form.
+
+    The reliable path persists first: ``checkpoint(eager=True)`` on an
+    uncached frame computes the plan twice (once for the eager action,
+    again when the checkpoint files are written); caching makes the write
+    pass read blocks instead. Reliable checkpoint files accumulate one
+    snapshot per round — long loops on a cluster should launch with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a context
+    conf, so it cannot be flipped here mid-run) so out-of-scope rounds are
+    garbage-collected.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
-        return df.checkpoint(eager=True)
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = cached.checkpoint(eager=True)
+        cached.unpersist()
+        return out
     return df.localCheckpoint(eager=True)
 
 
@@ -689,24 +701,36 @@ def connected_components(
     # (measured 12s of a 19s run at sf0.1)
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     caller = pairs.sparkSession
-    _, lpairs, in_view = _enter_loop_session(pairs, "cc")
-    edges = (
-        lpairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(
-            lpairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # Size the loop's partitioning to the SUBGRAPH, not the corpus: the
-    # near-dup graph is orders of magnitude smaller than the input (pairs
-    # survived a similarity threshold), so the session-wide shuffle
-    # parallelism would spend each round on empty-task overhead. ~1M edges
-    # per partition; at 1B edges this is still 1000-way parallel. Both
-    # frames hash on the join key, so each round's join adds no exchange.
-    n_parts = max(1, min(edges.count() // 1_000_000 + 1, 4096))
+    loop, lpairs, in_view = _enter_loop_session(pairs, "cc")
+    edges = None
     edges_by_dst = None
     try:
+        edges = (
+            lpairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(
+                lpairs.select(
+                    F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                )
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_edges = edges.count()
+        if n_edges == 0:
+            # legitimate zero-duplicates corpus: no nodes, nothing to
+            # propagate (without this, sum(_changed) over zero rows is
+            # NULL and the loop would spin to max_iterations then raise)
+            return _exit_loop_session(
+                loop.createDataFrame([], "node long, component long"), caller
+            )
+        # Size the loop's partitioning to the SUBGRAPH, not the corpus: the
+        # near-dup graph is orders of magnitude smaller than the input
+        # (pairs survived a similarity threshold), so the session-wide
+        # shuffle parallelism would spend each round on empty-task
+        # overhead. ~1M edges per partition; at 1B edges this is still
+        # 1000-way parallel. Both frames hash on the join key, so each
+        # round's join adds no exchange.
+        n_parts = max(1, min(n_edges // 1_000_000 + 1, 4096))
         edges_by_dst = edges.repartition(n_parts, "dst").persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -747,9 +771,12 @@ def connected_components(
             # checkpoint dir is set.
             )
             new_labels = _truncate_lineage(new_labels)
-            changed = new_labels.agg(
-                F.sum(F.col("_changed").cast("long")).alias("c")
-            ).collect()[0]["c"]
+            changed = (
+                new_labels.agg(
+                    F.sum(F.col("_changed").cast("long")).alias("c")
+                ).collect()[0]["c"]
+                or 0
+            )
             old = labels
             labels = new_labels.drop("_changed")
             old.unpersist()
@@ -759,7 +786,8 @@ def connected_components(
     finally:
         if edges_by_dst is not None:
             edges_by_dst.unpersist()
-        edges.unpersist()
+        if edges is not None:
+            edges.unpersist()
         pairs.unpersist()
         caller.catalog.dropGlobalTempView(in_view)
     if not converged:

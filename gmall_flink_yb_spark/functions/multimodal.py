@@ -179,11 +179,14 @@ def resize_images(
                 try:
                     with Image.open(io.BytesIO(b)) as im:
                         resized = im.resize((target_w, target_h))
+                    buf = io.BytesIO()
+                    # inside the try: a decodable image whose mode PNG
+                    # can't encode (CMYK JPEG, I;16 TIFF) must also pass
+                    # through, not fail the task
+                    resized.save(buf, format="PNG")
+                    return buf.getvalue()
                 except Exception:
-                    return b  # undecodable -> unchanged
-                buf = io.BytesIO()
-                resized.save(buf, format="PNG")
-                return buf.getvalue()
+                    return b  # undecodable/unencodable -> unchanged
 
             for pdf in batches:
                 out = pdf.copy()

@@ -102,7 +102,12 @@ def test_large_k_smoke_no_driver_model(spark):
         for i in range(n)
     ]
     emb = spark.createDataFrame(rows)
-    state = kmeans_fit_assign(emb, n_clusters=k, n_iterations=2).collect()
+    # max_folded_kdim=0 forces the distributed path — k*dim=8192 would
+    # otherwise fall under the default threshold and exercise the folded
+    # path this test exists to avoid
+    state = kmeans_fit_assign(
+        emb, n_clusters=k, n_iterations=2, max_folded_kdim=0
+    ).collect()
     clusters = {r["cluster_id"] for r in state}
     # non-degenerate: many clusters keep members; every state row is a
     # (cluster, dim) coordinate and membership sums to n

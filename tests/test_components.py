@@ -166,3 +166,17 @@ def test_select_canonical_keep_best(spark):
         for r in select_canonical(docs, comps).collect()
     }
     assert got == {1: (1, 0), 2: (1, 1), 3: (1, 0), 9: (9, 1)}
+
+
+def test_empty_pairs_returns_empty_not_nonconvergence(spark):
+    # zero-duplicates corpus: no pairs -> empty component table, NOT a
+    # spurious "did not converge" (sum over zero rows is NULL, which the
+    # convergence check must treat as 0 changes)
+    from gmall_flink_yb_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    assert connected_components_star(empty).count() == 0

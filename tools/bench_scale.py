@@ -114,19 +114,9 @@ def build_embedding_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]
     base.write.mode("overwrite").parquet(
         os.path.join(one_dir, "embeddings.parquet")
     )
-    replicas = [
-        base.select(
-            (F.col("vec_id") + F.lit(r * ID_STRIDE)).alias("vec_id"),
-            *[c for c in base.columns if c != "vec_id"],
-        )
-        for r in range(REPLICAS)
-    ]
-    ten = replicas[0]
-    for rep in replicas[1:]:
-        ten = ten.unionByName(rep)
-    ten.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(ten_dir, "embeddings.parquet")
-    )
+    _replicate(base, ["vec_id"]).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(ten_dir, "embeddings.parquet"))
     return one_dir, ten_dir
 
 
@@ -238,10 +228,12 @@ def main() -> None:
 
     spark = get_spark("bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    n1 = n10 = 0
+    n1 = n10 = None
+    docs_built = False
     out: dict[str, dict[str, float]] = {}
     for name in [] if args.skip_dedup else DEDUP_QUERIES:
-        if not n1:
+        if not docs_built:
+            docs_built = True
             one_dir, ten_dir = build_corpora(spark, args.sf_dir, args.out)
             n1 = spark.read.parquet(
                 os.path.join(one_dir, "documents.parquet")
