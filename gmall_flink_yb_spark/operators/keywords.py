@@ -80,3 +80,44 @@ def keyword_counts(
     return toks.groupBy(*[*(group_cols or []), "token"]).agg(
         F.count(F.lit(1)).alias("token_count")
     )
+
+
+def keyword_window_counts(
+    df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    pattern: str = DEFAULT_TOKEN_PATTERN,
+    min_token_len: int = 1,
+    min_count: int = 1,
+) -> DataFrame:
+    """Windowed keyword counts — the reference's intended DWS keyword
+    analytics (ikanalyzer dep + SEARCH/CLICK/CART/ORDER constants,
+    gmall-realtime/pom.xml:179-183, common/GmallConstant.java:64-67, with
+    zero implementation): tokenize + explode + tumbling-window count.
+
+    One code path for batch AND streaming: pass ``watermark`` under
+    readStream and the tumbling aggregate emits as event time advances;
+    in batch the same expression is a plain window group-by. The shuffle
+    carries (window, token) partial counts — vocabulary-sized per window,
+    never the token stream itself.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    toks = src.select(
+        F.col(ts_col),
+        F.explode(tokenize(F.col(text_col), pattern)).alias("token"),
+    ).filter(F.length("token") >= min_token_len)
+    return (
+        toks.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"), "token"
+        )
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .filter(F.col("token_count") >= min_count)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "token",
+            "token_count",
+        )
+    )

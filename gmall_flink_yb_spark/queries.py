@@ -106,7 +106,10 @@ from gmall_flink_yb_spark.operators.funnel import (
     retention_cohorts,
 )
 from gmall_flink_yb_spark.operators.bounce import flag_bounce_batch
-from gmall_flink_yb_spark.operators.keywords import keyword_counts
+from gmall_flink_yb_spark.operators.keywords import (
+    keyword_counts,
+    keyword_window_counts,
+)
 from gmall_flink_yb_spark.operators.merge_wide import merge_wide
 from gmall_flink_yb_spark.operators.order_wide import enrich_dims, interval_join
 from gmall_flink_yb_spark.operators.routing import route_cdc
@@ -773,6 +776,49 @@ WHERE EXISTS (
 GROUP BY 1 ORDER BY 1
 """
 
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — conditional aggregation over a broadcast dim join:
+    part broadcasts into the lineitem scan (one pass, no fact shuffle
+    before the monthly roll-up), promo and total revenue come out of the
+    SAME aggregate so the share needs no second job."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo.cast(DEC6)).alias("_p"),
+            F.sum(disc.cast(DEC6)).alias("_t"),
+        )
+        .select(
+            "ship_month",
+            F.round(
+                F.lit(100.0)
+                * F.col("_p").cast("double")
+                / F.col("_t").cast("double"),
+                6,
+            ).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+SQL_Q14_PROMO_REVENUE = """
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+       round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
 # ---------------------------------------------------------------------------
 # DWM order-wide (J1 equi-part + J2 chained broadcast dim enrichment —
 # OrderWideApp.java:89-121; dims snowflake customer->nation->region plays
@@ -1341,6 +1387,43 @@ def q_keyword_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rnk", F.row_number().over(w))
         .select("token", "token_count", "rnk")
     )
+
+
+_KEYWORD_MIN_COUNT = 3
+
+
+def q_keyword_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed keyword counts (§2.9 DWS keyword intent): tokenize the
+    event stream's type+props text, tumbling 1-hour count per token. The
+    SAME operator runs under readStream with a watermark — parity-tested
+    in tests/test_streaming.py."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "ts", F.concat_ws(" ", "event_type", "props").alias("txt")
+    )
+    out = keyword_window_counts(
+        ev, "txt", "ts", "1 hour", min_count=_KEYWORD_MIN_COUNT
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+        "token",
+        "token_count",
+    )
+
+
+SQL_KEYWORD_HOURLY = f"""
+WITH t AS (
+  SELECT date_trunc('hour', ts) AS w,
+         unnest(list_filter(
+             string_split_regex(lower(event_type || ' ' || props),
+                                '[^a-z0-9]+'),
+             x -> length(x) > 0)) AS token
+  FROM events
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS wstart, token,
+       CAST(count(*) AS BIGINT) AS token_count
+FROM t GROUP BY 1, 2
+HAVING count(*) >= {_KEYWORD_MIN_COUNT}
+"""
 
 
 SQL_KEYWORD_TOP100 = """
@@ -3489,6 +3572,8 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "keyword_hourly": q_keyword_hourly,
 }
 
 ORACLES: dict[str, str] = {
@@ -3577,4 +3662,6 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,
+    "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
+    "keyword_hourly": SQL_KEYWORD_HOURLY,
 }

@@ -816,3 +816,41 @@ def test_retention_stream_matches_batch(spark, funnel_events):
     assert stream_counts == batch_counts
     assert batch_counts[("1970-01-01", 0)] == 3  # cohort day-0 size
     assert batch_counts[("1970-01-01", 3)] == 1  # u1 back on day 3
+
+
+def test_keyword_window_stream_matches_batch(spark, sf_dir):
+    """§2.9 keyword DWS intent: the same keyword_window_counts code under
+    readStream with a watermark must produce the batch answer once all
+    data is processed."""
+    from gmall_flink_yb_spark.operators.keywords import keyword_window_counts
+
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    txt = F.concat_ws(" ", "event_type", "props")
+    stream = read_file_stream(
+        spark, sf_dir, raw_schema, glob="events.parquet"
+    ).select("ts", txt.alias("txt"))
+    got = _run_to_memory(
+        keyword_window_counts(
+            stream, "txt", "ts", "1 hour", watermark="1 minute", min_count=3
+        ),
+        spark,
+        "kw_win_s",
+        mode="complete",
+    )
+    events = read_table(spark, sf_dir, "events").select(
+        "ts", txt.alias("txt")
+    )
+    expect = keyword_window_counts(events, "txt", "ts", "1 hour", min_count=3)
+    key = ["window_start", "token"]
+    g = {tuple(r[k] for k in key): r["token_count"] for r in got.collect()}
+    e = {tuple(r[k] for k in key): r["token_count"] for r in expect.collect()}
+    assert g == e
