@@ -820,6 +820,363 @@ GROUP BY 1 ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Remaining expressible TPC-H shapes (the synthetic star schema has no
+# partsupp/commitdate, so Q2/Q11/Q12/Q16/Q20/Q21 are out of reach): Q6
+# (pure scan — every predicate pushes to parquet), Q7 (two roles of the
+# same dim), Q10 (returned-items ranking), Q13 (agg-before-join outer-join
+# distribution), Q15 (exact-decimal argmax, no window), Q19 (OR-of-ANDs
+# pushdown), Q22 (scalar-subquery threshold + anti join). Thresholds sit
+# strictly between the data's value-grid points (discounts are an 11-point
+# 0.00..0.10 grid, quantities integral) so float boundary behavior can
+# never differ between engines.
+# ---------------------------------------------------------------------------
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape — the canonical pushdown showcase: a single fact scan where
+    ALL predicates (date range, discount band, quantity cap) reach the
+    parquet reader as PushedFilters and only 4 columns survive pruning. At
+    100 TB this is the difference between reading the year's row groups
+    and reading everything; no shuffle at all except the final 1-row agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.045)
+            & (F.col("l_discount") <= 0.075)
+            & (F.col("l_quantity") < 23.5)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(DEC6)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+SQL_Q6_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.045 AND l_discount <= 0.075
+  AND l_quantity < 23.5
+"""
+
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — one dim in two roles: nation broadcasts twice (supplier
+    side and customer side) under different aliases, so the pair filter
+    ((n1,n2) or (n2,n1)) is a post-broadcast filter, never a join of two
+    facts. lineitem x orders stays the single fact shuffle on orderkey."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    a, b = _Q7_NATIONS
+    pair_ok = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+SQL_Q7_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+   OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — returned-revenue ranking: the quarter cut on orders and
+    the R-flag cut on lineitem both push to the scans, the fact pair
+    shuffles once on orderkey, customer/nation broadcast, and the top-20
+    is a partial-top-k per partition folded into one tiny final sort."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_Q10_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — distribution of orders-per-customer including the
+    zero-order tail. Orders pre-aggregates to per-custkey counts BEFORE
+    the outer join (the classic agg-below-join rewrite: the join input
+    shrinks from fact-sized to customer-sized), then a left join keeps
+    order-less customers and a second tiny agg builds the histogram. At
+    100 TB both inputs of the outer join are customer-cardinality — the
+    only fact-sized work is the first partial-agg shuffle."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        cust.join(
+            per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_Q13_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS _n
+  FROM orders
+  WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT COALESCE(_n, 0) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — argmax WITHOUT a global window: per-supplier quarter
+    revenue (one fact shuffle), then the max is a 1-row aggregate that
+    broadcast-joins back by exact DECIMAL equality. The textbook
+    Window.partitionBy() over everything would funnel all suppliers
+    through one task; the 1-row broadcast keeps the plan flat. Decimal
+    (not double) comparison makes the tie-set deterministic."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                DEC6
+            )
+        ).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("_rev") == F.col("_mx"))
+        .join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(_rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE _rev = (SELECT max(_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — OR-of-ANDs across the fact and a broadcast dim. The
+    lineitem-only conjuncts (quantity bands) and the part-only conjuncts
+    (type/size) each push into their own scan as a disjunction; the mixed
+    residual evaluates after the broadcast hash join, so the fact never
+    shuffles at all."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_type") == "SMALL")
+            & (F.col("p_size") <= 10)
+            & (qty >= 1)
+            & (qty <= 11)
+        )
+        | (
+            (F.col("p_type") == "MEDIUM")
+            & (F.col("p_size") <= 20)
+            & (qty >= 10)
+            & (qty <= 20)
+        )
+        | (
+            (F.col("p_type") == "LARGE")
+            & (F.col("p_size") <= 30)
+            & (qty >= 20)
+            & (qty <= 30)
+        )
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q19_DISCOUNT_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'SMALL'  AND p_size <= 10
+       AND l_quantity >= 1  AND l_quantity <= 11)
+   OR (p_type = 'MEDIUM' AND p_size <= 20
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_type = 'LARGE'  AND p_size <= 30
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def q_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q22 shape — scalar-subquery threshold + NOT EXISTS. The positive-
+    balance average is a 1-row aggregate computed as exact-DECIMAL sum /
+    exact count, THEN divided in double — both engines divide the same two
+    exact numbers, so the threshold is bit-identical (a distributed double
+    avg would be partition-order dependent). NOT EXISTS decorrelates to a
+    left_anti join on custkey: customer shuffles once against the
+    recent-orders side (the date cut pushes to the orders scan); nothing
+    broadcasts because at scale both sides are fact-sized. The cut makes
+    the semantics "dormant high-balance customers" — the synthetic data
+    gives every customer at least one lifetime order, so the uncut NOT
+    EXISTS would be vacuously empty."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_thr")
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(read_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_Q22_GLOBAL_SALES_OPPORTUNITY = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS _thr
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, thr
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > _thr
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # DWM order-wide (J1 equi-part + J2 chained broadcast dim enrichment —
 # OrderWideApp.java:89-121; dims snowflake customer->nation->region plays
 # user/province/... from OrderWide.java:40-53)
@@ -3574,6 +3931,13 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encode": q_bpe_encode,
     "q14_promo_revenue": q_q14_promo_revenue,
     "keyword_hourly": q_keyword_hourly,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q10_returned_items": q_q10_returned_items,
+    "q13_order_distribution": q_q13_order_distribution,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q19_discount_revenue": q_q19_discount_revenue,
+    "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
 }
 
 ORACLES: dict[str, str] = {
@@ -3664,4 +4028,11 @@ ORACLES: dict[str, str] = {
     "bpe_encode": SQL_BPE_ENCODE,
     "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
     "keyword_hourly": SQL_KEYWORD_HOURLY,
+    "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
+    "q7_volume_shipping": SQL_Q7_VOLUME_SHIPPING,
+    "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+    "q13_order_distribution": SQL_Q13_ORDER_DISTRIBUTION,
+    "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+    "q19_discount_revenue": SQL_Q19_DISCOUNT_REVENUE,
+    "q22_global_sales_opportunity": SQL_Q22_GLOBAL_SALES_OPPORTUNITY,
 }

@@ -207,6 +207,103 @@ def test_bpe_scan_pruned_to_text(spark, sf_dir):
     assert "source" not in schemas[0] and "lang" not in schemas[0]
 
 
+def test_q6_all_predicates_pushed_no_shuffle(spark, sf_dir):
+    """Q6 is the pushdown benchmark: date range, discount band, and
+    quantity cap must ALL reach the parquet scan, the scan must read only
+    the four referenced columns, and the only exchange is the 1-row final
+    aggregate's SinglePartition gather."""
+    from gmall_flink_yb_spark.queries import q_q6_forecast_revenue
+
+    df = q_q6_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    assert "l_returnflag" not in schemas[0] and "l_orderkey" not in schemas[0]
+    assert not join_strategies(df)
+
+
+def test_q7_q10_q19_fact_never_broadcast(spark, sf_dir):
+    """Q7/Q10: with auto-broadcast off, the only shuffle join is
+    lineitem x orders; every dim (supplier/customer/nation roles) is an
+    explicit broadcast hint. Q19: part broadcasts into the lineitem scan
+    and the fact never shuffles at all."""
+    import re
+
+    from gmall_flink_yb_spark.plans.inspect import _simple_plan
+    from gmall_flink_yb_spark.queries import (
+        q_q7_volume_shipping,
+        q_q10_returned_items,
+        q_q19_discount_revenue,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q, n_shuffle, n_bcast in [
+            (q_q7_volume_shipping, 1, 4),
+            (q_q10_returned_items, 1, 2),
+            (q_q19_discount_revenue, 0, 1),
+        ]:
+            plan = _simple_plan(q(spark, sf_dir))
+            shuffled = re.findall(
+                r"\b(?:SortMergeJoin|ShuffledHashJoin)\b", plan
+            )
+            broadcasts = re.findall(r"\bBroadcastHashJoin\b", plan)
+            assert len(shuffled) == n_shuffle, (q.__name__, plan)
+            assert len(broadcasts) == n_bcast, (q.__name__, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q13_aggregates_below_the_outer_join(spark, sf_dir):
+    """Q13's scale property is agg-before-join: the orders scan must be
+    pruned to (o_custkey, o_orderpriority) and collapse to per-custkey
+    counts BEFORE the outer join against customer, so the join inputs are
+    customer-sized. One outer join, nothing cartesian."""
+    from gmall_flink_yb_spark.plans.inspect import _simple_plan
+    from gmall_flink_yb_spark.queries import q_q13_order_distribution
+
+    df = q_q13_order_distribution(spark, sf_dir)
+    orders_schema = [s for s in read_schemas(df) if "o_custkey" in s]
+    assert orders_schema and "o_totalprice" not in orders_schema[0]
+    plan = _simple_plan(df)
+    assert "CartesianProduct" not in plan
+    # the join's right side is the aggregate, not the raw scan: the
+    # aggregate appears below the join in the plan tree
+    assert plan.index("Join") < plan.rindex("HashAggregate")
+
+
+def test_q15_argmax_without_global_window(spark, sf_dir):
+    """Q15's max-revenue selection must be a 1-row broadcast join, never a
+    Window.partitionBy() over everything (which funnels all suppliers
+    through a single task)."""
+    from gmall_flink_yb_spark.plans.inspect import _simple_plan
+    from gmall_flink_yb_spark.queries import q_q15_top_supplier
+
+    df = q_q15_top_supplier(spark, sf_dir)
+    plan = _simple_plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in join_strategies(df)
+    rows = df.collect()
+    assert len(rows) >= 1
+
+
+def test_q22_anti_join_with_pushed_date_cut(spark, sf_dir):
+    """Q22: the NOT EXISTS must decorrelate to a left anti join, the
+    recent-orders date cut must push to the orders scan, and the scalar
+    threshold must be a broadcast (1-row) side, not a shuffle."""
+    from gmall_flink_yb_spark.plans.inspect import _simple_plan
+    from gmall_flink_yb_spark.queries import q_q22_global_sales_opportunity
+
+    df = q_q22_global_sales_opportunity(spark, sf_dir)
+    plan = _simple_plan(df)
+    assert "LeftAnti" in plan, plan
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed
+
+
 def test_winnow_overlap_scan_pruned(spark, sf_dir):
     """Winnowing reads only (doc_id, text); the pair join must be an
     equi-join on the fingerprint, never a cartesian."""
