@@ -282,3 +282,86 @@ def hashed_ngram_affinity(
             F.sum("_w").cast("long").alias("affinity"),
         )
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Pairwise cross-source contamination matrix: token-``n``-gram Jaccard
+    between every pair of sources (the corpus-level audit behind "is one
+    crawl a near-copy of another" / train-split leakage between corpora).
+
+    Returns one row per unordered source pair (src_a < src_b, ALL pairs
+    including zero-overlap ones): (src_a, src_b, grams_a, grams_b,
+    n_shared, jaccard).
+
+    Scale shape (100 TB): grams collapse to DISTINCT (source, md5) first —
+    the self-join on the gram key then fans out at most n_sources rows per
+    gram, so the candidate volume is bounded by n_sources² per gram, never
+    corpus². Per-source gram counts are a source-cardinality frame; the
+    pair skeleton is built by crossing it with itself (broadcast — source
+    counts are dim-sized by definition) so empty intersections still get a
+    row. One shuffle on the gram hash, one tiny pair aggregate.
+    """
+    grams = (
+        df.select(
+            F.col(group_col).alias("src"),
+            _clean_tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "src", F.explode(_ngrams_of_tokens(F.col("_toks"), n)).alias("g")
+        )
+        .select("src", F.md5(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        grams.alias("a")
+        .join(
+            grams.select(
+                F.col("src").alias("src_b2"), F.col("gh").alias("gh_b")
+            ),
+            (F.col("gh") == F.col("gh_b")) & (F.col("src") < F.col("src_b2")),
+        )
+        .groupBy(
+            F.col("src").alias("ia"), F.col("src_b2").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pairs = (
+        sizes.select(
+            F.col("src").alias("src_a"), F.col("n_grams").alias("grams_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("src").alias("src_b"),
+                    F.col("n_grams").alias("grams_b"),
+                )
+            )
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return (
+        pairs.join(
+            inter,
+            (F.col("src_a") == F.col("ia")) & (F.col("src_b") == F.col("ib")),
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "grams_a",
+            "grams_b",
+            shared.alias("n_shared"),
+            F.round(
+                shared.cast("double")
+                / (F.col("grams_a") + F.col("grams_b") - shared),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 
 def _norm(vec: Column) -> Column:
@@ -500,4 +501,72 @@ def lsh_bucket_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "rnk", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    centroid_dp: int = 12,
+) -> DataFrame:
+    """Per-label outlier mining: build each label's centroid, score every
+    member by cosine against its OWN centroid, and keep the ``k`` least
+    similar per label — the standard label-noise / mislabeled-example
+    sweep over an embedded dataset.
+
+    Determinism contract (the oracle hashes values): per-dimension sums run
+    in DECIMAL (exact, order-invariant — a distributed double sum is
+    partition-order dependent), the mean divides two exact numbers in
+    double, and the centroid coordinate rounds to ``centroid_dp`` before
+    any cosine — the same trajectory-rounding convention as the k-means
+    loop (clustering.py), so Spark and DuckDB fold identical doubles.
+
+    Scale shape (100 TB): the centroid build is one posexplode + groupBy
+    (label, dim) with map-side partial aggregation — dims x labels output
+    rows; centroids regroup to label-sized arrays and broadcast back into
+    the scoring pass, which is a narrow per-row fold; the only other
+    shuffle is the per-label top-k window over label-partitioned data.
+    """
+    e = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        F.col(label_col).alias("lbl"),
+    )
+    per_dim = (
+        e.select("lbl", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("lbl", "pos")
+        .agg(
+            F.sum(F.col("x").cast(DecimalType(28, 12))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "lbl",
+            "pos",
+            F.round(
+                F.col("s").cast("double") / F.col("n"), centroid_dp
+            ).alias("c"),
+        )
+    )
+    centroids = per_dim.groupBy("lbl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    scored = e.join(F.broadcast(centroids), "lbl").select(
+        "lbl", "id", cosine(F.col("vec"), F.col("cv")).alias("_cos")
+    )
+    w = Window.partitionBy("lbl").orderBy(F.col("_cos").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("lbl").alias("label"),
+            F.col("id").alias("vec_id"),
+            "rnk",
+            F.round("_cos", 6).alias("centroid_cos"),
+        )
     )

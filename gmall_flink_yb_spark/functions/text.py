@@ -241,3 +241,52 @@ def doc_fingerprint(text: Column) -> Column:
     detection oracle-checkable."""
     normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def unigram_lm_score(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 use wiki-LM
+    perplexity to rank docs), with the log quantized so the whole pipeline
+    is integer-exact: a token's surprisal is measured in whole bits as
+    ``length(bin(N)) - length(bin(cnt))`` (floor-log2 via the binary string
+    length — identical in Spark and DuckDB, unlike float ``log2`` whose
+    last-ulp behavior is libm-specific). A document's score is the
+    tf-weighted mean surprisal of its tokens: high = rare-token-heavy
+    (gibberish or highly specific), low = stopword mush.
+
+    Returns (doc_id, n_tokens, sum_bits, mean_bits) for every document
+    with at least one token.
+
+    Scale shape (100 TB): one explode of the token stream feeding ONE
+    shuffle on (doc, token) for tf; the vocab roll-up and the corpus total
+    both partial-aggregate map-side from tf (token-cardinality inputs, not
+    corpus-cardinality). The vocab joins back on token — a key whose
+    cardinality is vocabulary-sized, with heavy hitters bounded by the
+    Zipf head; the 1-row corpus total broadcasts. No Python anywhere.
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.filter(tokenize(F.col(text_col)), lambda t: F.length(t) > 0)).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    bits = F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt")))
+    return (
+        tf.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * bits).alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            F.round(
+                F.col("sum_bits").cast("double") / F.col("n_tokens"), 6
+            ).alias("mean_bits"),
+        )
+    )

@@ -38,6 +38,7 @@ from gmall_flink_yb_spark.functions.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
     ivf_topk,
+    label_centroid_outliers,
     lsh_bucket_topk,
     semantic_dedup,
 )
@@ -59,6 +60,7 @@ from gmall_flink_yb_spark.functions.text import (
     quality_features,
     quality_score,
     repetition_features,
+    unigram_lm_score,
     token_count,
 )
 from gmall_flink_yb_spark.functions.sampling import (
@@ -83,6 +85,7 @@ from gmall_flink_yb_spark.functions.ngrams import (
     distinctive_terms,
     gram_rows,
     hashed_ngram_affinity,
+    source_overlap,
     span_dup_stats,
 )
 from gmall_flink_yb_spark.functions.bpe import (
@@ -3849,6 +3852,124 @@ FROM z GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-level curation analytics: quantized unigram LM scoring (CCNet-style
+# quality ranking, integer-exact), cross-source contamination matrix
+# (pairwise n-gram Jaccard between sources), and per-label embedding
+# outliers (label-noise sweep). LLM-pipeline surface; no reference
+# counterpart — SURVEY.md §2.9 last paragraph.
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized unigram LM scoring over the documents corpus — tf-weighted
+    mean token surprisal in whole bits (see functions/text.py:
+    unigram_lm_score for the integer-exact design)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_lm_score(docs, "doc_id", "text")
+
+
+SQL_UNIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0)) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * (length(bin(n_total)) - length(bin(cnt))))
+            AS BIGINT) AS sum_bits,
+       round(CAST(sum(tf * (length(bin(n_total)) - length(bin(cnt))))
+                  AS DOUBLE) / sum(tf), 6) AS mean_bits
+FROM tf JOIN vocab USING (w) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+_SOURCE_OVERLAP_N = 5
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level n-gram Jaccard — the corpus contamination
+    matrix (all source pairs, zero-overlap pairs included)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return source_overlap(docs, "source", "text", n=_SOURCE_OVERLAP_N)
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH toks AS (
+  SELECT source AS src,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT src,
+         md5(array_to_string(t[i:i+{_SOURCE_OVERLAP_N - 1}], ' ')) AS gh
+  FROM toks,
+       unnest(range(1, CAST(len(t) AS BIGINT) - {_SOURCE_OVERLAP_N} + 2))
+         AS u(i)
+), sizes AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.src AS ia, b.src AS ib, CAST(count(*) AS BIGINT) AS n_shared
+  FROM grams a JOIN grams b ON a.gh = b.gh AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT sa.src AS src_a, sb.src AS src_b,
+       sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       round(CAST(COALESCE(n_shared, 0) AS DOUBLE)
+             / (sa.n_grams + sb.n_grams - COALESCE(n_shared, 0)), 6)
+           AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.src < sb.src
+LEFT JOIN inter ON sa.src = ia AND sb.src = ib
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid outliers over the embeddings table: the 5 least
+    centroid-similar members of each label (mislabeled-example sweep)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, "vec_id", "embedding", "label", k=5)
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), per_dim AS (
+  SELECT label,
+         generate_subscripts(v, 1) AS pos,
+         unnest(v) AS x
+  FROM e
+), cent_dim AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*),
+               12) AS c
+  FROM per_dim GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS cv FROM cent_dim GROUP BY 1
+), scored AS (
+  SELECT e.label, e.vec_id,
+         list_cosine_similarity(e.v, cent.cv) AS cs
+  FROM e JOIN cent USING (label)
+)
+SELECT label, vec_id,
+       CAST(row_number() OVER (
+            PARTITION BY label ORDER BY cs ASC, vec_id ASC)
+            AS INTEGER) AS rnk,
+       round(cs, 6) AS centroid_cos
+FROM scored QUALIFY rnk <= 5
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "uv_daily": q_uv_daily,
     "new_visitor_daily": q_new_visitor_daily,
@@ -3938,6 +4059,9 @@ QUERIES: dict[str, QueryFn] = {
     "q15_top_supplier": q_q15_top_supplier,
     "q19_discount_revenue": q_q19_discount_revenue,
     "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
+    "unigram_lm": q_unigram_lm,
+    "source_overlap": q_source_overlap,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -4035,4 +4159,7 @@ ORACLES: dict[str, str] = {
     "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
     "q19_discount_revenue": SQL_Q19_DISCOUNT_REVENUE,
     "q22_global_sales_opportunity": SQL_Q22_GLOBAL_SALES_OPPORTUNITY,
+    "unigram_lm": SQL_UNIGRAM_LM,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
 }

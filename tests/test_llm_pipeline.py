@@ -361,3 +361,73 @@ def test_quality_score_monotone_and_bounded(spark):
     assert rows[1]["quality_score"] > rows[2]["quality_score"]
     assert rows[1]["quality_label"] == 1
     assert rows[2]["quality_label"] == 0
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    from gmall_flink_yb_spark.functions.text import unigram_lm_score
+
+    df = spark.createDataFrame([(0, "a a b"), (1, "b c")], ["doc_id", "text"])
+    # corpus: a=2 b=2 c=1, N=5 -> bits(N)=len(bin 5)=3;
+    # surprisal a,b = 3-2 = 1; c = 3-1 = 2
+    rows = {r["doc_id"]: r for r in unigram_lm_score(df, "doc_id", "text").collect()}
+    assert rows[0]["n_tokens"] == 3 and rows[0]["sum_bits"] == 3
+    assert rows[0]["mean_bits"] == 1.0
+    assert rows[1]["n_tokens"] == 2 and rows[1]["sum_bits"] == 3
+    assert rows[1]["mean_bits"] == 1.5
+
+
+def test_unigram_lm_rare_tokens_score_higher(spark, sf_dir):
+    """A gibberish-heavy doc (all-unique tokens) must outscore stopword
+    mush built from the corpus's own most common tokens."""
+    from gmall_flink_yb_spark.functions.text import unigram_lm_score
+    from gmall_flink_yb_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(50).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (90001, "zqxjv kwpfy mblgr ntdcs hzvqk"),  # unique -> rare
+            (90002, "the the the the the a a a a a"),
+        ],
+        ["doc_id", "text"],
+    )
+    scored = {
+        r["doc_id"]: r["mean_bits"]
+        for r in unigram_lm_score(docs.union(extra), "doc_id", "text").collect()
+    }
+    assert scored[90001] > scored[90002]
+
+
+def test_source_overlap_matrix_complete_and_exact(spark):
+    from gmall_flink_yb_spark.functions.ngrams import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (0, "s1", "a b c d"),
+            (1, "s2", "a b c e"),   # shares bigrams "a b","b c" with s1
+            (2, "s3", "x y z w"),   # disjoint from both
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap(df, "source", "text", n=2).collect()
+    }
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = rows[("s1", "s2")]
+    # s1 bigrams {ab,bc,cd}, s2 {ab,bc,ce}: inter 2, union 4
+    assert r12["n_shared"] == 2 and r12["jaccard"] == 0.5
+    assert rows[("s1", "s3")]["n_shared"] == 0
+    assert rows[("s1", "s3")]["jaccard"] == 0.0
+
+
+def test_label_centroid_outliers_flags_planted_outlier(spark):
+    from gmall_flink_yb_spark.functions.similarity import label_centroid_outliers
+
+    rows = [(i, [1.0, 0.0, 0.0], 0) for i in range(9)]
+    rows.append((99, [-1.0, 0.1, 0.0], 0))          # planted outlier
+    rows += [(100 + i, [0.0, 1.0, 0.0], 1) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = label_centroid_outliers(df, "vec_id", "embedding", "label", k=2)
+    got = {(r["label"], r["rnk"]): r["vec_id"] for r in out.collect()}
+    assert got[(0, 1)] == 99                         # least centroid-similar
+    assert out.filter(F.col("label") == 1).count() == 2
