@@ -854,3 +854,66 @@ def test_keyword_window_stream_matches_batch(spark, sf_dir):
     g = {tuple(r[k] for k in key): r["token_count"] for r in got.collect()}
     e = {tuple(r[k] for k in key): r["token_count"] for r in expect.collect()}
     assert g == e
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """§2.9 session-window DWS intent: session_agg under readStream in
+    APPEND mode with a watermark must emit exactly the batch sessions once
+    the watermark passes them. A far-future sentinel event advances the
+    watermark past every real session (append mode only emits FINALIZED
+    session windows); the sentinel's own session is excluded from the
+    comparison on both sides."""
+    from gmall_flink_yb_spark.operators.windows import session_agg
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    base = 1_700_000_000
+
+    def _ts(s):
+        import datetime
+
+        return datetime.datetime.utcfromtimestamp(base + s)
+
+    # u1: two sessions (gap > 30 s); u2: one session spanning two files
+    batch0 = [(_ts(0.0), 1), (_ts(10.0), 1), (_ts(20.0), 2)]
+    batch1 = [(_ts(45.0), 2), (_ts(120.0), 1), (_ts(130.0), 1)]
+    sentinel = [(_ts(86_400.0), 999)]
+    d = str(tmp_path / "sessions")
+    os.makedirs(d)
+    for i, rows in enumerate([batch0, batch1, sentinel]):
+        bdir = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(bdir)
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        os.rename(
+            os.path.join(bdir, part[0]), os.path.join(d, f"{i:02d}.parquet")
+        )
+        os.utime(
+            os.path.join(d, f"{i:02d}.parquet"),
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    stream = read_file_stream(
+        spark, d, schema, max_files_per_trigger=1, glob="*.parquet"
+    )
+    got = _run_to_memory(
+        session_agg(
+            stream, "ts", "30 seconds", ["user_id"], aggs,
+            watermark="1 second",
+        ),
+        spark,
+        "session_s",
+    ).filter(F.col("user_id") != 999)
+    all_df = spark.read.schema(schema).parquet(d).filter(
+        F.col("user_id") != 999
+    )
+    expect = session_agg(all_df, "ts", "30 seconds", ["user_id"], aggs)
+    key = ["user_id", "window_start", "window_end"]
+    g = {tuple(r[k] for k in key): r["n_events"] for r in got.collect()}
+    e = {tuple(r[k] for k in key): r["n_events"] for r in expect.collect()}
+    assert g == e
+    assert len(e) == 3  # u1 x2 sessions, u2 x1 (cross-file session merged)
+    assert sum(g.values()) == 6
