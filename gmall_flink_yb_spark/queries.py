@@ -682,6 +682,60 @@ FROM daily
 """
 
 
+def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per nation — the lag/lead half of
+    the window surface (running_revenue covers the frame-sum half). The
+    window partitions by nation, so at 100 TB it distributes across
+    nations after a months-per-nation-sized aggregate; no global sort.
+    The pct change divides two exact DECIMAL sums in double and rounds —
+    the same determinism contract as the other ratio queries."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("_rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("order_month")
+    prev = F.lag("_rev").over(w)
+    return monthly.select(
+        "n_name",
+        "order_month",
+        F.col("_rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round(
+            (F.col("_rev") - prev).cast("double") / prev.cast("double") * 100.0,
+            6,
+        ).alias("mom_pct"),
+    )
+
+
+SQL_REVENUE_MOM = """
+WITH monthly AS (
+  SELECT n_name, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, order_month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(lag(rev) OVER w AS DOUBLE) AS prev_revenue,
+       round(CAST(rev - lag(rev) OVER w AS DOUBLE)
+             / CAST(lag(rev) OVER w AS DOUBLE) * 100.0, 6) AS mom_pct
+FROM monthly
+WINDOW w AS (PARTITION BY n_name ORDER BY order_month)
+"""
+
+
 _Q18_MIN_QTY = 150
 
 
@@ -4062,6 +4116,7 @@ QUERIES: dict[str, QueryFn] = {
     "unigram_lm": q_unigram_lm,
     "source_overlap": q_source_overlap,
     "embedding_outliers": q_embedding_outliers,
+    "revenue_mom": q_revenue_mom,
 }
 
 ORACLES: dict[str, str] = {
@@ -4162,4 +4217,5 @@ ORACLES: dict[str, str] = {
     "unigram_lm": SQL_UNIGRAM_LM,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "revenue_mom": SQL_REVENUE_MOM,
 }
