@@ -140,3 +140,54 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_unigram_lm_empty_and_single_token_docs(spark):
+    """Docs with zero tokens are absent (no token rows); a one-token corpus
+    scores 0 bits (its only token IS the whole distribution)."""
+    from gmall_flink_yb_spark.functions.text import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "..."), (2, "word")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in unigram_lm_score(df, "doc_id", "text").collect()}
+    assert set(rows) == {2}
+    assert rows[2]["n_tokens"] == 1 and rows[2]["sum_bits"] == 0
+    assert rows[2]["mean_bits"] == 0.0
+
+
+def test_source_overlap_single_source_no_pairs(spark):
+    from gmall_flink_yb_spark.functions.ngrams import source_overlap
+
+    df = spark.createDataFrame(
+        [(0, "only", "a b c d e f")], ["doc_id", "source", "text"]
+    )
+    assert source_overlap(df, "source", "text", n=2).count() == 0
+
+
+def test_source_overlap_short_docs_yield_no_grams(spark):
+    """A source whose every doc is shorter than n tokens contributes no
+    grams — its pairs still appear (complete matrix) with 0/0-gram sides
+    and NULL-free jaccard only when a denominator exists."""
+    from gmall_flink_yb_spark.functions.ngrams import source_overlap
+
+    df = spark.createDataFrame(
+        [(0, "s1", "a b c"), (1, "s2", "x")], ["doc_id", "source", "text"]
+    )
+    rows = source_overlap(df, "source", "text", n=2).collect()
+    # s2 has no 2-grams -> no sizes row -> the pair frame (built from
+    # sizes x sizes) has no (s1, s2) row: gram-less sources are absent by
+    # construction, not silently zero-padded
+    assert rows == []
+
+
+def test_label_centroid_outliers_singleton_label(spark):
+    """A label with one member: its centroid IS the member (cos == 1)."""
+    from gmall_flink_yb_spark.functions.similarity import label_centroid_outliers
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], 7)], ["vec_id", "embedding", "label"]
+    )
+    rows = label_centroid_outliers(df, "vec_id", "embedding", "label", k=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["centroid_cos"] == 1.0 and rows[0]["rnk"] == 1
