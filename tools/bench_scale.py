@@ -52,6 +52,11 @@ DEDUP_QUERIES = [
     "dedup_canonical",
     "dedup_incremental",
     "winnow_overlap",
+    # corpus-analytics additions: vocabulary-join scoring and the
+    # source-pair gram matrix (both documents-table shaped, so the salted
+    # replication applies: 10x docs, disjoint cross-replica grams)
+    "unigram_lm",
+    "source_overlap",
 ]
 
 FACT_QUERIES = [
@@ -224,7 +229,16 @@ def main() -> None:
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--skip-ann", action="store_true")
     ap.add_argument("--skip-facts", action="store_true")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: run just these from the suites",
+    )
     args = ap.parse_args()
+    if args.only:
+        keep = set(args.only.split(","))
+        DEDUP_QUERIES[:] = [q for q in DEDUP_QUERIES if q in keep]
+        FACT_QUERIES[:] = [q for q in FACT_QUERIES if q in keep]
 
     spark = get_spark("bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
