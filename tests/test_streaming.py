@@ -917,3 +917,73 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     assert g == e
     assert len(e) == 3  # u1 x2 sessions, u2 x1 (cross-file session merged)
     assert sum(g.values()) == 6
+
+
+def test_incremental_dedup_stream_survives_restart(spark, tmp_path):
+    """Crash/restart discipline: stop the ingest stream after batch 1,
+    start a NEW query on the SAME checkpoint with more files present —
+    the restarted query must pick up where the checkpoint left off (no
+    reprocessing of batch 1, no duplicate partitions) and the final
+    corpus must equal the single-run answer."""
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_file_stream,
+        start_incremental_dedup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the farmer watches from the old wooden fence nearby"
+    )
+    b1 = [(1, base), (2, "completely different content about distributed "
+                         "query engines and columnar storage formats")]
+    b2 = [(3, base + " extra"),      # near-dup of admitted doc 1: reject
+          (4, "a third totally unrelated piece of text about sailing "
+              "ships crossing the atlantic with cargo aboard")]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def _drop(i, rows):
+        stage = tmp_path / f"stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(stage / part[0], src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    _drop(0, b1)
+    q1 = start_incremental_dedup_stream(
+        spark,
+        read_file_stream(spark, str(src), schema, max_files_per_trigger=1,
+                         glob="*.parquet"),
+        corpus, ckpt, threshold=0.5,
+    )
+    q1.awaitTermination(120)  # availableNow: terminates after file 00
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 2]
+
+    _drop(1, b2)
+    q2 = start_incremental_dedup_stream(
+        spark,
+        read_file_stream(spark, str(src), schema, max_files_per_trigger=1,
+                         glob="*.parquet"),
+        corpus, ckpt, threshold=0.5,
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4]
+    # batch-1's partition untouched by the restart: docs 1,2 still live in
+    # the partition written before the stop, 4 in a later one
+    parts = {
+        r["doc_id"]: r["ingest_batch"]
+        for r in out.select("doc_id", "ingest_batch").collect()
+    }
+    assert parts[1] == parts[2] < parts[4]
