@@ -987,3 +987,68 @@ def test_incremental_dedup_stream_survives_restart(spark, tmp_path):
         for r in out.select("doc_id", "ingest_batch").collect()
     }
     assert parts[1] == parts[2] < parts[4]
+
+
+def test_count_min_stream_merge_equals_batch_sketch(spark, tmp_path):
+    """Mergeable-sketch property, end to end: the element-wise sum of the
+    per-micro-batch count-min sketches equals the batch sketch of ALL the
+    data bit for bit (count-min is linear), and estimates off the merged
+    sketch keep the overestimate guarantee."""
+    from gmall_flink_yb_spark.functions.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        merged_count_min,
+        read_file_stream,
+        start_count_min_stream,
+    )
+
+    schema = StructType([StructField("w", StringType())])
+    b1 = [("spark",)] * 5 + [("flink",)] * 2 + [("duck",)]
+    b2 = [("spark",)] * 3 + [("arrow",)] * 4
+    src = tmp_path / "words"
+    src.mkdir()
+    for i, rows in enumerate([b1, b2]):
+        stage = tmp_path / f"stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(stage / part[0], src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    q = start_count_min_stream(
+        spark,
+        read_file_stream(spark, str(src), schema, max_files_per_trigger=1,
+                         glob="*.parquet"),
+        "w",
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+        depth=3,
+        width=64,
+    )
+    q.awaitTermination(120)
+    # two micro-batches -> two sketch partitions
+    import glob as _glob
+
+    parts = _glob.glob(str(tmp_path / "sketch" / "sketch_batch=*"))
+    assert len(parts) == 2
+    merged = merged_count_min(spark, str(tmp_path / "sketch"))
+    all_df = spark.read.schema(schema).parquet(str(src))
+    batch_sketch = count_min_build(all_df, "w", depth=3, width=64)
+    m = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["j"], r["bucket"]): r["cnt"] for r in batch_sketch.collect()}
+    assert m == b  # linearity: sum of per-batch sketches == batch sketch
+    est = {
+        r["w"]: r["est_count"]
+        for r in count_min_estimate(
+            all_df.distinct(), merged, "w", depth=3, width=64
+        ).collect()
+    }
+    exact = {r["w"]: r["n"] for r in
+             all_df.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[w] >= exact[w] for w in exact)
+    assert est["spark"] >= 8
