@@ -561,3 +561,61 @@ def merged_count_min(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def start_hll_uv_stream(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    lg_k: int = 12,
+) -> StreamingQuery:
+    """Streaming daily-UV via mergeable HLL sketches (Datasketches
+    ``hll_sketch_agg``): each micro-batch writes one binary sketch per
+    civil day to ``sketch_dir/uv_batch=N`` (batchId-keyed partition —
+    replays overwrite in place), and ``merged_hll_uv`` unions the
+    per-batch sketches per day at read time.
+
+    HLL union is exact over sketch states (same lgK): the union of
+    per-batch sketches IS the sketch of the union, so the streaming
+    estimate equals the batch estimate on the same data — asserted in
+    tests/test_streaming.py. vs the dropDuplicates UV stream above: state
+    here is lgK-bounded per (day, batch) with NO watermark eviction needed
+    — arbitrarily late events just land in a later batch's sketch and
+    union in. The trade is exactness: this is the ±rsd serving path, the
+    dropDuplicates path is the exact one.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        day_sketches = batch_df.groupBy(
+            F.date_format(ts_col, "yyyy-MM-dd").alias("dt")
+        ).agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sk"))
+        day_sketches.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"uv_batch={batch_id}")
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_hll_uv(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """(dt, uv_estimate) from the per-batch day sketches: one
+    days-x-batches-bounded union aggregate, never the raw keys."""
+    return (
+        spark.read.option("basePath", sketch_dir)
+        .parquet(sketch_dir)
+        .groupBy("dt")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+                "uv_estimate"
+            )
+        )
+    )

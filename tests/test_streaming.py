@@ -1052,3 +1052,85 @@ def test_count_min_stream_merge_equals_batch_sketch(spark, tmp_path):
              all_df.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(est[w] >= exact[w] for w in exact)
     assert est["spark"] >= 8
+
+
+def test_hll_uv_stream_merge_equals_batch_estimate(spark, tmp_path):
+    """HLL union exactness over sketch states: the per-day UV estimated
+    from unioned per-micro-batch sketches equals the single-pass batch
+    sketch estimate of the same events, and sits within 3-sigma of exact.
+    Late events need no watermark: they land in a later batch's sketch
+    and union in."""
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        merged_hll_uv,
+        read_file_stream,
+        start_hll_uv_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    import datetime
+
+    def _t(day, i):
+        return datetime.datetime(2024, 1, day, 8, 0, i)
+
+    b1 = [(_t(1, i), i % 7) for i in range(30)]
+    # batch 2: day-2 traffic PLUS late day-1 events from new users
+    b2 = [(_t(2, i), 100 + i % 5) for i in range(20)] + [
+        (_t(1, 40 + i), 50 + i) for i in range(3)
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, rows in enumerate([b1, b2]):
+        stage = tmp_path / f"stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(stage / part[0], src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    q = start_hll_uv_stream(
+        spark,
+        read_file_stream(spark, str(src), schema, max_files_per_trigger=1,
+                         glob="*.parquet"),
+        "user_id",
+        "ts",
+        str(tmp_path / "hll"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["dt"]: r["uv_estimate"]
+        for r in merged_hll_uv(spark, str(tmp_path / "hll")).collect()
+    }
+    all_df = spark.read.schema(schema).parquet(str(src))
+    batch = {
+        r["dt"]: r["est"]
+        for r in all_df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt")
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert got == batch  # union of per-batch sketches == sketch of union
+    exact = {
+        r["dt"]: r["n"]
+        for r in all_df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert exact["2024-01-01"] == 10  # 7 on-time + 3 late users
+    for dt, n in exact.items():
+        assert abs(got[dt] - n) <= max(1.0, 0.15 * n)
