@@ -8,8 +8,12 @@ bounded at ``depth x width`` counters regardless of vocabulary size —
 the standard trick when the key space (urls, n-grams, user agents)
 explodes. Cormode & Muthukrishnan 2005.
 
-Determinism: the j-th hash of an item is the first 32 bits of
-md5("<j>:" + item) mod width — bit-identical in DuckDB, so the sketch
+Determinism: the j-th hash of an item is bits [32j, 32j+32) of ONE
+md5(item) digest mod width for j < 4 (the 128-bit digest carries four
+independent-enough 32-bit hashes — standard sketch practice, and it
+costs ONE md5 per item instead of depth; Catalyst's subexpression
+elimination evaluates the shared md5 once per row), falling back to
+md5("<j>:" + item) for j >= 4. Bit-identical in DuckDB, so the sketch
 itself (not just its row count) is oracle-checkable, including the
 overestimate property est >= exact.
 
@@ -32,14 +36,14 @@ CM_WIDTH = 1024
 
 
 def _cm_bucket(item: Column, j: int, width: int) -> Column:
-    """Row-j bucket of an item: first 32 md5 bits of "<j>:<item>" mod width
-    (DuckDB: CAST(('0x' || substr(md5(j || ':' || g), 1, 8)) AS BIGINT))."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), item)), 1, 8), 16, 10
-        ).cast("long")
-        % width
-    )
+    """Row-j bucket of an item: hex chars [8j, 8j+8) of md5(item) for
+    j < 4 (one digest, four hashes), salted digests beyond
+    (DuckDB: CAST(('0x' || substr(md5(g), 1 + 8*j, 8)) AS BIGINT))."""
+    if j < 4:
+        digest = F.substring(F.md5(item), 1 + 8 * j, 8)
+    else:
+        digest = F.substring(F.md5(F.concat(F.lit(f"{j}:"), item)), 1, 8)
+    return F.conv(digest, 16, 10).cast("long") % width
 
 
 def _jb_array(item: Column, depth: int, width: int) -> Column:

@@ -3731,7 +3731,7 @@ WITH toks AS ({_SQL_TOKS}
   SELECT u.x AS token FROM toks, unnest(t) AS u(x)
 ), jb AS (
   SELECT token, j,
-         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))
+         CAST(('0x' || substr(md5(token), 1 + 8 * j, 8))
               AS BIGINT) % {CM_WIDTH} AS bucket
   FROM g, unnest([0, 1, 2, 3]) AS _j(j)
 ), sk AS (
