@@ -369,14 +369,18 @@ def minhash_signatures(
     """
     shingles = shingle_rows(df, id_col, text_col, shingle_n)
     if portable:
-        # same one-pass structure as the production path: TWO md5 base
-        # hashes per shingle + num_hashes arithmetic mixes (was num_hashes
-        # md5 calls — 16x more string hashing for identical semantics).
+        # same one-pass structure as the production path: ONE md5 digest
+        # per shingle sliced into two 60-bit base hashes (hex [1,15] and
+        # [16,30] of the 32-char digest) + num_hashes arithmetic mixes
+        # (was num_hashes md5 calls, then two — Catalyst's subexpression
+        # elimination evaluates the shared digest once per row).
         # Bit-identical in DuckDB => the whole operator is oracle-checkable.
         hashed = shingles.select(
             "doc_id",
             _md5_long(F.col("token")).alias("h1"),
-            _md5_long(F.concat(F.col("token"), F.lit("#"))).alias("h2"),
+            F.conv(F.substring(F.md5(F.col("token")), 16, 15), 16, 10)
+            .cast("long")
+            .alias("h2"),
         )
         aggs = [F.min(_portable_mix(i)).alias(f"_m{i}") for i in range(num_hashes)]
     else:

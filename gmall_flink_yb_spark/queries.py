@@ -2403,7 +2403,8 @@ WITH toks_f AS (
 ), members AS (
   SELECT unnest(generate_series(0, {_MINHASH_N - 1})) AS i
 ), hashes AS (
-  -- one-pass family: two md5 base hashes per shingle, member i =
+  -- one-pass family: ONE md5 digest per shingle sliced into two 60-bit
+  -- base hashes, member i =
   -- h1 XOR rotl60(h2, i) as overflow-safe arithmetic (dedup._portable_mix)
   SELECT doc_id, i,
          min(CASE WHEN i = 0 THEN xor(h1, h2)
@@ -2412,7 +2413,7 @@ WITH toks_f AS (
              END) AS sig
   FROM (
     SELECT doc_id, {_sql_md5_long("token")} AS h1,
-           {_sql_md5_long("token || '#'")} AS h2
+           ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
     FROM toks_f
   ) CROSS JOIN members
   GROUP BY doc_id, i
@@ -3285,7 +3286,7 @@ WITH toks_f AS (
              END) AS sig
   FROM (
     SELECT doc_id, {_sql_md5_long("token")} AS h1,
-           {_sql_md5_long("token || '#'")} AS h2
+           ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
     FROM toks_f
   ) CROSS JOIN members
   GROUP BY doc_id, i
