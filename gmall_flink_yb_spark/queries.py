@@ -4025,6 +4025,80 @@ FROM scored QUALIFY rnk <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series motif search (EDBT 2019 distributed-similarity-search shape;
+# functions/timeseries.py) — z-normalized subsequence matching over keyed
+# series, distributed by key.
+# ---------------------------------------------------------------------------
+
+# a 5-day spike: quiet, ramp, peak, ramp-down, quiet (z-normalized before
+# matching, so only the SHAPE matters)
+_MOTIF_PATTERN = [1.0, 2.0, 8.0, 2.0, 1.0]
+_MOTIF_BUCKET_S = 86_400
+
+
+def q_ts_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-day windows whose 5-day spend curve best matches the
+    spike pattern, by z-normalized euclidean distance over gap-free
+    windows (see functions/timeseries.py for the determinism contract)."""
+    from gmall_flink_yb_spark.functions.timeseries import (
+        bucket_series,
+        motif_search,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    series = bucket_series(
+        ev, "user_id", "ts", "value", bucket_seconds=_MOTIF_BUCKET_S
+    )
+    return motif_search(series, _MOTIF_PATTERN, k=20)
+
+
+def _sql_ts_motif() -> str:
+    from gmall_flink_yb_spark.functions.timeseries import znorm_pattern
+
+    p = znorm_pattern(_MOTIF_PATTERN)
+    w = len(p)
+    v = [f"_v{i}" for i in range(w)]
+    leads = ",\n         ".join(
+        f"lead(v, {i}) OVER win AS _v{i}" for i in range(1, w)
+    )
+    sum_chain = " + ".join(v)
+    sq_chain = " + ".join(f"(({x} - mu) * ({x} - mu))" for x in v)
+    dist_chain = " + ".join(
+        f"((({x} - mu) / sd - ({p[i]!r})) * (({x} - mu) / sd - ({p[i]!r})))"
+        for i, x in enumerate(v)
+    )
+    return f"""
+WITH s AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts) / {_MOTIF_BUCKET_S}) AS BIGINT) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), win_rows AS (
+  SELECT key, bucket, v AS _v0,
+         {leads},
+         lead(bucket, {w - 1}) OVER win AS _last
+  FROM s WINDOW win AS (PARTITION BY key ORDER BY bucket)
+), full_w AS (
+  SELECT * FROM win_rows WHERE _last = bucket + {w - 1}
+), mu_t AS (
+  SELECT *, ({sum_chain}) / {float(w)!r} AS mu FROM full_w
+), sd_t AS (
+  SELECT *, sqrt(({sq_chain}) / {float(w)!r}) AS sd FROM mu_t
+), scored AS (
+  SELECT key, bucket, sqrt({dist_chain}) AS _dist
+  FROM sd_t WHERE sd > 0.0
+)
+SELECT key, bucket AS window_start_bucket, round(_dist, 6) AS dist
+FROM scored
+ORDER BY _dist, key, bucket
+LIMIT 20
+"""
+
+
+SQL_TS_MOTIF_TOPK = _sql_ts_motif()
+
+
 QUERIES: dict[str, QueryFn] = {
     "uv_daily": q_uv_daily,
     "new_visitor_daily": q_new_visitor_daily,
@@ -4118,6 +4192,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_overlap": q_source_overlap,
     "embedding_outliers": q_embedding_outliers,
     "revenue_mom": q_revenue_mom,
+    "ts_motif_topk": q_ts_motif_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4219,4 +4294,5 @@ ORACLES: dict[str, str] = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "revenue_mom": SQL_REVENUE_MOM,
+    "ts_motif_topk": SQL_TS_MOTIF_TOPK,
 }

@@ -431,3 +431,39 @@ def test_label_centroid_outliers_flags_planted_outlier(spark):
     got = {(r["label"], r["rnk"]): r["vec_id"] for r in out.collect()}
     assert got[(0, 1)] == 99                         # least centroid-similar
     assert out.filter(F.col("label") == 1).count() == 2
+
+
+def test_motif_search_finds_planted_spike(spark):
+    """A planted spike-shaped window must rank first; windows spanning a
+    gap in the series and flat (zero-variance) windows must not exist."""
+    import datetime
+
+    from gmall_flink_yb_spark.functions.timeseries import (
+        bucket_series,
+        motif_search,
+    )
+
+    def _d(day):
+        return datetime.datetime(2024, 1, day)
+
+    rows = (
+        # u1: noise then an exact-shape spike (scaled 10x: z-norm ignores it)
+        [(1, _d(d), 3.0 + (d % 2)) for d in range(1, 6)]
+        + [(1, _d(d), v) for d, v in zip(range(6, 11), [10.0, 20.0, 80.0, 20.0, 10.0])]
+        # u2: flat series -> every window zero-variance -> absent
+        + [(2, _d(d), 5.0) for d in range(1, 11)]
+        # u3: would match but has a gap at day 3 -> window not contiguous
+        + [(3, _d(d), v) for d, v in zip([1, 2, 4, 5, 6], [1.0, 2.0, 2.0, 1.0, 9.0])]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    series = bucket_series(df, "user_id", "ts", "value", bucket_seconds=86_400)
+    out = motif_search(series, [1.0, 2.0, 8.0, 2.0, 1.0], k=5).collect()
+    assert out, "expected at least one window"
+    best = out[0]
+    assert best["key"] == 1 and best["dist"] == 0.0  # exact shape, scaled
+    keys = {r["key"] for r in out}
+    assert 2 not in keys                     # flat windows filtered
+    # u3's gap: no window starts at day 1-2 spanning the missing day 3
+    u3_starts = {r["window_start_bucket"] for r in out if r["key"] == 3}
+    gap_day = int(datetime.datetime(2024, 1, 1).timestamp() // 86_400)
+    assert all(s > gap_day for s in u3_starts) or not u3_starts
