@@ -7,8 +7,9 @@ order is not in this curated key set" without shuffling the big side).
 Representation: a word-bucketed bitmap relation (word_idx, bits) with
 32-bit words ORed into a BIGINT — at most ``n_bits / 32`` rows TOTAL
 regardless of build-side size, so the filter is always broadcastable.
-Bit positions are md5-derived (position j of key = first 32 bits of
-md5("<j>:" + key) mod n_bits), making the filter — and therefore its
+Bit positions are md5-derived (position j of key = hex slice [8j, 8j+8)
+of one md5(key) digest mod n_bits for j < 4, salted digests beyond —
+one string hash per key, not k), making the filter — and therefore its
 exact false-positive set — bit-identical in DuckDB: the oracle checks
 the bloom SEMANTICS (no false negatives, deterministic false
 positives), not just row counts.
@@ -35,17 +36,16 @@ _WORD_BITS = 32
 
 
 def _bit_pos(key: Column, j: int, n_bits: int) -> Column:
-    """Position j of a key: first 32 md5 bits of "<j>:<key>" mod n_bits."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % n_bits
-    )
+    """Position j of a key: hex chars [8j, 8j+8) of ONE md5(key) digest
+    mod n_bits for j < 4 (one digest carries four 32-bit hashes; Catalyst
+    evaluates the shared md5 once per row), salted digests beyond."""
+    if j < 4:
+        digest = F.substring(F.md5(key.cast("string")), 1 + 8 * j, 8)
+    else:
+        digest = F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 8
+        )
+    return F.conv(digest, 16, 10).cast("long") % n_bits
 
 
 def bloom_build(

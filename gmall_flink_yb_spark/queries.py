@@ -3812,8 +3812,7 @@ WITH hi AS (
   SELECT o_orderkey AS key FROM orders WHERE o_totalprice > {_BLOOM_PRICE_MIN}
 ), pos AS (
   SELECT key, j,
-         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
-                                  || CAST(key AS VARCHAR)), 1, 8))
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1 + 8 * j, 8))
               AS BIGINT) % {_BLOOM_BITS} AS p
   FROM hi, unnest([0, 1, 2]) AS _j(j)
 ), bloom AS (
@@ -3824,8 +3823,7 @@ WITH hi AS (
   SELECT DISTINCT l_orderkey AS key FROM lineitem
 ), ppos AS (
   SELECT key, j,
-         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
-                                  || CAST(key AS VARCHAR)), 1, 8))
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1 + 8 * j, 8))
               AS BIGINT) % {_BLOOM_BITS} AS p
   FROM probe, unnest([0, 1, 2]) AS _j(j)
 ), hit AS (
