@@ -65,6 +65,80 @@ def bucket_series(
     )
 
 
+def _contiguous_windows(series: DataFrame, w: int):
+    """Gap-free, non-flat length-``w`` windows of a (key, bucket, v)
+    series: returns (windows_df with _v0.._v{w-1}, mean_col, sd_col).
+    mean/sd are unrolled left-to-right arithmetic chains so every
+    downstream expression evaluates bit-identically in DuckDB."""
+    win = Window.partitionBy("key").orderBy("bucket")
+    vals: list[Column] = [F.col("v")] + [
+        F.lead("v", i).over(win) for i in range(1, w)
+    ]
+    last_bucket = F.lead("bucket", w - 1).over(win)
+    windowed = series.select(
+        "key",
+        "bucket",
+        last_bucket.alias("_last"),
+        *[v.alias(f"_v{i}") for i, v in enumerate(vals)],
+    ).filter(F.col("_last") == F.col("bucket") + (w - 1))
+    vals_sum = F.col("_v0")
+    for i in range(1, w):
+        vals_sum = vals_sum + F.col(f"_v{i}")
+    mean = vals_sum / F.lit(float(w))
+    sq = (F.col("_v0") - mean) * (F.col("_v0") - mean)
+    for i in range(1, w):
+        d = F.col(f"_v{i}") - mean
+        sq = sq + d * d
+    sd = F.sqrt(sq / F.lit(float(w)))
+    return windowed.filter(sd > 0.0), mean, sd
+
+
+# Normal-distribution breakpoints for a 4-symbol SAX alphabet (Lin et al.
+# 2003): equiprobable regions under N(0,1). Literals are shared verbatim
+# with the SQL oracle.
+SAX_BREAKPOINTS = (-0.6745, 0.0, 0.6745)
+
+
+def sax_motifs(series: DataFrame, w: int, k: int = 20) -> DataFrame:
+    """Recurring-pattern DISCOVERY (vs motif_search's query-pattern
+    matching): each gap-free non-flat window z-normalizes and discretizes
+    to a ``w``-letter SAX word over a 4-symbol alphabet (Lin et al. 2003
+    Symbolic Aggregate approXimation, here at PAA segment = 1 bucket);
+    windows sharing a word are candidate recurring motifs. Returns the
+    top-``k`` words by support: (sax_word, n_windows, n_keys).
+
+    Scale shape: the word is a narrow per-row expression; the only
+    added shuffle is the word-count aggregate (map-side combined, word
+    space bounded by 4^w). This is the standard blocking step that turns
+    all-pairs motif discovery into bucket-local verification.
+    """
+    if w < 2:
+        raise ValueError(f"window must have >= 2 points, got {w}")
+    windows, mean, sd = _contiguous_windows(series, w)
+    b1, b2, b3 = SAX_BREAKPOINTS
+    letters = []
+    for i in range(w):
+        z = (F.col(f"_v{i}") - mean) / sd
+        letters.append(
+            F.when(z < b1, "a")
+            .when(z < b2, "b")
+            .when(z < b3, "c")
+            .otherwise("d")
+        )
+    return (
+        windows.select(
+            "key", F.concat(*letters).alias("sax_word")
+        )
+        .groupBy("sax_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+        .orderBy(F.desc("n_windows"), "sax_word")
+        .limit(k)
+    )
+
+
 def motif_search(
     series: DataFrame,
     pattern: list[float],
@@ -85,29 +159,7 @@ def motif_search(
     if w < 2:
         raise ValueError(f"pattern must have >= 2 points, got {w}")
     p = znorm_pattern(pattern)
-    win = Window.partitionBy("key").orderBy("bucket")
-    vals: list[Column] = [F.col("v")] + [
-        F.lead("v", i).over(win) for i in range(1, w)
-    ]
-    last_bucket = F.lead("bucket", w - 1).over(win)
-    windowed = series.select(
-        "key",
-        "bucket",
-        last_bucket.alias("_last"),
-        *[v.alias(f"_v{i}") for i, v in enumerate(vals)],
-    ).filter(F.col("_last") == F.col("bucket") + (w - 1))
-
-    # unrolled left-to-right chains: identical evaluation order in DuckDB
-    mean = vals_sum = F.col("_v0")
-    for i in range(1, w):
-        vals_sum = vals_sum + F.col(f"_v{i}")
-    mean = vals_sum / F.lit(float(w))
-    sq = (F.col("_v0") - mean) * (F.col("_v0") - mean)
-    for i in range(1, w):
-        d = F.col(f"_v{i}") - mean
-        sq = sq + d * d
-    sd = F.sqrt(sq / F.lit(float(w)))
-    scored = windowed.filter(sd > 0.0)
+    scored, mean, sd = _contiguous_windows(series, w)
     dist_sq = None
     for i in range(w):
         z = (F.col(f"_v{i}") - mean) / sd

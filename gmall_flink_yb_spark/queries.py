@@ -4051,21 +4051,15 @@ def q_ts_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return motif_search(series, _MOTIF_PATTERN, k=20)
 
 
-def _sql_ts_motif() -> str:
-    from gmall_flink_yb_spark.functions.timeseries import znorm_pattern
-
-    p = znorm_pattern(_MOTIF_PATTERN)
-    w = len(p)
+def _sql_ts_windows(w: int) -> str:
+    """Shared CTE prelude: day-bucketed series -> gap-free windows with
+    mu/sd as the same unrolled chains the Spark expressions build."""
     v = [f"_v{i}" for i in range(w)]
     leads = ",\n         ".join(
         f"lead(v, {i}) OVER win AS _v{i}" for i in range(1, w)
     )
     sum_chain = " + ".join(v)
     sq_chain = " + ".join(f"(({x} - mu) * ({x} - mu))" for x in v)
-    dist_chain = " + ".join(
-        f"((({x} - mu) / sd - ({p[i]!r})) * (({x} - mu) / sd - ({p[i]!r})))"
-        for i, x in enumerate(v)
-    )
     return f"""
 WITH s AS (
   SELECT user_id AS key,
@@ -4083,7 +4077,20 @@ WITH s AS (
   SELECT *, ({sum_chain}) / {float(w)!r} AS mu FROM full_w
 ), sd_t AS (
   SELECT *, sqrt(({sq_chain}) / {float(w)!r}) AS sd FROM mu_t
-), scored AS (
+)"""
+
+
+def _sql_ts_motif() -> str:
+    from gmall_flink_yb_spark.functions.timeseries import znorm_pattern
+
+    p = znorm_pattern(_MOTIF_PATTERN)
+    w = len(p)
+    dist_chain = " + ".join(
+        f"(((_v{i} - mu) / sd - ({p[i]!r})) * ((_v{i} - mu) / sd - ({p[i]!r})))"
+        for i in range(w)
+    )
+    return f"""{_sql_ts_windows(w)}
+, scored AS (
   SELECT key, bucket, sqrt({dist_chain}) AS _dist
   FROM sd_t WHERE sd > 0.0
 )
@@ -4095,6 +4102,54 @@ LIMIT 20
 
 
 SQL_TS_MOTIF_TOPK = _sql_ts_motif()
+
+_SAX_W = 5
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-motif discovery: top-20 SAX words over all users' gap-free
+    5-day spend windows (functions/timeseries.py::sax_motifs)."""
+    from gmall_flink_yb_spark.functions.timeseries import (
+        bucket_series,
+        sax_motifs,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    series = bucket_series(
+        ev, "user_id", "ts", "value", bucket_seconds=_MOTIF_BUCKET_S
+    )
+    return sax_motifs(series, _SAX_W, k=20)
+
+
+def _sql_sax_motifs() -> str:
+    from gmall_flink_yb_spark.functions.timeseries import SAX_BREAKPOINTS
+
+    b1, b2, b3 = SAX_BREAKPOINTS
+    letter = (
+        "(CASE WHEN (_v{i} - mu) / sd < ({b1}) THEN 'a' "
+        "WHEN (_v{i} - mu) / sd < ({b2}) THEN 'b' "
+        "WHEN (_v{i} - mu) / sd < ({b3}) THEN 'c' ELSE 'd' END)"
+    )
+    word = " || ".join(
+        letter.format(i=i, b1=repr(b1), b2=repr(b2), b3=repr(b3))
+        for i in range(_SAX_W)
+    )
+    return f"""{_sql_ts_windows(_SAX_W)}
+, words AS (
+  SELECT key, {word} AS sax_word
+  FROM sd_t WHERE sd > 0.0
+)
+SELECT sax_word,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys
+FROM words
+GROUP BY 1
+ORDER BY n_windows DESC, sax_word
+LIMIT 20
+"""
+
+
+SQL_SAX_MOTIFS = _sql_sax_motifs()
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -4191,6 +4246,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_outliers": q_embedding_outliers,
     "revenue_mom": q_revenue_mom,
     "ts_motif_topk": q_ts_motif_topk,
+    "sax_motifs": q_sax_motifs,
 }
 
 ORACLES: dict[str, str] = {
@@ -4293,4 +4349,5 @@ ORACLES: dict[str, str] = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "revenue_mom": SQL_REVENUE_MOM,
     "ts_motif_topk": SQL_TS_MOTIF_TOPK,
+    "sax_motifs": SQL_SAX_MOTIFS,
 }

@@ -467,3 +467,30 @@ def test_motif_search_finds_planted_spike(spark):
     u3_starts = {r["window_start_bucket"] for r in out if r["key"] == 3}
     gap_day = int(datetime.datetime(2024, 1, 1).timestamp() // 86_400)
     assert all(s > gap_day for s in u3_starts) or not u3_starts
+
+
+def test_sax_motifs_groups_same_shape_across_keys(spark):
+    """Two users with the same spike SHAPE at different amplitudes must
+    land in one SAX bucket (z-norm erases amplitude); a flat user
+    contributes nothing."""
+    import datetime
+
+    from gmall_flink_yb_spark.functions.timeseries import (
+        bucket_series,
+        sax_motifs,
+    )
+
+    def _d(day):
+        return datetime.datetime(2024, 2, day)
+
+    shape = [1.0, 2.0, 9.0, 2.0, 1.0]
+    rows = (
+        [(1, _d(d + 1), v) for d, v in enumerate(shape)]
+        + [(2, _d(d + 1), 100.0 * v) for d, v in enumerate(shape)]
+        + [(3, _d(d + 1), 7.0) for d in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    series = bucket_series(df, "user_id", "ts", "value", bucket_seconds=86_400)
+    out = sax_motifs(series, 5, k=10).collect()
+    assert len(out) == 1                       # one shared bucket, no flat rows
+    assert out[0]["n_windows"] == 2 and out[0]["n_keys"] == 2
