@@ -263,8 +263,10 @@ def hashed_ngram_affinity(
             F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
         )
         .crossJoin(
-            corpus.agg(F.count(F.lit(1)).alias("_nr")).crossJoin(
-                tgt.agg(F.count(F.lit(1)).alias("_nt"))
+            F.broadcast(
+                corpus.agg(F.count(F.lit(1)).alias("_nr")).crossJoin(
+                    F.broadcast(tgt.agg(F.count(F.lit(1)).alias("_nt")))
+                )
             )
         )
         .select(
@@ -306,6 +308,10 @@ def source_overlap(
     counts are dim-sized by definition) so empty intersections still get a
     row. One shuffle on the gram hash, one tiny pair aggregate.
     """
+    from pyspark import StorageLevel
+
+    # three consumers (sizes + both sides of the self-join): persist, or
+    # the tokenize/shingle/md5/distinct subtree recomputes per consumer
     grams = (
         df.select(
             F.col(group_col).alias("src"),
@@ -316,6 +322,7 @@ def source_overlap(
         )
         .select("src", F.md5(F.col("g")).alias("gh"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
     inter = (

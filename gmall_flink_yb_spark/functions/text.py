@@ -265,11 +265,20 @@ def unigram_lm_score(
     cardinality is vocabulary-sized, with heavy hitters bounded by the
     Zipf head; the 1-row corpus total broadcasts. No Python anywhere.
     """
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.filter(tokenize(F.col(text_col)), lambda t: F.length(t) > 0)).alias("w"),
     )
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds THREE consumers (the vocab roll-up, the corpus total via
+    # vocab, and the join's probe side) — persist it or the tokenizing
+    # explode recomputes per consumer (self-join persist discipline)
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_total"))
     bits = F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt")))

@@ -41,8 +41,20 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
-        # every gmall dim table is MBs — broadcast them, never shuffle facts
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # STATIC estimate-based broadcasts are OFF (-1): the planner's
+        # size estimate for an explode/join-derived frame is its scan size,
+        # which under-counts a shingle explosion ~100x — at a 100x corpus
+        # the static planner happily broadcast a multi-GB inverted index
+        # and died in BroadcastExchange (found by tools/bench_scale.py
+        # --replicas 100). Dims still broadcast via their explicit
+        # F.broadcast() hints, and AQE re-introduces broadcast joins from
+        # RUNTIME sizes (adaptive threshold below) — truly-small sides get
+        # broadcast, estimate-garbage sides never do.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 128 MB splits: good parquet scan granularity at 100 TB
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -48,10 +48,19 @@ def test_column_pruning(spark, sf_dir):
 
 def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
     """J2: every dim enrichment must be a broadcast join — shuffling the fact
-    table per dim is the reference's per-row-RPC mistake reborn at scale."""
-    strategies = join_strategies(q_revenue_by_nation(spark, sf_dir))
-    assert strategies, "expected joins in the plan"
-    assert all(s == "BroadcastHashJoin" for s in strategies), strategies
+    table per dim is the reference's per-row-RPC mistake reborn at scale.
+    The lineitem x orders fact join is the ONE shuffled join (with static
+    auto-broadcast off, a fact is never estimate-broadcast; AQE may still
+    convert it from true runtime sizes at tiny scale)."""
+    import re
+
+    from gmall_flink_yb_spark.plans.inspect import _simple_plan
+
+    plan = _simple_plan(q_revenue_by_nation(spark, sf_dir))
+    broadcasts = re.findall(r"\bBroadcastHashJoin\b", plan)
+    shuffled = re.findall(r"\b(?:SortMergeJoin|ShuffledHashJoin)\b", plan)
+    assert len(broadcasts) == 3, plan  # customer, nation, region
+    assert len(shuffled) == 1, plan    # lineitem x orders only
 
 
 def test_order_wide_single_fact_shuffle(spark, sf_dir):
@@ -99,12 +108,14 @@ def test_sql_views_run(spark, sf_dir):
 
 
 def test_chunk_dedup_two_exchanges(spark, sf_dir):
-    """chunk_dedup's contract: exactly two shuffles (count-by-chunk-hash,
-    regroup-by-doc) plus at most one AQE join exchange for the count table —
-    the chunking itself must stay narrow."""
+    """chunk_dedup's contract: the chunking itself stays narrow; the only
+    shuffles are the count-by-chunk-hash aggregate, the count-table join
+    (both sides on the hash — the count table is corpus-sized at scale, so
+    with static auto-broadcast off it shuffles in the static plan; AQE may
+    still broadcast it at runtime from true sizes), and the regroup-by-doc."""
     from gmall_flink_yb_spark.queries import q_chunk_dedup
 
-    assert num_exchanges(q_chunk_dedup(spark, sf_dir)) <= 3
+    assert num_exchanges(q_chunk_dedup(spark, sf_dir)) <= 5
 
 
 def test_semantic_dedup_assignment_is_narrow(spark, sf_dir):

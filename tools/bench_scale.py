@@ -67,7 +67,7 @@ FACT_QUERIES = [
     "session_stats",
 ]
 
-REPLICAS = 10
+REPLICAS = 10  # overridable via --replicas
 ID_STRIDE = 1_000_000_000
 
 
@@ -229,12 +229,16 @@ def main() -> None:
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--skip-ann", action="store_true")
     ap.add_argument("--skip-facts", action="store_true")
+    ap.add_argument("--replicas", type=int, default=10,
+                    help="scale factor for the replica corpora (10 = 10x)")
     ap.add_argument(
         "--only",
         default=None,
         help="comma-separated query names: run just these from the suites",
     )
     args = ap.parse_args()
+    global REPLICAS
+    REPLICAS = args.replicas
     if args.only:
         keep = set(args.only.split(","))
         DEDUP_QUERIES[:] = [q for q in DEDUP_QUERIES if q in keep]
