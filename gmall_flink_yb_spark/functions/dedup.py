@@ -543,8 +543,13 @@ def incremental_lsh_dedup(
         "inc", F.lit(True)
     )
     right = bx.unionByName(bi)
+    # the incoming batch is micro-batch-sized BY CONTRACT (the streaming
+    # ingest feeds bounded batches), so its band buckets broadcast: the
+    # corpus side never moves — at 100 TB the index stays in place and
+    # each ingest ships only the batch. (A bulk backfill that is itself
+    # corpus-sized should use minhash_lsh_pairs instead.)
     cand = (
-        bi.alias("a")
+        F.broadcast(bi.alias("a"))
         .join(
             right.alias("b"),
             (F.col("a.band") == F.col("b.band"))
