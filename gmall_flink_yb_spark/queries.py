@@ -4152,6 +4152,67 @@ LIMIT 20
 SQL_SAX_MOTIFS = _sql_sax_motifs()
 
 
+def q_returning_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning visitors — the DWS visitor-stats companion to
+    uv_daily/new_visitor_daily (UniqueVisitApp's intent, SURVEY §2.9): of
+    each day's distinct users, how many were also active the PREVIOUS day,
+    and the retention ratio. One distinct (day, user) frame self-joined on
+    user with a day+1 equi-condition — at 100 TB both sides shuffle once
+    on user_id, and the per-day roll-up is day-cardinality."""
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), F.col("user_id")
+    ).distinct()
+    prev = du.select(
+        F.date_add("d", 1).alias("d_next"), F.col("user_id").alias("u2")
+    )
+    uv = du.groupBy("d").agg(F.count(F.lit(1)).alias("uv"))
+    ret = (
+        du.join(
+            prev,
+            (F.col("d") == F.col("d_next")) & (F.col("user_id") == F.col("u2")),
+            "left_semi",
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("returning"))
+    )
+    return (
+        uv.join(ret, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("dt"),
+            "uv",
+            F.coalesce(F.col("returning"), F.lit(0)).alias("returning"),
+            F.round(
+                F.coalesce(F.col("returning"), F.lit(0)).cast("double")
+                / F.col("uv"),
+                6,
+            ).alias("return_ratio"),
+        )
+        .orderBy("dt")
+    )
+
+
+SQL_RETURNING_USERS_DAILY = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), uv AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS uv FROM du GROUP BY 1
+), ret AS (
+  SELECT a.d, CAST(count(*) AS BIGINT) AS returning
+  FROM du a
+  WHERE EXISTS (SELECT 1 FROM du b
+                WHERE b.user_id = a.user_id AND b.d + 1 = a.d)
+  GROUP BY 1
+)
+SELECT strftime(uv.d, '%Y-%m-%d') AS dt, uv.uv,
+       CAST(COALESCE(ret.returning, 0) AS BIGINT) AS returning,
+       round(CAST(COALESCE(ret.returning, 0) AS DOUBLE) / uv.uv, 6)
+           AS return_ratio
+FROM uv LEFT JOIN ret ON uv.d = ret.d
+ORDER BY dt
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "uv_daily": q_uv_daily,
     "new_visitor_daily": q_new_visitor_daily,
@@ -4247,6 +4308,7 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_mom": q_revenue_mom,
     "ts_motif_topk": q_ts_motif_topk,
     "sax_motifs": q_sax_motifs,
+    "returning_users_daily": q_returning_users_daily,
 }
 
 ORACLES: dict[str, str] = {
@@ -4350,4 +4412,5 @@ ORACLES: dict[str, str] = {
     "revenue_mom": SQL_REVENUE_MOM,
     "ts_motif_topk": SQL_TS_MOTIF_TOPK,
     "sax_motifs": SQL_SAX_MOTIFS,
+    "returning_users_daily": SQL_RETURNING_USERS_DAILY,
 }
