@@ -1134,3 +1134,56 @@ def test_hll_uv_stream_merge_equals_batch_estimate(spark, tmp_path):
     assert exact["2024-01-01"] == 10  # 7 on-time + 3 late users
     for dt, n in exact.items():
         assert abs(got[dt] - n) <= max(1.0, 0.15 * n)
+
+
+def test_count_min_stream_replay_does_not_double_count(spark, tmp_path):
+    """batchId-keyed partition discipline under restart: re-running the
+    sketch stream over the SAME checkpoint with no new files must leave
+    the merged sketch unchanged (a replayed batch overwrites its own
+    partition instead of summing into a global table)."""
+    from gmall_flink_yb_spark.functions.sketch import count_min_build
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        merged_count_min,
+        read_file_stream,
+        start_count_min_stream,
+    )
+
+    schema = StructType([StructField("w", StringType())])
+    rows = [("alpha",)] * 4 + [("beta",)] * 2
+    src = tmp_path / "w2"
+    src.mkdir()
+    stage = tmp_path / "s0"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.rename(stage / part[0], src / "00.parquet")
+
+    def _run():
+        q = start_count_min_stream(
+            spark,
+            read_file_stream(spark, str(src), schema, glob="*.parquet"),
+            "w",
+            str(tmp_path / "sk"),
+            str(tmp_path / "ck"),
+            depth=3,
+            width=32,
+        )
+        q.awaitTermination(120)
+
+    _run()
+    first = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in merged_count_min(spark, str(tmp_path / "sk")).collect()
+    }
+    _run()  # restart on same checkpoint: nothing new to process
+    second = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in merged_count_min(spark, str(tmp_path / "sk")).collect()
+    }
+    assert first == second
+    batch = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in count_min_build(
+            spark.createDataFrame(rows, schema), "w", depth=3, width=32
+        ).collect()
+    }
+    assert second == batch
