@@ -4213,6 +4213,55 @@ ORDER BY dt
 """
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs bought in the same
+    order, with support count and the number of distinct brands-pairings —
+    the recommendation-seed query an e-commerce DWS layer serves. Shape:
+    distinct (order, part) self-joins on orderkey with p_a < p_b — the
+    fan-out per order is (basket size choose 2), bounded by basket size
+    (~4 here), NOT corpus size — then one pair aggregate. At 100 TB the
+    pair shuffle carries support-weighted pairs; a support-threshold
+    pre-filter (a-priori style) would bolt on before the top-k."""
+    li = read_table(spark, sf_dir, "lineitem")
+    # both sides of the self-join: persist or the distinct recomputes
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = op.alias("a")
+    b = op.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("part_a"), F.col("p2").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+SQL_BASKET_PAIRS = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "uv_daily": q_uv_daily,
     "new_visitor_daily": q_new_visitor_daily,
@@ -4309,6 +4358,7 @@ QUERIES: dict[str, QueryFn] = {
     "ts_motif_topk": q_ts_motif_topk,
     "sax_motifs": q_sax_motifs,
     "returning_users_daily": q_returning_users_daily,
+    "basket_pairs": q_basket_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -4413,4 +4463,5 @@ ORACLES: dict[str, str] = {
     "ts_motif_topk": SQL_TS_MOTIF_TOPK,
     "sax_motifs": SQL_SAX_MOTIFS,
     "returning_users_daily": SQL_RETURNING_USERS_DAILY,
+    "basket_pairs": SQL_BASKET_PAIRS,
 }
