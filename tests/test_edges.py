@@ -191,3 +191,26 @@ def test_label_centroid_outliers_singleton_label(spark):
     rows = label_centroid_outliers(df, "vec_id", "embedding", "label", k=3).collect()
     assert len(rows) == 1
     assert rows[0]["centroid_cos"] == 1.0 and rows[0]["rnk"] == 1
+
+
+def test_basket_pairs_counts_same_order_cooccurrence(spark, tmp_path):
+    """Hand-checked support: parts {1,2,3} in one order yield three pairs;
+    a repeated (order, part) line must not inflate support; single-item
+    orders contribute nothing."""
+    import os
+
+    from gmall_flink_yb_spark.queries import q_basket_pairs
+
+    rows = [
+        (100, 1), (100, 2), (100, 3),
+        (101, 1), (101, 2), (101, 2),   # duplicate line: still one (101,2)
+        (102, 9),                        # singleton order
+    ]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    d = str(tmp_path / "basket")
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    got = {
+        (r["part_a"], r["part_b"]): r["support"]
+        for r in q_basket_pairs(spark, d).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
