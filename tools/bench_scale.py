@@ -65,6 +65,11 @@ FACT_QUERIES = [
     "order_wide",
     "uv_daily",
     "session_stats",
+    # round-3 additions over the same fact tables
+    "basket_pairs",
+    "returning_users_daily",
+    "ts_motif_topk",
+    "sax_motifs",
 ]
 
 REPLICAS = 10  # overridable via --replicas
