@@ -21,8 +21,11 @@ Scale design (100 TB):
   centroid state: centroids stay a k-row DataFrame, assignment is a
   broadcast cross join + per-id max-struct argmax (map-side combine folds
   the n*k scored rows back to one row per doc before the shuffle), and
-  the next iteration's centroids are rebuilt distributively — the driver
-  never materializes the model.
+  the next iteration's centroids are rebuilt distributively. The driver
+  no longer folds k*dim literals into the plan or round-trips Python
+  objects; note the broadcast itself still materializes the k*dim-row
+  relation driver-side while building the broadcast, so driver MEMORY
+  (not plan size) remains the model-size bound.
 - No RNG: init centroids are the k vectors with the smallest
   md5(cast(id as string)) — a uniform, engine-reproducible sample, so the
   whole trajectory (init -> assign -> update -> assign ...) is
@@ -98,9 +101,10 @@ def kmeans_fit_assign(
 
     ``max_folded_kdim`` picks the engine: k*dim at or below it uses the
     literal-folded zero-shuffle assignment; above it, centroids stay a
-    broadcast-joined DataFrame and the driver never holds the model.
-    Both paths follow the identical trajectory (same init, same rounding,
-    same tie-breaks).
+    broadcast-joined DataFrame (no k*dim plan literals, no Python-object
+    collect; the broadcast build still holds one k*dim relation in driver
+    memory). Both paths follow the identical trajectory (same init, same
+    rounding, same tie-breaks).
 
     A cluster that loses every member simply drops out of the state (same
     semantics as the SQL replay); with the md5-uniform init and cosine

@@ -880,23 +880,27 @@ def connected_components_star(
     """
     caller = pairs.sparkSession
     _, lpairs, in_view = _enter_loop_session(pairs, "ccs")
-    h0 = F.greatest(F.col(id_a), F.col(id_b))
-    l0 = F.least(F.col(id_a), F.col(id_b))
-    e = (
-        lpairs.select(h0.alias("h"), l0.alias("l"))
-        .filter(F.col("h") != F.col("l"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nodes = (
-        e.select(F.col("h").alias("node"))
-        .union(e.select(F.col("l").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # everything after the view registration lives inside try: an analysis
+    # error on a bad id column must still drop the loop-session temp view
+    # and any persists (the min-label variant has the same structure)
+    e = nodes = None
     prev_sig = None
     converged = False
     try:
+        h0 = F.greatest(F.col(id_a), F.col(id_b))
+        l0 = F.least(F.col(id_a), F.col(id_b))
+        e = (
+            lpairs.select(h0.alias("h"), l0.alias("l"))
+            .filter(F.col("h") != F.col("l"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nodes = (
+            e.select(F.col("h").alias("node"))
+            .union(e.select(F.col("l").alias("node")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         cur = e
         for _ in range(max_iterations):
             # -- large-star: (u,v) both directions; m(u) = min(N(u) ∪ {u});
@@ -967,8 +971,10 @@ def connected_components_star(
             cur.unpersist()
         return _exit_loop_session(comp, caller)
     finally:
-        nodes.unpersist()
-        e.unpersist()
+        if nodes is not None:
+            nodes.unpersist()
+        if e is not None:
+            e.unpersist()
         caller.catalog.dropGlobalTempView(in_view)
 
 

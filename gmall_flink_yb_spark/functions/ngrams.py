@@ -296,9 +296,12 @@ def source_overlap(
     between every pair of sources (the corpus-level audit behind "is one
     crawl a near-copy of another" / train-split leakage between corpora).
 
-    Returns one row per unordered source pair (src_a < src_b, ALL pairs
-    including zero-overlap ones): (src_a, src_b, grams_a, grams_b,
-    n_shared, jaccard).
+    Returns one row per unordered pair of GRAM-BEARING sources
+    (src_a < src_b, zero-overlap pairs included): (src_a, src_b, grams_a,
+    grams_b, n_shared, jaccard). A source whose every document is shorter
+    than ``n`` tokens has no gram set to compare and is absent from the
+    matrix by construction (pinned in tests/test_edges.py) — absence
+    means "nothing to audit", a 0-gram row would fake a 0/0 jaccard.
 
     Scale shape (100 TB): grams collapse to DISTINCT (source, md5) first —
     the self-join on the gram key then fans out at most n_sources rows per

@@ -925,7 +925,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
-_Q7_NATIONS = ("NATION_1", "NATION_2")
+# chosen so the pair has traffic at EVERY test scale factor (62 rows even
+# at sf0.001) — a pair that only co-occurs at sf0.01+ would make the
+# sf0.001 parity test vacuously pass on 0 rows
+_Q7_NATIONS = ("NATION_11", "NATION_20")
 
 
 def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1827,8 +1830,12 @@ def q_keyword_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KEYWORD_HOURLY = f"""
 WITH t AS (
   SELECT date_trunc('hour', ts) AS w,
+         -- COALESCE matches Spark's concat_ws, which SKIPS null props
+         -- instead of nullifying the whole string ('||' would drop every
+         -- token of a null-props row)
          unnest(list_filter(
-             string_split_regex(lower(event_type || ' ' || props),
+             string_split_regex(lower(event_type || ' '
+                                      || COALESCE(props, '')),
                                 '[^a-z0-9]+'),
              x -> length(x) > 0)) AS token
   FROM events
@@ -3951,7 +3958,8 @@ _SOURCE_OVERLAP_N = 5
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-level n-gram Jaccard — the corpus contamination
-    matrix (all source pairs, zero-overlap pairs included)."""
+    matrix (all pairs of gram-bearing sources, zero-overlap pairs
+    included)."""
     docs = read_table(spark, sf_dir, "documents")
     return source_overlap(docs, "source", "text", n=_SOURCE_OVERLAP_N)
 
@@ -4215,8 +4223,8 @@ ORDER BY dt
 
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top-20 part pairs bought in the same
-    order, with support count and the number of distinct brands-pairings —
-    the recommendation-seed query an e-commerce DWS layer serves. Shape:
+    order, with support count — the recommendation-seed query an
+    e-commerce DWS layer serves. Shape:
     distinct (order, part) self-joins on orderkey with p_a < p_b — the
     fan-out per order is (basket size choose 2), bounded by basket size
     (~4 here), NOT corpus size — then one pair aggregate. At 100 TB the

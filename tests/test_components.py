@@ -180,3 +180,22 @@ def test_empty_pairs_returns_empty_not_nonconvergence(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
     assert connected_components_star(empty).count() == 0
+
+
+def test_star_cc_bad_column_cleans_up_loop_state(spark):
+    """An analysis error on a wrong id column must still drop the loop
+    session's temp view and persists (setup now lives inside try)."""
+    import pytest as _pytest
+
+    from gmall_flink_yb_spark.functions.dedup import connected_components_star
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    before = {
+        v.name for v in spark.catalog.listTables("global_temp")
+    } if spark.catalog.databaseExists("global_temp") else set()
+    with _pytest.raises(Exception):
+        connected_components_star(pairs, id_a="no_such_col", id_b="id_b")
+    after = {
+        v.name for v in spark.catalog.listTables("global_temp")
+    } if spark.catalog.databaseExists("global_temp") else set()
+    assert after <= before  # no leaked _loop_ccs_* views

@@ -203,11 +203,17 @@ def _ann_stages(queries_df):
     ]
 
 
-def time_df(spark, make_df, corpus_dir: str, runs: int) -> float:
+def time_df(spark, make_df, corpus_dir: str, runs: int, repin=None) -> float:
+    """``repin`` re-materializes state the caller WANTS warm (the pinned
+    ANN query side) after each clearCache — without it the eviction would
+    silently re-bill the query-side scan to every sample, biasing slopes
+    downward (t1 inflates proportionally more than t10)."""
     samples = []
     corpus = read_table(spark, corpus_dir, "embeddings")
     for _ in range(runs):
         spark.catalog.clearCache()
+        if repin is not None:
+            repin()
         t0 = time.time()
         make_df(corpus).write.format("noop").mode("overwrite").save()
         samples.append(time.time() - t0)
@@ -276,18 +282,35 @@ def main() -> None:
             file=sys.stderr,
         )
     stages = []
+    repin = None
     if not args.skip_ann:
-        e1_dir, e10_dir = build_embedding_corpora(spark, args.sf_dir, args.out)
-        queries_df = (
-            read_table(spark, args.sf_dir, "embeddings")
-            .filter(F.col("vec_id") % 50 == 0)
-            .persist()
-        )
-        queries_df.count()
-        stages = _ann_stages(queries_df)
+        stage_names = ["ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk"]
+        if args.only:
+            keep_ann = set(args.only.split(","))
+            wanted = [n for n in stage_names if n in keep_ann]
+        else:
+            wanted = None  # all
+        if wanted != []:
+            e1_dir, e10_dir = build_embedding_corpora(
+                spark, args.sf_dir, args.out
+            )
+            queries_df = (
+                read_table(spark, args.sf_dir, "embeddings")
+                .filter(F.col("vec_id") % 50 == 0)
+                .persist()
+            )
+            queries_df.count()
+
+            def repin():
+                queries_df.persist()
+                queries_df.count()
+
+            stages = _ann_stages(queries_df)
+            if wanted is not None:
+                stages = [(n, f) for n, f in stages if n in wanted]
     for name, make_df in stages:
-        t1 = time_df(spark, make_df, e1_dir, args.runs)
-        t10 = time_df(spark, make_df, e10_dir, args.runs)
+        t1 = time_df(spark, make_df, e1_dir, args.runs, repin=repin)
+        t10 = time_df(spark, make_df, e10_dir, args.runs, repin=repin)
         out[name] = {
             "t1": round(t1, 2),
             "t10": round(t10, 2),
