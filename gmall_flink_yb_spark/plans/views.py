@@ -10,6 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from gmall_flink_yb_spark.functions.dedup import exact_dedup
+from gmall_flink_yb_spark.functions.profile import profile_columns
+from gmall_flink_yb_spark.functions.text import quality_features
 from gmall_flink_yb_spark.operators.bounce import flag_bounce_batch
 from gmall_flink_yb_spark.operators.visitor import (
     correct_is_new_batch,
@@ -51,6 +54,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
             window_seconds=10,
             order_cols=["event_id"],
         ).filter(F.col("is_bounce")),
+        # curation surface as SQL (the LLM-pipeline outputs a data engineer
+        # would query ad hoc): per-doc quality features, exact-dup groups,
+        # and the one-pass corpus profile
+        "dws_doc_quality": quality_features(tables["documents"], "text"),
+        "dws_doc_dup_groups": exact_dedup(
+            tables["documents"], "doc_id", "text"
+        ),
+        "dws_corpus_profile": profile_columns(tables["documents"]),
     }
     for name, df in views.items():
         df.createOrReplaceTempView(name)

@@ -92,7 +92,21 @@ def test_sql_views_run(spark, sf_dir):
         "dwm_unique_visit",
         "dwm_new_visitors",
         "dwm_user_jump_detail",
+        "dws_doc_quality",
+        "dws_doc_dup_groups",
+        "dws_corpus_profile",
     }
+    # the curation surface answers ad-hoc SQL: low-quality doc count and
+    # the largest exact-dup group, straight off the named logical plans
+    bad = spark.sql(
+        "SELECT count(*) FROM dws_doc_quality WHERE quality_ok = 0"
+    ).first()[0]
+    assert bad >= 0
+    top_dup = spark.sql(
+        "SELECT max(dup_count) FROM dws_doc_dup_groups"
+    ).first()[0]
+    assert top_dup >= 1
+    assert spark.sql("SELECT count(*) FROM dws_corpus_profile").first()[0] > 0
     uv = spark.sql(
         "SELECT _uv_date, count(*) AS uv FROM dwm_unique_visit GROUP BY 1"
     )
