@@ -2393,6 +2393,75 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+_SPLIT_VALID_FRACTION = 0.10
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid split: near-dup CLUSTERS (not documents)
+    are the split unit, so two near-duplicate documents can never land on
+    opposite sides of the split — the standard guard against train/valid
+    contamination when corpora carry near-dups (the failure mode
+    benchmark decontamination catches after the fact, prevented here at
+    split time). Assignment hashes the cluster id with the same md5
+    convention as hash_sample, so the split is deterministic, layout-
+    independent, and ~cluster-weighted (a big dup cluster moves as one).
+    Returns (doc_id, component, split) for every document; singletons are
+    their own cluster."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=_CLUSTER_THRESHOLD, n=3
+    )
+    comps = connected_components(pairs)
+    comp = F.coalesce(F.col("component"), F.col("doc_id"))
+    is_valid = F.substring(
+        F.md5(comp.cast("string")), 1, 8
+    ) < sample_threshold(_SPLIT_VALID_FRACTION)
+    return (
+        docs.select("doc_id")
+        .join(
+            comps.select(
+                F.col("node").alias("doc_id"), F.col("component")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            comp.alias("component"),
+            F.when(is_valid, F.lit("valid"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+SQL_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_sql_dedup_jaccard(_CLUSTER_THRESHOLD)})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+), comp AS (
+  SELECT node, CAST(min(label) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+       CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                               AS VARCHAR)), 1, 8)
+                 < '{sample_threshold(_SPLIT_VALID_FRACTION)}'
+            THEN 'valid' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 # The 60-bit md5 hash, identical to dedup._md5_long (parity-tested Spark
 # conv(substr(md5(x),1,15),16,10) == DuckDB ('0x'||substr(md5(x),1,15))::BIGINT)
 def _sql_md5_long(expr: str) -> str:
@@ -4367,6 +4436,7 @@ QUERIES: dict[str, QueryFn] = {
     "sax_motifs": q_sax_motifs,
     "returning_users_daily": q_returning_users_daily,
     "basket_pairs": q_basket_pairs,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -4472,4 +4542,5 @@ ORACLES: dict[str, str] = {
     "sax_motifs": SQL_SAX_MOTIFS,
     "returning_users_daily": SQL_RETURNING_USERS_DAILY,
     "basket_pairs": SQL_BASKET_PAIRS,
+    "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
 }

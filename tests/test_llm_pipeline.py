@@ -494,3 +494,19 @@ def test_sax_motifs_groups_same_shape_across_keys(spark):
     out = sax_motifs(series, 5, k=10).collect()
     assert len(out) == 1                       # one shared bucket, no flat rows
     assert out[0]["n_windows"] == 2 and out[0]["n_keys"] == 2
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """The split's defining invariant: every near-dup cluster lives on
+    exactly one side, and both sides are non-empty at corpus scale."""
+    from gmall_flink_yb_spark.queries import q_leakage_safe_split
+
+    rows = q_leakage_safe_split(spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "valid"}
+    valid_frac = sum(1 for r in rows if r["split"] == "valid") / len(rows)
+    assert 0.02 < valid_frac < 0.3  # ~10% target, cluster-granular
