@@ -123,3 +123,33 @@ def test_bypassing_the_catalog_loses_buckets(spark, bucketed_tables):
         assert num_exchanges(j) >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_mismatched_bucket_counts_reintroduce_shuffle(spark, sf_dir, tmp_path_factory):
+    """The bucket count is a physical-layout CONTRACT: joining tables
+    bucketed with different counts cannot co-locate, so Spark must plan
+    an exchange again — the test documents why n_buckets is versioned
+    with the table."""
+    loc = tmp_path_factory.mktemp("buckdb2")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb2 LOCATION '{loc}'")
+    try:
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed(li, "buckdb2.li_b4", 4, ["l_orderkey"])
+        write_bucketed(orders, "buckdb2.o_b8", 8, ["o_orderkey"])
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bucketed_scan(spark, "buckdb2.li_b4").join(
+                bucketed_scan(spark, "buckdb2.o_b8"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            assert num_exchanges(j) >= 1, "mismatched buckets must shuffle"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE buckdb2 CASCADE")
