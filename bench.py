@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from gmall_flink_yb_spark.functions.cacheutil import release_cache
 from gmall_flink_yb_spark.queries import QUERIES
 from gmall_flink_yb_spark.session import get_spark
 
@@ -56,6 +57,7 @@ def main() -> None:
             # Catalyst prune the projections and under-report)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            release_cache(df)  # builder-owned persists, freed per repeat
         timings[name] = round(statistics.median(samples), 3)
         spreads[name] = [round(s, 3) for s in sorted(samples)]
 

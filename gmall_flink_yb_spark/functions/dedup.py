@@ -26,6 +26,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark import StorageLevel
+from gmall_flink_yb_spark.functions.cacheutil import owns_cache
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -165,14 +166,27 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out
+    return owns_cache(out, toks)
 
 
 def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     """Candidate (id_a, id_b, size_a, size_b) pairs whose PREFIXES intersect
-    — the skew-bounded core of ``jaccard_prefix_pairs``, factored out so the
-    hot-shingle property (a boilerplate shingle shared by every doc ranks
-    last and never generates candidates) is directly testable."""
+    AND survive the PPJoin positional filter — the skew-bounded core of
+    ``jaccard_prefix_pairs``, factored out so the hot-shingle property (a
+    boilerplate shingle shared by every doc ranks last and never generates
+    candidates) is directly testable.
+
+    Positional filter (Xiao et al., PPJoin 2008, generalized to the
+    set-aggregate form): under the canonical order, every common token NOT
+    matched inside both prefixes must rank after the LAST prefix match (a
+    lower-ranked common token would sit inside both prefixes and be a
+    match itself). So with cnt prefix matches whose max ranks are (la, lb),
+    overlap(A,B) <= cnt + min(|A| - la, |B| - lb); J >= t needs overlap >=
+    ceil(t/(1+t) * (|A|+|B|)). Pairs failing the bound are pruned BEFORE
+    the expensive full-set verification join — recall-lossless, so the
+    DuckDB oracle (plain exact Jaccard) still matches. This keeps the
+    candidate count tracking the true-pair count instead of corpus
+    structure (the >10x slope at 100x in round 3's stress run)."""
     # global df via hash aggregate + join, NOT a count-over-window: the
     # window formulation full-sorts every shingle row by token, while the
     # aggregate does map-side partial counting and only shuffles unique
@@ -194,10 +208,16 @@ def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
         + F.lit(1)
     )
     prefix = ranked.filter(F.col("rnk") <= prefix_len).select(
-        "doc_id", "token", "set_size"
+        "doc_id", "token", "set_size", "rnk"
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # overlap requirement: J >= t  <=>  inter >= t/(1+t) * (|A|+|B|)
+    alpha = F.ceil(
+        F.lit(threshold)
+        / F.lit(1.0 + threshold)
+        * (F.col("size_a") + F.col("size_b"))
+    )
     return (
         a.join(
             b,
@@ -207,13 +227,26 @@ def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
             & (F.col("a.set_size") >= F.lit(threshold) * F.col("b.set_size"))
             & (F.col("b.set_size") >= F.lit(threshold) * F.col("a.set_size")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             F.col("a.set_size").alias("size_a"),
             F.col("b.set_size").alias("size_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .agg(
+            F.count(F.lit(1)).alias("_pref_inter"),
+            F.max(F.col("a.rnk")).alias("_la"),
+            F.max(F.col("b.rnk")).alias("_lb"),
+        )
+        .filter(
+            F.col("_pref_inter")
+            + F.least(
+                F.col("size_a") - F.col("_la"),
+                F.col("size_b") - F.col("_lb"),
+            )
+            >= alpha
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
     )
 
 
@@ -260,7 +293,7 @@ def jaccard_prefix_pairs(
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    return owns_cache(
         inter.select(
             "id_a",
             "id_b",
@@ -270,7 +303,8 @@ def jaccard_prefix_pairs(
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        toks,  # caller releases via cacheutil.release_cache
     )
 
 
@@ -486,7 +520,7 @@ def minhash_lsh_pairs(
             lambda v: v == 1,
         )
     )
-    return (
+    return owns_cache(
         cand.select(
             "id_a",
             "id_b",
@@ -494,7 +528,8 @@ def minhash_lsh_pairs(
                 "est_jaccard"
             ),
         )
-        .filter(F.col("est_jaccard") >= threshold)
+        .filter(F.col("est_jaccard") >= threshold),
+        sigs,  # caller releases via cacheutil.release_cache
     )
 
 
@@ -508,6 +543,7 @@ def incremental_lsh_dedup(
     shingle_n: int = 3,
     threshold: float = 0.5,
     portable: bool = False,
+    broadcast_incoming: bool = False,
 ) -> DataFrame:
     """Incremental MinHash+LSH dedup: audit a NEW batch against an
     already-curated corpus plus itself — the operator a production pipeline
@@ -543,13 +579,17 @@ def incremental_lsh_dedup(
         "inc", F.lit(True)
     )
     right = bx.unionByName(bi)
-    # the incoming batch is micro-batch-sized BY CONTRACT (the streaming
-    # ingest feeds bounded batches), so its band buckets broadcast: the
-    # corpus side never moves — at 100 TB the index stays in place and
-    # each ingest ships only the batch. (A bulk backfill that is itself
-    # corpus-sized should use minhash_lsh_pairs instead.)
+    # broadcast_incoming=True is for the streaming ingest path ONLY, where
+    # the incoming side is micro-batch-sized by contract: its band buckets
+    # broadcast so the corpus-side index never moves — at 100 TB the index
+    # stays in place and each ingest ships only the batch. Batch callers
+    # whose "incoming" side may be corpus-sized (e.g. a backfill split)
+    # MUST leave this False and let AQE pick the join strategy from
+    # runtime sizes — an unconditional hint here bypasses every size
+    # check and is a guaranteed BroadcastExchange OOM at scale.
+    left = F.broadcast(bi.alias("a")) if broadcast_incoming else bi.alias("a")
     cand = (
-        F.broadcast(bi.alias("a"))
+        left
         .join(
             right.alias("b"),
             (F.col("a.band") == F.col("b.band"))
@@ -586,11 +626,14 @@ def incremental_lsh_dedup(
         .select("doc_id", "m_id", "est")
     )
     ids = incoming.select(F.col(id_col).cast("long").alias("doc_id"))
-    return ids.join(best, "doc_id", "left").select(
-        "doc_id",
-        F.col("m_id").isNull().cast("int").alias("keep"),
-        F.col("m_id").alias("dup_of"),
-        F.col("est").alias("est_jaccard"),
+    return owns_cache(
+        ids.join(best, "doc_id", "left").select(
+            "doc_id",
+            F.col("m_id").isNull().cast("int").alias("keep"),
+            F.col("m_id").alias("dup_of"),
+            F.col("est").alias("est_jaccard"),
+        ),
+        si,  # caller releases via cacheutil.release_cache
     )
 
 
@@ -1019,7 +1062,7 @@ def simhash_pairs(
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     # hamming filter BEFORE the pair-dedup: a qualifying pair can surface from
     # up to 4 chunks, but the dedup shuffle then only carries survivors
-    return (
+    return owns_cache(
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
@@ -1032,5 +1075,6 @@ def simhash_pairs(
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"]),
+        hashed,  # caller releases via cacheutil.release_cache
     )

@@ -356,7 +356,9 @@ def source_overlap(
         .filter(F.col("src_a") < F.col("src_b"))
     )
     shared = F.coalesce(F.col("n_shared"), F.lit(0))
-    return (
+    from gmall_flink_yb_spark.functions.cacheutil import owns_cache
+
+    return owns_cache(
         pairs.join(
             inter,
             (F.col("src_a") == F.col("ia")) & (F.col("src_b") == F.col("ib")),
@@ -373,5 +375,6 @@ def source_overlap(
                 / (F.col("grams_a") + F.col("grams_b") - shared),
                 6,
             ).alias("jaccard"),
-        )
+        ),
+        grams,  # caller releases via cacheutil.release_cache (ADVICE r3)
     )

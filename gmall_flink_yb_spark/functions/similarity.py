@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
+from gmall_flink_yb_spark.functions.cacheutil import owns_cache
+
 
 def _norm(vec: Column) -> Column:
     return F.sqrt(
@@ -238,8 +240,11 @@ def cosine_near_dup_pairs(
             }
         )
 
-    return both.groupBy("ba", "bb").applyInPandas(
-        gemm, "id_a long, id_b long, cos_sim double"
+    return owns_cache(
+        both.groupBy("ba", "bb").applyInPandas(
+            gemm, "id_a long, id_b long, cos_sim double"
+        ),
+        e,  # caller releases via cacheutil.release_cache
     )
 
 
@@ -249,6 +254,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_rows: int = 10_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     by clustering the embedding space and searching for near-duplicates ONLY
@@ -270,13 +276,16 @@ def semantic_dedup(
       rows), folded into the plan as literals; each row computes its
       nearest centroid in place via a codegen'd struct-max — zero shuffles,
       bit-identical to the oracle's sequential-fold cosine.
-    - The pair search shuffles each row ONCE on cluster_id, then one GEMM
-      per cluster scores the upper triangle (same engine as
-      ``cosine_near_dup_pairs``). Cluster population bounds the quadratic
-      term: at scale you raise n_clusters so E[cluster size] stays at the
-      5-20k rows a single GEMM comfortably holds (SemDeDup's own recipe),
-      and AQE splits any skewed mega-cluster across the existing block
-      machinery.
+    - The pair search shuffles each row on (cluster_id, block-pair), then
+      one GEMM per group scores its pairs (same engine as
+      ``cosine_near_dup_pairs``). A cluster above ``max_cluster_rows`` is
+      re-sharded into ceil(size/cap) hash sub-blocks and scored over ALL
+      sub-block pairs — so a pathologically popular cluster (the one
+      unbounded memory dimension in the naive per-cluster GEMM) costs
+      replication factor n_sub per row instead of an executor OOM, and no
+      single task ever materializes more than ~2*cap vectors. Results are
+      identical for any cap (every within-cluster pair is still scored
+      exactly once) — asserted against the unblocked DuckDB oracle.
     """
     e = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
@@ -302,27 +311,89 @@ def semantic_dedup(
         StorageLevel.MEMORY_AND_DISK
     )
     thr = float(threshold)
-
-    def dups_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id": []}).astype({"id": "int64"})
-        if len(pdf) < 2:
-            return empty
-        pdf = pdf.sort_values("id")
-        A = np.stack(pdf["vec"].to_numpy())
-        S = (A @ A.T) / np.outer(
-            np.linalg.norm(A, axis=1), np.linalg.norm(A, axis=1)
+    if max_cluster_rows < 2:
+        raise ValueError(
+            f"max_cluster_rows must be >= 2, got {max_cluster_rows}"
         )
-        ii, jj = np.triu_indices(len(pdf), k=1)
+    # re-shard oversized clusters: n_sub hash blocks per cluster, every
+    # (ba <= bb) block pair scored once. n_clusters-row size table ->
+    # broadcast; a row lands in n_sub groups (as LEFT of (blk, j>=blk),
+    # as RIGHT of (i<blk, blk)), so task memory is bounded by ~2*cap rows
+    # regardless of cluster popularity.
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_csize")
+    )
+    sub = (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .withColumn(
+            "_nsub",
+            F.ceil(F.col("_csize") / F.lit(float(max_cluster_rows))).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col("id")), F.col("_nsub")).cast("int")
+        )
+    )
+    lefts = sub.withColumn(
+        "_p", F.explode(F.sequence(F.col("_blk"), F.col("_nsub") - 1))
+    ).select(
+        "cluster_id",
+        F.col("_blk").alias("ba"),
+        F.col("_p").alias("bb"),
+        F.lit(0).alias("side"),
+        "id",
+        "vec",
+    )
+    rights = (
+        sub.filter(F.col("_blk") > 0)
+        .withColumn(
+            "_p", F.explode(F.sequence(F.lit(0), F.col("_blk") - 1))
+        )
+        .select(
+            "cluster_id",
+            F.col("_p").alias("ba"),
+            F.col("_blk").alias("bb"),
+            F.lit(1).alias("side"),
+            "id",
+            "vec",
+        )
+    )
+    both = lefts.unionByName(rights)
+
+    def dups_in_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, ba, bb = key
+        empty = pd.DataFrame({"id": []}).astype({"id": "int64"})
+        L = pdf[pdf["side"] == 0]
+        R = L if ba == bb else pdf[pdf["side"] == 1]
+        if len(L) == 0 or len(R) == 0 or len(L) + len(R) < 2:
+            return empty
+        A = np.stack(L["vec"].to_numpy())
+        B = A if ba == bb else np.stack(R["vec"].to_numpy())
+        S = (A @ B.T) / np.outer(
+            np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+        )
+        if ba == bb:
+            ii, jj = np.triu_indices(len(L), k=1)
+        else:
+            ii, jj = np.meshgrid(
+                np.arange(len(L)), np.arange(len(R)), indexing="ij"
+            )
+            ii, jj = ii.ravel(), jj.ravel()
         mask = _round_half_up(S[ii, jj], 6) >= thr
-        ids = pdf["id"].to_numpy()
-        return pd.DataFrame({"id": np.unique(ids[jj[mask]])}).astype(
+        ia = L["id"].to_numpy()[ii[mask]]
+        ib = R["id"].to_numpy()[jj[mask]]
+        # the LARGER id of a qualifying pair is the dropped duplicate
+        return pd.DataFrame({"id": np.unique(np.maximum(ia, ib))}).astype(
             {"id": "int64"}
         )
 
-    dup_ids = assigned.groupBy("cluster_id").applyInPandas(
-        dups_in_cluster, "id long"
+    dup_ids = (
+        both.groupBy("cluster_id", "ba", "bb")
+        .applyInPandas(dups_in_block, "id long")
+        .dropDuplicates(["id"])
     )
-    return (
+    return owns_cache(
         assigned.join(
             dup_ids.withColumn("is_dup", F.lit(1)), "id", "left"
         )
@@ -330,7 +401,8 @@ def semantic_dedup(
             F.col("id").alias(id_col),
             F.col("cluster_id").cast("long").alias("cluster_id"),
             F.coalesce(F.col("is_dup"), F.lit(0)).cast("int").alias("is_dup"),
-        )
+        ),
+        assigned,  # caller releases via cacheutil.release_cache
     )
 
 

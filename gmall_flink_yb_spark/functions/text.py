@@ -282,7 +282,9 @@ def unigram_lm_score(
     vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_total"))
     bits = F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt")))
-    return (
+    from gmall_flink_yb_spark.functions.cacheutil import owns_cache
+
+    return owns_cache(
         tf.join(vocab, "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
@@ -297,5 +299,6 @@ def unigram_lm_score(
             F.round(
                 F.col("sum_bits").cast("double") / F.col("n_tokens"), 6
             ).alias("mean_bits"),
-        )
+        ),
+        tf,  # caller releases via cacheutil.release_cache (ADVICE r3)
     )

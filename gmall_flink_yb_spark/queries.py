@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
+from gmall_flink_yb_spark.functions.cacheutil import owns_cache
 from gmall_flink_yb_spark.functions.dedup import (
     connected_components,
     exact_dedup,
@@ -3795,10 +3796,11 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = grams.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )
-    return (
+    return owns_cache(
         est.join(exact, "token")
         .orderBy(F.desc("est_count"), "token")
-        .limit(20)
+        .limit(20),
+        grams,  # caller releases via cacheutil.release_cache
     )
 
 
@@ -4306,11 +4308,13 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from gmall_flink_yb_spark.functions.cacheutil import owns_cache
+
     a = op.alias("a")
     b = op.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
-    return (
+    return owns_cache(
         a.join(
             b,
             (F.col("l_orderkey") == F.col("o2"))
@@ -4321,7 +4325,8 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), "part_a", "part_b")
-        .limit(20)
+        .limit(20),
+        op,  # caller releases via cacheutil.release_cache (ADVICE r3)
     )
 
 

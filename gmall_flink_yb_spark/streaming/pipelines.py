@@ -222,12 +222,44 @@ def ensure_sink_table(
     return fqn
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the session's Hadoop conf —
+    resolves whatever filesystem the path names (local, HDFS, S3A), unlike
+    ``os.path`` which only ever sees the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def hadoop_path_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path_str)
+    return bool(fs.exists(jpath))
+
+
+def hadoop_child_dirs(
+    spark: SparkSession, base_dir: str, prefix: str = ""
+) -> list[str]:
+    """Names of ``base_dir``'s immediate subdirectories starting with
+    ``prefix`` ([] when the base doesn't exist) — the cluster-correct way
+    to probe for written partitions before ``spark.read.parquet``."""
+    fs, jpath = _hadoop_fs(spark, base_dir)
+    if not fs.exists(jpath):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+
+
 def upsert_dim_parquet(
     spark: SparkSession,
     new_rows: DataFrame,
     path: str,
     pk: str = "id",
     order_col: str | None = None,
+    n_buckets: int = 16,
 ) -> None:
     """K3 — MERGE-by-pk onto a parquet dim table (DimSinkFunction.java:74-81
     built Phoenix UPSERTs; Delta ``MERGE INTO ... ON pk`` in production).
@@ -239,6 +271,15 @@ def upsert_dim_parquet(
     arbitrary) lexicographic choice. The CDC envelope carries no sequence
     number (CustomerDeserialization.java:30-83 emits none; Flink relied on
     stream order), so callers with a real version column should pass it.
+
+    Scale shape: the dim is laid out as ``path/_pk_bucket=N`` with
+    N = pmod(xxhash64(pk), n_buckets); a batch rewrites ONLY the buckets
+    its pks hash into (dynamic partition overwrite), so per-batch write
+    cost is (touched_buckets / n_buckets) of the dim, not the whole dim.
+    Existence checks go through the Hadoop FS API, so the same code is
+    correct against HDFS/S3A, not just the driver's local disk. A legacy
+    un-bucketed dim dir is migrated to the bucketed layout on first
+    upsert. Production target is Delta ``MERGE INTO`` either way.
     """
     others = [c for c in new_rows.columns if c != pk]
     lead = ([order_col] if order_col else []) + [
@@ -248,17 +289,58 @@ def upsert_dim_parquet(
         new_rows.groupBy(pk)
         .agg(F.max(F.struct(*lead)).alias("_r"))
         .select(pk, *[F.col(f"_r.{c}").alias(c) for c in others])
+        .withColumn(
+            "_pk_bucket",
+            F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets))
+            .cast("int"),
+        )
     )
-    if os.path.exists(path):
+    exists = hadoop_path_exists(spark, path)
+    bucketed = bool(hadoop_child_dirs(spark, path, "_pk_bucket="))
+    if exists and not bucketed:
+        # legacy flat layout: one-time migration — merge everything and
+        # rewrite the full table into the bucketed layout
         old = spark.read.parquet(path)
-        merged = old.join(new_rows, pk, "left_anti").unionByName(new_rows)
+        if "_pk_bucket" not in old.columns:
+            old = old.withColumn(
+                "_pk_bucket",
+                F.pmod(
+                    F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets)
+                ).cast("int"),
+            )
+        merged = old.join(new_rows.select(pk), pk, "left_anti").unionByName(
+            new_rows
+        )
+    elif exists:
+        # bounded driver state: at most n_buckets rows
+        touched = [
+            r["_pk_bucket"]
+            for r in new_rows.select("_pk_bucket").distinct().collect()
+        ]
+        old = (
+            spark.read.option("basePath", path)
+            .parquet(path)
+            .filter(F.col("_pk_bucket").isin(touched))  # partition-pruned
+        )
+        merged = old.join(new_rows.select(pk), pk, "left_anti").unionByName(
+            new_rows
+        )
     else:
         merged = new_rows
     # two-phase write: parquet can't overwrite a dir being read
     tmp = path.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
+    merged.write.mode("overwrite").partitionBy("_pk_bucket").parquet(tmp)
+    final = spark.read.option("basePath", tmp).parquet(tmp)
+    writer = final.write.mode("overwrite").partitionBy("_pk_bucket")
+    if exists and bucketed:
+        # dynamic overwrite touches only the bucket partitions present in
+        # ``final``; untouched buckets' files are left byte-identical
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    # else: first write, or legacy-flat migration — a full (static)
+    # overwrite, which also clears the legacy flat files
+    writer.parquet(path)
+    fs, jtmp = _hadoop_fs(spark, tmp)
+    fs.delete(jtmp, True)
 
 
 def start_cdc_routing(
@@ -478,6 +560,10 @@ def start_incremental_dedup_stream(
                 id_col,
                 text_col,
                 threshold=threshold,
+                # micro-batch contract holds on this path: batches are
+                # trigger-bounded, so shipping their band buckets to the
+                # corpus index is the right plan
+                broadcast_incoming=True,
             )
             # verdicts schema is (doc_id, keep int, dup_of, est_jaccard)
             # regardless of id_col (ids are cast to long inside the audit)
@@ -554,7 +640,11 @@ def start_count_min_stream(
 
 def merged_count_min(spark: SparkSession, sketch_dir: str) -> DataFrame:
     """Fold every per-batch partition into the whole-stream counter table
-    (j, bucket, cnt) — a depth*width-bounded aggregate."""
+    (j, bucket, cnt) — a depth*width-bounded aggregate. An all-empty
+    stream (write_batch skips empty batches, so no partition dirs exist)
+    yields an empty sketch, not an AnalysisException."""
+    if not hadoop_child_dirs(spark, sketch_dir, "sketch_batch="):
+        return spark.createDataFrame([], "j int, bucket bigint, cnt bigint")
     return (
         spark.read.option("basePath", sketch_dir)
         .parquet(sketch_dir)
@@ -608,7 +698,11 @@ def start_hll_uv_stream(
 
 def merged_hll_uv(spark: SparkSession, sketch_dir: str) -> DataFrame:
     """(dt, uv_estimate) from the per-batch day sketches: one
-    days-x-batches-bounded union aggregate, never the raw keys."""
+    days-x-batches-bounded union aggregate, never the raw keys. An
+    all-empty stream (no uv_batch=* partitions written) yields an empty
+    frame, not an AnalysisException."""
+    if not hadoop_child_dirs(spark, sketch_dir, "uv_batch="):
+        return spark.createDataFrame([], "dt string, uv_estimate bigint")
     return (
         spark.read.option("basePath", sketch_dir)
         .parquet(sketch_dir)

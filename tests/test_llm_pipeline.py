@@ -218,6 +218,44 @@ def test_semantic_dedup_cluster_bounded(spark):
     assert got2 == {0: 0, 1: 0, 2: 0}
 
 
+def test_semantic_dedup_giant_cluster_resharded(spark):
+    """VERDICT r3 #4: a pathologically dominating cluster must be re-sharded
+    into sub-blocks instead of one unbounded GEMM. With max_cluster_rows=4
+    a 40-vector cluster runs ~10 sub-blocks (every task <= ~8 rows), and
+    the verdicts must be IDENTICAL to the unblocked run — blocking is pure
+    memory shaping, every within-cluster pair is still scored once."""
+    import math
+
+    from gmall_flink_yb_spark.functions.similarity import semantic_dedup
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]  # centroids
+    # 40 vectors all landing in cluster 0: tight fan around x-axis with a
+    # handful of exact near-dup pairs and many uniques
+    for i in range(2, 42):
+        ang = 0.01 * (i % 7)  # 7 distinct directions -> dup groups
+        rows.append((i, [math.cos(ang), 0.0, math.sin(ang)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    # threshold passes only same-direction pairs (adjacent directions are
+    # 0.01 rad apart -> cos ~0.99995 < 0.99999)
+    unblocked = {
+        (r["vec_id"], r["cluster_id"], r["is_dup"])
+        for r in semantic_dedup(
+            df, n_clusters=2, threshold=0.99999, max_cluster_rows=10_000
+        ).collect()
+    }
+    blocked = {
+        (r["vec_id"], r["cluster_id"], r["is_dup"])
+        for r in semantic_dedup(
+            df, n_clusters=2, threshold=0.99999, max_cluster_rows=4
+        ).collect()
+    }
+    assert blocked == unblocked
+    # the scenario is non-trivial: some dups found, not everything a dup
+    n_dups = sum(d for _, _, d in unblocked)
+    assert 0 < n_dups < 40
+
+
 def test_lsh_bucket_topk_contains_true_neighbor(vectors):
     """SRP-LSH: a vector nearly identical to the query shares every
     hyperplane sign, so it is always in the query's bucket."""

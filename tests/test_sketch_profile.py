@@ -73,3 +73,78 @@ class TestProfile:
         plan = df._jdf.queryExecution().executedPlan().toString()
         # one parquet scan feeds every metric
         assert plan.count("Scan parquet") == 1
+
+
+class TestSaltedHashArm:
+    """ADVICE r3: the j >= 4 salted-digest arm was dead under every
+    shipped config (CM_DEPTH=4) and never parity-checked. Pin Spark /
+    DuckDB agreement on the EXACT bucket values at depth=6 so a caller
+    passing depth > 4 gets the same sketch both sides."""
+
+    def test_depth6_buckets_match_duckdb(self, spark):
+        import duckdb
+
+        items = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        width = 64
+        depth = 6
+        df = spark.createDataFrame([(w,) for w in items], "token string")
+        sk = count_min_build(df, "token", depth=depth, width=width)
+        got = {(r["j"], r["bucket"]): r["cnt"] for r in sk.collect()}
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            WITH items AS (
+              SELECT unnest({items!r}) AS token
+            ), jb AS (
+              SELECT j, CASE WHEN j < 4
+                 THEN CAST(('0x' || substr(md5(token), 1 + 8*j, 8)) AS BIGINT)
+                 ELSE CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8)) AS BIGINT)
+               END % {width} AS bucket
+              FROM items, (SELECT unnest(generate_series(0, {depth - 1})) AS j)
+            )
+            SELECT j, bucket, count(*) AS cnt FROM jb GROUP BY 1, 2
+            """
+        ).fetchall()
+        want = {(j, b): c for j, b, c in rows}
+        assert got == want
+
+    def test_bloom_k5_no_false_negatives_and_salted_positions_match(self, spark):
+        import duckdb
+
+        from gmall_flink_yb_spark.functions.bloom import (
+            _bit_pos,
+            bloom_build,
+            bloom_probe,
+        )
+        from pyspark.sql import functions as F
+
+        keys = spark.range(0, 100).select(F.col("id").alias("k"))
+        n_bits, k = 1024, 5
+        bloom = bloom_build(keys, "k", n_bits=n_bits, k=k)
+        passed = {
+            r["k"]
+            for r in bloom_probe(
+                spark.range(0, 300).select(F.col("id").alias("k")),
+                bloom, "k", n_bits, k,
+            ).collect()
+        }
+        assert set(range(100)) <= passed
+
+        # position parity for the salted j=4 hash specifically
+        pos = (
+            keys.select(_bit_pos(F.col("k"), 4, n_bits).alias("p"))
+            .collect()
+        )
+        got = [r["p"] for r in pos]
+        con = duckdb.connect()
+        want = [
+            r[0]
+            for r in con.execute(
+                f"""
+                SELECT CAST(('0x' || substr(md5('4:' || CAST(range AS VARCHAR)), 1, 8)) AS BIGINT) % {n_bits}
+                FROM range(0, 100) ORDER BY range
+                """
+            ).fetchall()
+        ]
+        assert sorted(got) == sorted(want)

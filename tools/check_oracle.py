@@ -22,6 +22,7 @@ import duckdb
 
 sys.path.insert(0, ".")
 
+from gmall_flink_yb_spark.functions.cacheutil import release_cache
 from gmall_flink_yb_spark.schemas import TESTDATA_TABLES
 from gmall_flink_yb_spark.session import get_spark
 
@@ -89,6 +90,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            release_cache(sdf)  # builder-owned persists, freed per query
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
