@@ -1237,6 +1237,189 @@ WHERE c_acctbal > _thr
 GROUP BY 1 ORDER BY 1
 """
 
+
+def q_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q17 shape — correlated scalar subquery: revenue from orders of a
+    brand's parts whose quantity is below 20% of that PART's average
+    quantity. The correlation decorrelates into a per-part aggregate that
+    joins back to the fact on partkey. Scale shape: the brand filter
+    broadcasts into BOTH the avg build and the probe, so the per-part
+    aggregate runs over the brand's slice only (not all of lineitem), and
+    the avg side is then part-cardinality — it broadcasts back. Threshold
+    arithmetic is exact-DECIMAL sum / exact count then double, so both
+    engines compare the same two numbers (Q22's determinism discipline)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#4"
+    )
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = branded.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    return (
+        branded.join(
+            F.broadcast(
+                avg_qty.select(
+                    F.col("l_partkey").alias("_pk"), "_avg_qty"
+                )
+            ),
+            F.col("l_partkey") == F.col("_pk"),
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC6)).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_Q17_SMALL_QUANTITY_REVENUE = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4'
+), avg_qty AS (
+  SELECT l_partkey AS _pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS _avg_qty
+  FROM branded GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM branded JOIN avg_qty ON l_partkey = _pk
+WHERE l_quantity < 0.2 * _avg_qty
+"""
+
+
+def q_q20_excess_shipments_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q20 shape — nested semi-join chain (TPC-H Q20's partsupp availqty
+    correlate has no partsupp table here, so the inner predicate is
+    re-based on shipped volume): suppliers in low-key nations who shipped
+    > 100 units of some 'small ...' part. part-filter -> (supp, part)
+    volume HAVING -> DISTINCT suppkeys -> LEFT SEMI into supplier. Scale
+    shape: the part filter broadcasts into the fact scan; the HAVING
+    aggregate shuffles (supp, part) pairs once; the surviving supplier-key
+    set is dim-sized, so the final semi-join broadcasts — supplier never
+    shuffles. Exercises LeftSemi planning end-to-end."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    )
+    supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 10
+    )
+    heavy = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_vol"))
+        .filter(F.col("_vol") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(heavy),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q20_EXCESS_SHIPMENTS_SUPPLIERS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey < 10
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+  )
+ORDER BY s_suppkey
+"""
+
+
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — EXISTS + NOT EXISTS against the same fact: suppliers
+    who were the SOLE late shipper on a finished multi-supplier order
+    ("late" = shipped > 90 days after order date; the reference schema's
+    commit/receipt dates don't exist here). l1 = late lines of 'F' orders;
+    EXISTS(other supplier in same order) -> left_semi; NOT EXISTS(other
+    LATE supplier in same order) -> left_anti. Scale shape: all three
+    sides are the same lineitem scan keyed by orderkey, so the semi and
+    anti joins reuse one hash-partitioning of the fact; per-supplier
+    count + top-100 is the only further shuffle. Exercises semi- and
+    anti-join planning in one plan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = lo.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    l1 = late.alias("l1")
+    others = li.select("l_orderkey", "l_suppkey").alias("l2")
+    late_others = late.alias("l3")
+    return (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .groupBy(F.col("l1.l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(100)
+    )
+
+
+SQL_Q21_WAITING_SUPPLIERS = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT l1.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 100
+"""
+
 # ---------------------------------------------------------------------------
 # DWM order-wide (J1 equi-part + J2 chained broadcast dim enrichment —
 # OrderWideApp.java:89-121; dims snowflake customer->nation->region plays
@@ -4431,7 +4614,10 @@ QUERIES: dict[str, QueryFn] = {
     "q10_returned_items": q_q10_returned_items,
     "q13_order_distribution": q_q13_order_distribution,
     "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_discount_revenue": q_q19_discount_revenue,
+    "q20_excess_shipments_suppliers": q_q20_excess_shipments_suppliers,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
     "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
     "unigram_lm": q_unigram_lm,
     "source_overlap": q_source_overlap,
@@ -4537,7 +4723,10 @@ ORACLES: dict[str, str] = {
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "q13_order_distribution": SQL_Q13_ORDER_DISTRIBUTION,
     "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+    "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_discount_revenue": SQL_Q19_DISCOUNT_REVENUE,
+    "q20_excess_shipments_suppliers": SQL_Q20_EXCESS_SHIPMENTS_SUPPLIERS,
+    "q21_waiting_suppliers": SQL_Q21_WAITING_SUPPLIERS,
     "q22_global_sales_opportunity": SQL_Q22_GLOBAL_SALES_OPPORTUNITY,
     "unigram_lm": SQL_UNIGRAM_LM,
     "source_overlap": SQL_SOURCE_OVERLAP,
