@@ -81,3 +81,15 @@ def to_kafka_payload(routed: DataFrame) -> DataFrame:
         F.col("sinkTable").alias("topic"),
         F.to_json(F.col("after")).alias("value"),
     )
+
+
+def to_fixed_topic_payload(df: DataFrame, topic: str) -> DataFrame:
+    """K1 — shape a stream for the fixed-topic producer
+    (MyKafkaUtil.java:17-21): every column serialized into one JSON value
+    (T7, map(JSONAware::toJSONString)), topic attached as a constant
+    column so the SAME (topic, value) payload frame feeds either Spark's
+    Kafka sink or the broker-free file transport."""
+    return df.select(
+        F.lit(topic).alias("topic"),
+        F.to_json(F.struct("*")).alias("value"),
+    )

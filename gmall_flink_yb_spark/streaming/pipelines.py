@@ -465,12 +465,16 @@ def write_kafka_stream(
     checkpoint_dir: str,
 ) -> StreamingQuery:
     """K1 — fixed-topic Kafka producer (MyKafkaUtil.java:17-21): serialize
-    every column to one JSON value (T7, map(JSONAware::toJSONString))."""
+    every column to one JSON value (T7, map(JSONAware::toJSONString)).
+    Payload shape comes from the SAME builder the broker-free transport
+    parity tests drive (``to_fixed_topic_payload``), so what those tests
+    assert is what this sink ships."""
+    from gmall_flink_yb_spark.operators.routing import to_fixed_topic_payload
+
     return (
-        df.select(F.to_json(F.struct("*")).alias("value"))
+        to_fixed_topic_payload(df, topic)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

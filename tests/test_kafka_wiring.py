@@ -11,6 +11,10 @@ JAR, so these paths cannot run end-to-end here. What CAN be checked:
   per-row ``topic`` column) is pure DataFrame logic and is asserted on a
   batch frame with no connector involved — the part of the producer wiring
   that is ours, as opposed to Spark's sink implementation.
+- The full producer SEMANTICS (micro-batch delivery, per-record topic
+  fan-out, exactly-once under replay) are asserted end-to-end against the
+  broker-free file transport in ``tests/test_kafka_transport.py`` — only
+  the broker handoff itself remains connector-gated here.
 """
 
 from __future__ import annotations
