@@ -49,6 +49,53 @@ def make_segmenter_udf(segment_fn):
     return pandas_udf(_seg, "array<string>")
 
 
+# Bundled segmentation dictionary: common public Chinese e-commerce /
+# search terms (the domain the reference's SEARCH/CLICK/CART/ORDER keyword
+# constants describe, GmallConstant.java:64-67). Order is LOAD-BEARING:
+# index k here == index k in the oracle's words(idx, w) VALUES table, so
+# the md5-driven fixture construction picks identical words both sides.
+ZH_ECOMMERCE_DICT: tuple[str, ...] = (
+    "手机", "苹果", "华为", "小米", "电脑", "笔记本", "平板", "耳机",
+    "充电器", "手机壳", "运动鞋", "连衣裙", "口红", "洗面奶", "面膜",
+    "电视", "冰箱", "洗衣机", "空调", "微波炉", "零食", "牛奶",
+    "咖啡", "茶叶", "图书", "玩具", "积木", "键盘", "鼠标", "显示器",
+)
+
+
+def fmm_segment(text: str, words: frozenset[str], max_len: int) -> list[str]:
+    """Greedy forward-maximum-matching segmentation: at each position take
+    the LONGEST dictionary word starting there, else one character. The
+    exact algorithm the DuckDB oracle replays as a recursive CTE, so it
+    must stay deterministic and tie-free (equal-length candidates at one
+    position are the same string)."""
+    out: list[str] = []
+    pos, n = 0, len(text)
+    while pos < n:
+        for ln in range(min(max_len, n - pos), 1, -1):
+            cand = text[pos : pos + ln]
+            if cand in words:
+                out.append(cand)
+                pos += ln
+                break
+        else:
+            out.append(text[pos])
+            pos += 1
+    return out
+
+
+def make_fmm_segmenter_udf(dictionary=ZH_ECOMMERCE_DICT):
+    """Trie-free longest-match segmenter over a bundled dictionary as an
+    Arrow-batched pandas_udf — the shipped implementation behind the
+    ``make_segmenter_udf`` slot (the reference bundles the IK analyzer for
+    this, gmall-realtime/pom.xml:179-183; jieba is absent from this
+    container, and for a bounded product-vocabulary FMM is the standard
+    deterministic baseline). The dictionary rides the UDF closure — it is
+    serialized once per task like a broadcast variable, not per row."""
+    words = frozenset(dictionary)
+    max_len = max(map(len, words)) if words else 1
+    return make_segmenter_udf(lambda s: fmm_segment(s, words, max_len))
+
+
 def keyword_counts(
     df: DataFrame,
     text_col: str,

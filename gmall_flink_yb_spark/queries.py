@@ -2044,6 +2044,106 @@ SELECT token, token_count,
 FROM c QUALIFY rnk <= 100
 """
 
+
+_ZH_WORDS_PER_DOC = 6
+
+
+def q_keyword_top100_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chinese keyword top-100 through the REAL segmenter slot: each doc_id
+    deterministically selects 6 dictionary words (md5-indexed) and
+    concatenates them into an UNSEGMENTED Chinese string — the regex
+    tokenizer would return it whole — then the bundled forward-maximum-
+    matching segmenter (operators/keywords.py::make_fmm_segmenter_udf,
+    the shipped stand-in for the reference's IK analyzer,
+    gmall-realtime/pom.xml:179-183) recovers word tokens. The DuckDB
+    oracle replays the SAME greedy longest-match as a recursive CTE, so
+    this checks segmentation semantics, not just counts. Scale shape:
+    Arrow-batched segmentation (dictionary rides the closure, one
+    deserialize per task), then the vocabulary-sized count shuffle."""
+    from gmall_flink_yb_spark.operators.keywords import (
+        ZH_ECOMMERCE_DICT,
+        keyword_counts,
+        make_fmm_segmenter_udf,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    dict_arr = F.array(*[F.lit(w) for w in ZH_ECOMMERCE_DICT])
+    n = len(ZH_ECOMMERCE_DICT)
+    parts = [
+        F.element_at(
+            dict_arr,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"zhw{k}:"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n
+                + 1
+            ).cast("int"),
+        )
+        for k in range(_ZH_WORDS_PER_DOC)
+    ]
+    zh = docs.select(F.concat(*parts).alias("txt"))
+    counts = keyword_counts(zh, "txt", tokenizer=make_fmm_segmenter_udf())
+    top = counts.orderBy(
+        F.col("token_count").desc(), F.col("token").asc()
+    ).limit(100)
+    w = Window.orderBy(F.col("token_count").desc(), F.col("token").asc())
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select("token", "token_count", "rnk")
+    )
+
+
+def _zh_sql() -> str:
+    from gmall_flink_yb_spark.operators.keywords import ZH_ECOMMERCE_DICT
+
+    n = len(ZH_ECOMMERCE_DICT)
+    vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(ZH_ECOMMERCE_DICT))
+    word = (
+        "(SELECT w FROM words WHERE idx = "
+        "CAST(('0x' || substr(md5('zhw{k}:' || CAST(doc_id AS VARCHAR)), 1, 4)) "
+        f"AS BIGINT) % {n})"
+    )
+    txt = " || ".join(word.format(k=k) for k in range(_ZH_WORDS_PER_DOC))
+    return f"""
+WITH RECURSIVE words(idx, w) AS (VALUES {vals}),
+zh AS (
+  SELECT doc_id, {txt} AS txt FROM documents
+),
+seg AS (
+  SELECT doc_id, txt, 1 AS pos, CAST(NULL AS VARCHAR) AS token FROM zh
+  UNION ALL
+  SELECT doc_id, txt, pos + length(tok) AS pos, tok AS token FROM (
+    SELECT doc_id, txt, pos,
+      coalesce(
+        (SELECT w FROM words
+          WHERE substr(txt, pos, length(w)) = w
+          ORDER BY length(w) DESC LIMIT 1),
+        substr(txt, pos, 1)) AS tok
+    FROM seg WHERE pos <= length(txt)) s
+), c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS token_count
+  FROM seg WHERE token IS NOT NULL GROUP BY 1
+)
+SELECT token, token_count,
+       CAST(row_number() OVER (ORDER BY token_count DESC, token) AS INTEGER) AS rnk
+FROM c QUALIFY rnk <= 100
+"""
+
+
+SQL_KEYWORD_TOP100_ZH = _zh_sql()
+
 # ---------------------------------------------------------------------------
 # Text quality scoring (LLM-pipeline surface)
 # ---------------------------------------------------------------------------
@@ -4547,6 +4647,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_route_kafka": q_cdc_route_kafka,
     "cdc_route_hbase": q_cdc_route_hbase,
     "keyword_top100": q_keyword_top100,
+    "keyword_top100_zh": q_keyword_top100_zh,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
@@ -4650,6 +4751,7 @@ ORACLES: dict[str, str] = {
     "cdc_route_kafka": SQL_CDC_ROUTE_KAFKA,
     "cdc_route_hbase": SQL_CDC_ROUTE_HBASE,
     "keyword_top100": SQL_KEYWORD_TOP100,
+    "keyword_top100_zh": SQL_KEYWORD_TOP100_ZH,
     "text_quality": SQL_TEXT_QUALITY,
     "text_repetition": SQL_TEXT_REPETITION,
     "pii_scrub": SQL_PII_SCRUB,

@@ -90,6 +90,43 @@ def test_pluggable_segmenter_udf(spark):
     assert got == {"ab": 1, "bc": 2, "cd": 2, "de": 1}
 
 
+def test_fmm_segmenter_semantics():
+    """The bundled forward-maximum-matching segmenter: longest dictionary
+    word wins at every position (手机壳 beats its prefix 手机), characters
+    outside the dictionary fall back to single-char tokens, and the greedy
+    scan never backtracks. These are exactly the semantics the
+    keyword_top100_zh DuckDB oracle replays as a recursive CTE."""
+    from gmall_flink_yb_spark.operators.keywords import fmm_segment
+
+    words = frozenset({"手机", "手机壳", "苹果", "电脑"})
+    seg = lambda s: fmm_segment(s, words, 3)  # noqa: E731
+    assert seg("手机壳") == ["手机壳"]            # longest match, not 手机+壳
+    assert seg("手机苹果") == ["手机", "苹果"]
+    assert seg("买手机壳了") == ["买", "手机壳", "了"]  # single-char fallback
+    assert seg("手机手机壳") == ["手机", "手机壳"]  # greedy, no backtrack
+    assert seg("") == []
+
+
+def test_fmm_segmenter_udf_in_keyword_counts(spark):
+    """The shipped FMM segmenter through the pluggable slot end-to-end:
+    Arrow-batched, recovers word tokens from unsegmented text."""
+    from gmall_flink_yb_spark.operators.keywords import (
+        keyword_counts,
+        make_fmm_segmenter_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("手机壳苹果",), ("苹果电脑",), (None,)], ["text"]
+    )
+    got = {
+        r["token"]: r["token_count"]
+        for r in keyword_counts(
+            df, "text", tokenizer=make_fmm_segmenter_udf()
+        ).collect()
+    }
+    assert got == {"手机壳": 1, "苹果": 2, "电脑": 1}
+
+
 def test_salted_agg_matches_plain_agg(spark, sf_dir):
     from gmall_flink_yb_spark.sources.readers import read_table
 
