@@ -1187,3 +1187,79 @@ def test_count_min_stream_replay_does_not_double_count(spark, tmp_path):
         ).collect()
     }
     assert second == batch
+
+
+def test_dim_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """K3 at scale (VERDICT r3): the dim is pk-hash-bucketed and an upsert
+    must rewrite ONLY the buckets its pks land in — an untouched bucket's
+    files stay byte-identical, so per-batch write cost is bounded by
+    touched_buckets/n_buckets of the dim, not the whole table."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from gmall_flink_yb_spark.streaming.pipelines import upsert_dim_parquet
+
+    path = str(tmp_path / "dim_user")
+    rows1 = [Row(id=str(i), payload=f"v{i}") for i in range(40)]
+    upsert_dim_parquet(
+        spark, spark.createDataFrame(rows1), path, "id", n_buckets=8
+    )
+    buckets = sorted(
+        d for d in os.listdir(path) if d.startswith("_pk_bucket=")
+    )
+    assert len(buckets) > 1  # 40 pks spread over several buckets
+
+    def bucket_digest(b):
+        h = hashlib.sha256()
+        bdir = os.path.join(path, b)
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                h.update(f.encode())
+                h.update(open(os.path.join(bdir, f), "rb").read())
+        return h.hexdigest()
+
+    before = {b: bucket_digest(b) for b in buckets}
+
+    # update ONE pk -> exactly one bucket's files may change
+    upsert_dim_parquet(
+        spark,
+        spark.createDataFrame([Row(id="3", payload="v3-updated")]),
+        path,
+        "id",
+        n_buckets=8,
+    )
+    after = {b: bucket_digest(b) for b in buckets}
+    changed = [b for b in buckets if before[b] != after[b]]
+    assert len(changed) == 1  # the bucket pk "3" hashes into, nothing else
+
+    # merge semantics held: updated pk replaced, the other 39 intact
+    dim = spark.read.parquet(path)
+    got = {r["id"]: r["payload"] for r in dim.collect()}
+    assert got["3"] == "v3-updated"
+    assert len(got) == 40
+    assert got["5"] == "v5"
+
+
+def test_dim_upsert_migrates_legacy_flat_layout(spark, tmp_path):
+    """A dim written before bucketing (flat parquet dir) is migrated to the
+    bucketed layout on its first upsert, keeping every row."""
+    from pyspark.sql import Row
+
+    from gmall_flink_yb_spark.streaming.pipelines import upsert_dim_parquet
+
+    path = str(tmp_path / "dim_legacy")
+    spark.createDataFrame(
+        [Row(id="1", payload="a"), Row(id="2", payload="b")]
+    ).write.parquet(path)
+    upsert_dim_parquet(
+        spark,
+        spark.createDataFrame([Row(id="2", payload="b2")]),
+        path,
+        "id",
+        n_buckets=4,
+    )
+    assert any(d.startswith("_pk_bucket=") for d in os.listdir(path))
+    assert not any(f.endswith(".parquet") for f in os.listdir(path))
+    got = {r["id"]: r["payload"] for r in spark.read.parquet(path).collect()}
+    assert got == {"1": "a", "2": "b2"}
