@@ -1376,13 +1376,22 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
-    late = lo.filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    ).select("l_orderkey", "l_suppkey")
+    # persisted: ``late`` feeds BOTH the outer side and the anti side, and
+    # Catalyst's join reordering de-duplicates neither (verified: without
+    # this the li⋈orders join plans twice) — the same self-join persist
+    # discipline as the dedup family; released via release_cache
+    late = (
+        lo.filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     l1 = late.alias("l1")
     others = li.select("l_orderkey", "l_suppkey").alias("l2")
     late_others = late.alias("l3")
-    return (
+    return owns_cache(
         l1.join(
             others,
             (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
@@ -1398,7 +1407,8 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l1.l_suppkey").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_suppkey")
-        .limit(100)
+        .limit(100),
+        late,  # caller releases via cacheutil.release_cache
     )
 
 

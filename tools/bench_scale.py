@@ -70,6 +70,11 @@ FACT_QUERIES = [
     "returning_users_daily",
     "ts_motif_topk",
     "sax_motifs",
+    # round-4 semi/anti-join shapes (q17 correlated scalar, q20 semi-join
+    # chain, q21 exists/not-exists over one fact partitioning)
+    "q17_small_quantity_revenue",
+    "q20_excess_shipments_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 REPLICAS = 10  # overridable via --replicas
