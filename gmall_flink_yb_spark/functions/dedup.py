@@ -558,21 +558,66 @@ def incremental_lsh_dedup(
     ``dup_of`` = best match by (est desc, id asc), NULL when kept.
 
     Scale design (100 TB): the existing side's signatures/band buckets are
-    a precomputable index (at production scale: checkpointed once,
-    appended per batch — here rebuilt, same plan shape). The band join is
-    incoming-vs-all only — existing x existing pairs are never formed,
-    which is the entire point of incrementality. Doc ids must be globally
-    unique across both frames and incoming ids greater than existing ones
-    for the greedy order to mean "earlier wins".
+    a precomputable index — this wrapper REBUILDS it from the raw corpus
+    (same plan shape); callers that already hold the index (the streaming
+    ingest persists and appends it per batch) use
+    ``incremental_lsh_dedup_indexed`` directly, so per-batch cost tracks
+    batch size, never corpus size. The band join is incoming-vs-all only —
+    existing x existing pairs are never formed, which is the entire point
+    of incrementality. Doc ids must be globally unique across both frames
+    and incoming ids greater than existing ones for the greedy order to
+    mean "earlier wins".
     """
     rows_per_band = num_hashes // bands
     sx = minhash_signatures(
         existing, id_col, text_col, num_hashes, shingle_n, portable=portable
     )
+    bx = band_buckets(sx, bands, rows_per_band, portable)
+    verdicts, _bi = incremental_lsh_dedup_indexed(
+        bx,
+        incoming,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        portable=portable,
+        broadcast_incoming=broadcast_incoming,
+    )
+    return verdicts
+
+
+def incremental_lsh_dedup_indexed(
+    index_buckets: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+    broadcast_incoming: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Core of ``incremental_lsh_dedup`` against a PRECOMPUTED corpus
+    index: ``index_buckets`` is the (doc_id, sig, band, bucket) band-bucket
+    table of every already-admitted doc (exactly ``band_buckets`` output —
+    at production scale a checkpointed table appended per ingest, so
+    admitted documents' text is never re-shingled).
+
+    Returns (verdicts, incoming_buckets): the per-incoming-doc
+    (doc_id, keep, dup_of, est_jaccard) frame, and the incoming batch's
+    own band-bucket rows so the caller can append the KEPT docs' rows to
+    the index. incoming_buckets shares the persisted signature subtree
+    tagged on verdicts (release via ``cacheutil.release_cache`` after
+    both are materialized).
+    """
+    rows_per_band = num_hashes // bands
     si = minhash_signatures(
         incoming, id_col, text_col, num_hashes, shingle_n, portable=portable
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    bx = band_buckets(sx, bands, rows_per_band, portable).withColumn(
+    bx = index_buckets.select("doc_id", "sig", "band", "bucket").withColumn(
         "inc", F.lit(False)
     )
     bi = band_buckets(si, bands, rows_per_band, portable).withColumn(
@@ -626,7 +671,7 @@ def incremental_lsh_dedup(
         .select("doc_id", "m_id", "est")
     )
     ids = incoming.select(F.col(id_col).cast("long").alias("doc_id"))
-    return owns_cache(
+    verdicts = owns_cache(
         ids.join(best, "doc_id", "left").select(
             "doc_id",
             F.col("m_id").isNull().cast("int").alias("keep"),
@@ -635,6 +680,7 @@ def incremental_lsh_dedup(
         ),
         si,  # caller releases via cacheutil.release_cache
     )
+    return verdicts, bi.drop("inc")
 
 
 # ---------------------------------------------------------------------------

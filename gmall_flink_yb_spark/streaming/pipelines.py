@@ -512,6 +512,7 @@ def start_incremental_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    index_dir: str | None = None,
 ) -> StreamingQuery:
     """Admit new documents into a curated corpus, rejecting near-dups of
     anything already admitted (or of a smaller-id doc in the same batch).
@@ -523,63 +524,110 @@ def start_incremental_dedup_stream(
       batch never sees its own half-written previous attempt as "corpus"
       (which would reject every doc as a dup of itself).
 
-    At 100 TB the reference side's signatures/band buckets would be a
-    checkpointed index appended per batch (functions/dedup.
-    incremental_lsh_dedup docstring); the audit itself only ever joins
-    incoming x (corpus ∪ incoming) — corpus x corpus pairs are never
-    formed, so per-batch cost tracks batch size, not corpus size.
+    With ``index_dir`` set, the MinHash band-bucket index IS persisted and
+    appended per batch — the 100 TB design: each batch writes its KEPT
+    docs' (doc_id, sig, band, bucket) rows to
+    ``index_dir/ingest_batch=N`` (same batchId-keyed replay discipline),
+    and the audit joins the incoming batch against the stored index, so
+    admitted documents' text is NEVER re-shingled and per-batch cost
+    tracks batch size, not corpus size. Without it, the reference index is
+    rebuilt from the corpus text each batch (same plan shape, fine for
+    small corpora; parity between the two modes is pytest-asserted).
 
     Requires globally increasing doc ids across batches (ingest order =
     greedy keep order). Mirrors the reference's idempotent-sink discipline
     (BaseLogApp's batchId-keyed fanout above).
     """
-    from gmall_flink_yb_spark.functions.dedup import incremental_lsh_dedup
+    from gmall_flink_yb_spark.functions.cacheutil import release_cache
+    from gmall_flink_yb_spark.functions.dedup import (
+        incremental_lsh_dedup,
+        incremental_lsh_dedup_indexed,
+    )
+
+    def _read_ref(base_dir: str, batch_id: int, cols: list[str], empty_schema):
+        # ONLY "nothing written yet" (path-not-found) may fall back to an
+        # empty reference. Any other read error (transient FS fault,
+        # corrupt file) must fail the batch so the checkpoint retries it —
+        # swallowing it would silently admit near-dups of already-admitted
+        # docs.
+        try:
+            return (
+                spark.read.option("basePath", base_dir)
+                .parquet(base_dir)
+                .filter(F.col("ingest_batch") < batch_id)
+                .select(*cols)
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            return spark.createDataFrame([], empty_schema)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         incoming = batch_df.persist()
         try:
-            # ONLY "no corpus yet" (path-not-found) may fall back to an
-            # empty reference. Any other read error (transient FS fault,
-            # corrupt file) must fail the batch so the checkpoint retries
-            # it — swallowing it would silently admit near-dups of
-            # already-admitted docs.
-            try:
-                corpus = (
-                    spark.read.option("basePath", corpus_dir)
-                    .parquet(corpus_dir)
-                    .filter(F.col("ingest_batch") < batch_id)
-                    .select(id_col, text_col)
+            if index_dir is not None:
+                idx = _read_ref(
+                    index_dir,
+                    batch_id,
+                    ["doc_id", "sig", "band", "bucket"],
+                    "doc_id long, sig array<bigint>, band int, bucket string",
                 )
-            except AnalysisException as exc:
-                if "PATH_NOT_FOUND" not in str(exc):
-                    raise
-                corpus = spark.createDataFrame(
-                    [], incoming.select(id_col, text_col).schema
+                verdicts, inc_buckets = incremental_lsh_dedup_indexed(
+                    idx,
+                    incoming.select(id_col, text_col),
+                    id_col,
+                    text_col,
+                    threshold=threshold,
+                    broadcast_incoming=True,
                 )
-            verdicts = incremental_lsh_dedup(
-                corpus,
-                incoming.select(id_col, text_col),
-                id_col,
-                text_col,
-                threshold=threshold,
-                # micro-batch contract holds on this path: batches are
-                # trigger-bounded, so shipping their band buckets to the
-                # corpus index is the right plan
-                broadcast_incoming=True,
-            )
+            else:
+                corpus = _read_ref(
+                    corpus_dir,
+                    batch_id,
+                    [id_col, text_col],
+                    incoming.select(id_col, text_col).schema,
+                )
+                verdicts = incremental_lsh_dedup(
+                    corpus,
+                    incoming.select(id_col, text_col),
+                    id_col,
+                    text_col,
+                    threshold=threshold,
+                    # micro-batch contract holds on this path: batches are
+                    # trigger-bounded, so shipping their band buckets to
+                    # the corpus index is the right plan
+                    broadcast_incoming=True,
+                )
+                inc_buckets = None
             # verdicts schema is (doc_id, keep int, dup_of, est_jaccard)
             # regardless of id_col (ids are cast to long inside the audit)
+            kept_ids = verdicts.filter(F.col("keep") == 1).select(
+                F.col("doc_id").alias("_keep_id")
+            )
             kept = incoming.join(
-                verdicts.filter(F.col("keep") == 1).select(
-                    F.col("doc_id").alias("_keep_id")
-                ),
+                kept_ids,
                 F.col(id_col).cast("long") == F.col("_keep_id"),
             ).drop("_keep_id")
             kept.write.mode("overwrite").parquet(
                 os.path.join(corpus_dir, f"ingest_batch={batch_id}")
             )
+            if inc_buckets is not None:
+                # append ONLY kept docs' band rows: rejected docs are not
+                # part of the future reference
+                (
+                    inc_buckets.join(
+                        kept_ids,
+                        F.col("doc_id") == F.col("_keep_id"),
+                        "left_semi",
+                    )
+                    .write.mode("overwrite")
+                    .parquet(
+                        os.path.join(index_dir, f"ingest_batch={batch_id}")
+                    )
+                )
+            release_cache(verdicts)  # the batch's signature subtree
         finally:
             incoming.unpersist()
 

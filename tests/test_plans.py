@@ -134,13 +134,18 @@ def test_chunk_dedup_two_exchanges(spark, sf_dir):
 
 def test_semantic_dedup_assignment_is_narrow(spark, sf_dir):
     """SemDeDup's nearest-centroid assignment must be a column expression,
-    not a join: the only exchanges are the cluster-id grouping for the pair
-    GEMM and the dup-verdict join back."""
+    not a join: the exchanges are the cluster-size aggregate (bounded at
+    n_clusters rows, broadcast back), the (cluster, block-pair) grouping
+    for the GEMM, and the dup-verdict join back — never a shuffle against
+    a centroid table."""
     from gmall_flink_yb_spark.queries import q_semantic_dedup
 
     df = q_semantic_dedup(spark, sf_dir)
     # no join against a centroid table — the codebook is plan literals
-    assert num_exchanges(df) <= 3, num_exchanges(df)
+    assert num_exchanges(df) <= 5, num_exchanges(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the size table rides a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
 
 
 def test_quality_classifier_zero_exchanges(spark, sf_dir):

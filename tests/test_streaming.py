@@ -1263,3 +1263,185 @@ def test_dim_upsert_migrates_legacy_flat_layout(spark, tmp_path):
     assert not any(f.endswith(".parquet") for f in os.listdir(path))
     got = {r["id"]: r["payload"] for r in spark.read.parquet(path).collect()}
     assert got == {"1": "a", "2": "b2"}
+
+
+def _stage_doc_batches(spark, tmp_path, name, batches):
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / name
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"{name}_stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(stage / part[0], src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    return str(src), schema
+
+
+_INGEST_B1 = [
+    (1, "the quick brown fox jumps over the lazy dog again and again "
+        "while the farmer watches from the old wooden fence nearby"),
+    (2, "completely different content about distributed query engines "
+        "and columnar storage formats for large scale analytics"),
+]
+_INGEST_B2 = [
+    (3, "the quick brown fox jumps over the lazy dog again and again "
+        "while the farmer watches from the old wooden fence nearby extra"),
+    (4, "a third totally unrelated piece of text about sailing ships "
+        "crossing the atlantic with cargo and passengers aboard"),
+    (5, "a third totally unrelated piece of text about sailing ships "
+        "crossing the atlantic with cargo and passengers onboard"),
+]
+_INGEST_B3 = [
+    (6, "completely different content about distributed query engines "
+        "and columnar storage formats for small scale analytics"),
+    (7, "yet another fresh document on gardening tips for growing "
+        "tomatoes and cucumbers in a northern climate greenhouse"),
+]
+
+
+def test_incremental_dedup_stream_with_persisted_index(spark, tmp_path):
+    """The 100 TB ingest shape: the MinHash band-bucket index is persisted
+    per batch and the audit reads IT, not the corpus text. Admissions must
+    be identical to the rebuild-from-text mode on the same batches, and
+    the index must hold exactly the admitted docs' band rows."""
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_file_stream,
+        start_incremental_dedup_stream,
+    )
+
+    batches = [_INGEST_B1, _INGEST_B2, _INGEST_B3]
+    src_a, schema = _stage_doc_batches(spark, tmp_path, "in_a", batches)
+    src_b, _ = _stage_doc_batches(spark, tmp_path, "in_b", batches)
+
+    # mode A: rebuild-from-text (round-3 behavior)
+    q = start_incremental_dedup_stream(
+        spark,
+        read_file_stream(spark, src_a, schema, max_files_per_trigger=1,
+                         glob="*.parquet"),
+        str(tmp_path / "corpus_a"),
+        str(tmp_path / "ckpt_a"),
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+    # mode B: persisted index
+    q = start_incremental_dedup_stream(
+        spark,
+        read_file_stream(spark, src_b, schema, max_files_per_trigger=1,
+                         glob="*.parquet"),
+        str(tmp_path / "corpus_b"),
+        str(tmp_path / "ckpt_b"),
+        threshold=0.5,
+        index_dir=str(tmp_path / "index_b"),
+    )
+    q.awaitTermination(180)
+
+    admitted_a = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus_a")).collect()
+    )
+    admitted_b = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus_b")).collect()
+    )
+    assert admitted_b == admitted_a == [1, 2, 4, 7]  # 3,5 dups; 6 near-dups 2
+
+    idx = spark.read.parquet(str(tmp_path / "index_b"))
+    # index holds band rows for exactly the admitted docs, batch-keyed
+    assert sorted(
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 4, 7]
+    assert sorted(
+        r["ingest_batch"]
+        for r in idx.select("ingest_batch").distinct().collect()
+    ) == [0, 1, 2]
+    # 8 bands per admitted doc (the stream's num_hashes=32 / bands=8 default)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in idx.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_doc.values()) == {8}
+
+
+def test_indexed_ingest_never_rereads_corpus_text(spark, tmp_path):
+    """The point of the persisted index: after a corpus exists, further
+    batches audit WITHOUT the admitted docs\' text. Proven by replacing the
+    corpus partitions with text-free stubs between micro-batch runs (same
+    checkpoint, new file arrives) — the indexed ingest still rejects the
+    cross-batch near-dup; the rebuild mode could not have (its reference
+    text is gone)."""
+    import shutil
+
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_file_stream,
+        start_incremental_dedup_stream,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def add_file(i, rows):
+        stage = tmp_path / f"stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(stage / part[0], src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+
+    corpus = tmp_path / "corpus"
+    index = tmp_path / "index"
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        q = start_incremental_dedup_stream(
+            spark,
+            read_file_stream(spark, str(src), schema, max_files_per_trigger=1,
+                             glob="*.parquet"),
+            str(corpus),
+            ckpt,
+            threshold=0.5,
+            index_dir=str(index),
+        )
+        q.awaitTermination(180)
+
+    add_file(0, _INGEST_B1)
+    run()
+
+    # blank out the admitted text (keep ids + layout): the index alone
+    # must carry the reference signal from here on
+    for bdir in corpus.iterdir():
+        if not bdir.name.startswith("ingest_batch="):
+            continue
+        blanked = spark.read.parquet(str(bdir)).select(
+            "doc_id", F.lit("").alias("text")
+        )
+        tmp_out = tmp_path / f"_blank_{bdir.name}"
+        blanked.coalesce(1).write.mode("overwrite").parquet(str(tmp_out))
+        shutil.rmtree(str(bdir))
+        os.rename(str(tmp_out), str(bdir))
+
+    add_file(1, _INGEST_B2)
+    run()  # same checkpoint: only the new file processes, as batch 1
+    admitted = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(corpus))
+        .filter(F.col("ingest_batch") >= 1)
+        .collect()
+    )
+    # doc 3 (near-dup of admitted doc 1) rejected via the index alone;
+    # doc 5 rejected as the in-batch dup of 4
+    assert admitted == [4]
