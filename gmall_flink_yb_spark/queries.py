@@ -1238,6 +1238,142 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — share-of-total with the nation dim in TWO roles: within
+    one region's customer market, the fraction of yearly revenue delivered
+    by suppliers of one nation. Scale shape: lineitem x orders is the only
+    fact shuffle; customer->nation->region (market filter) and
+    supplier->nation (share numerator) are both broadcast chains; the
+    share division happens on the year-cardinality aggregate. Numerator
+    and denominator are exact DECIMAL sums divided once in double —
+    bit-stable across engines (Q22 discipline)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    market_cust = (
+        cust.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    target_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_nationkey") == 0)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("_tsk"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC6)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(market_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(target_supp),
+            F.col("l_suppkey") == F.col("_tsk"),
+            "left",
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("_tsk").isNotNull(), rev)).alias("_num"),
+            F.sum(rev).alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_Q8_MARKET_SHARE = """
+WITH market AS (
+  SELECT c_custkey
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), tsupp AS (
+  SELECT s_suppkey AS _tsk FROM supplier WHERE s_nationkey = 0
+)
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(SUM(CASE WHEN _tsk IS NOT NULL THEN
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+             END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN market ON o_custkey = c_custkey
+LEFT JOIN tsupp ON l_suppkey = _tsk
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — computed profit across fact and dim columns, two-level
+    rollup (supplier nation x order year). No partsupp table in this
+    schema, so unit cost is the part's retail price at a fixed margin
+    (0.6 * p_retailprice), keeping Q9's structure: profit = revenue -
+    cost*qty needs columns from lineitem AND part in one expression.
+    Scale shape: part and the supplier->nation chain broadcast; the only
+    fact shuffles are lineitem x orders and the final (nation, year)
+    aggregate. Exact DECIMAL profit, cast double only for display."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC6)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_Q9_PRODUCT_PROFIT = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
 def q_q17_small_quantity_revenue(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4724,6 +4860,8 @@ QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": q_q7_volume_shipping,
     "q10_returned_items": q_q10_returned_items,
     "q13_order_distribution": q_q13_order_distribution,
+    "q8_market_share": q_q8_market_share,
+    "q9_product_profit": q_q9_product_profit,
     "q15_top_supplier": q_q15_top_supplier,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_discount_revenue": q_q19_discount_revenue,
@@ -4834,6 +4972,8 @@ ORACLES: dict[str, str] = {
     "q7_volume_shipping": SQL_Q7_VOLUME_SHIPPING,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "q13_order_distribution": SQL_Q13_ORDER_DISTRIBUTION,
+    "q8_market_share": SQL_Q8_MARKET_SHARE,
+    "q9_product_profit": SQL_Q9_PRODUCT_PROFIT,
     "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_discount_revenue": SQL_Q19_DISCOUNT_REVENUE,
