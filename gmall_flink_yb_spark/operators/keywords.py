@@ -138,6 +138,7 @@ def keyword_window_counts(
     pattern: str = DEFAULT_TOKEN_PATTERN,
     min_token_len: int = 1,
     min_count: int = 1,
+    tokenizer=None,
 ) -> DataFrame:
     """Windowed keyword counts — the reference's intended DWS keyword
     analytics (ikanalyzer dep + SEARCH/CLICK/CART/ORDER constants,
@@ -149,11 +150,20 @@ def keyword_window_counts(
     in batch the same expression is a plain window group-by. The shuffle
     carries (window, token) partial counts — vocabulary-sized per window,
     never the token stream itself.
+
+    ``tokenizer``: same pluggable slot as ``keyword_counts`` (e.g. the
+    bundled FMM segmenter) — Arrow-batched pandas UDFs run fine inside a
+    streaming micro-batch, parity-tested in tests/test_streaming.py.
     """
     src = df.withWatermark(ts_col, watermark) if watermark else df
+    tok_col = (
+        tokenizer(F.col(text_col))
+        if tokenizer is not None
+        else tokenize(F.col(text_col), pattern)
+    )
     toks = src.select(
         F.col(ts_col),
-        F.explode(tokenize(F.col(text_col), pattern)).alias("token"),
+        F.explode(tok_col).alias("token"),
     ).filter(F.length("token") >= min_token_len)
     return (
         toks.groupBy(

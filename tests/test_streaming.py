@@ -1445,3 +1445,58 @@ def test_indexed_ingest_never_rereads_corpus_text(spark, tmp_path):
     # doc 3 (near-dup of admitted doc 1) rejected via the index alone;
     # doc 5 rejected as the in-batch dup of 4
     assert admitted == [4]
+
+
+def test_keyword_zh_segmenter_stream_matches_batch(spark, tmp_path):
+    """The bundled FMM segmenter (an Arrow-batched pandas UDF) through the
+    SAME keyword_window_counts code path under readStream: streamed
+    windowed token counts over unsegmented Chinese text must equal the
+    batch answer — the real-segmentation analogue of the regex keyword
+    parity test."""
+    from gmall_flink_yb_spark.operators.keywords import (
+        keyword_window_counts,
+        make_fmm_segmenter_udf,
+    )
+
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("txt", StringType())]
+    )
+    rows = [
+        (_ts(100.0), "手机壳苹果"),
+        (_ts(200.0), "苹果电脑华为"),
+        (_ts(4000.0), "买手机壳了"),       # second hour window
+        (_ts(4100.0), "小米手机耳机"),
+    ]
+    src = tmp_path / "zh_src"
+    src.mkdir()
+    for i, r in enumerate(rows):
+        stage = tmp_path / f"zh_stage_{i}"
+        spark.createDataFrame([r], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(stage / part[0], src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet",
+                 (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    seg = make_fmm_segmenter_udf()
+    stream = read_file_stream(
+        spark, str(src), schema, max_files_per_trigger=2, glob="*.parquet"
+    )
+    got = _run_to_memory(
+        keyword_window_counts(
+            stream, "txt", "ts", "1 hour", watermark="1 minute",
+            tokenizer=seg,
+        ),
+        spark,
+        "kw_zh_s",
+        mode="complete",
+    )
+    batch = spark.createDataFrame(rows, schema)
+    expect = keyword_window_counts(batch, "txt", "ts", "1 hour", tokenizer=seg)
+    key = ["window_start", "token"]
+    g = {tuple(r[k] for k in key): r["token_count"] for r in got.collect()}
+    e = {tuple(r[k] for k in key): r["token_count"] for r in expect.collect()}
+    assert g == e
+    # segmentation really happened: multi-char dictionary words counted
+    assert sum(n for (_, tok), n in e.items() if tok == "手机壳") == 2
