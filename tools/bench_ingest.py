@@ -1,0 +1,126 @@
+"""Per-batch cost of streaming corpus ingestion: persisted MinHash index
+vs rebuild-from-text, as the admitted corpus grows.
+
+The claim under test (streaming/pipelines.py::start_incremental_dedup_stream):
+with ``index_dir`` set, per-batch audit cost tracks BATCH size because the
+corpus side is a precomputed band-bucket table appended per batch; without
+it, every batch re-shingles and re-minhashes the WHOLE admitted corpus, so
+per-batch cost grows linearly with corpus size. This harness ingests N
+equal batches (salted replicas of the sf documents table — cross-batch
+shingle sets are disjoint, so nearly everything is admitted and the corpus
+grows by one batch per step) one micro-batch at a time, wall-clocking each
+batch under both modes.
+
+Run:  python tools/bench_ingest.py [--batches N] [--sf-dir DIR]
+Prints one JSON line:
+  {"batch_rows": R, "batches": N,
+   "indexed": [t0..tN-1], "rebuild": [t0..tN-1]}
+Expected shape: "indexed" stays ~flat; "rebuild" grows with batch number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gmall_flink_yb_spark.session import get_spark
+from gmall_flink_yb_spark.sources.readers import read_table
+
+ID_STRIDE = 1_000_000_000
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/spark_graft_ingest")
+    args = ap.parse_args()
+
+    spark = get_spark("bench-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_file_stream,
+        start_incremental_dedup_stream,
+    )
+
+    shutil.rmtree(args.out, ignore_errors=True)
+    base = read_table(spark, args.sf_dir, "documents").select("doc_id", "text")
+    n_rows = base.count()
+
+    # batch r = replica r: ids offset by r*stride (globally increasing),
+    # words suffixed per replica so cross-batch shingles are disjoint —
+    # nearly every doc is admitted and the corpus grows linearly
+    stage_root = os.path.join(args.out, "batches")
+    os.makedirs(stage_root)
+    files = []
+    for r in range(args.batches):
+        rep = base.select(
+            (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+            F.regexp_replace("text", r"([a-zA-Z0-9]+)", f"$1s{r}").alias(
+                "text"
+            ),
+        )
+        stage = os.path.join(args.out, f"stage_{r}")
+        rep.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        dst = os.path.join(stage_root, f"{r:02d}.parquet")
+        os.rename(os.path.join(stage, part[0]), dst)
+        files.append(dst)
+        # hide future batches from the stream until their turn
+        os.rename(dst, dst + ".hidden")
+
+    results: dict[str, list[float]] = {}
+    schema = "doc_id long, text string"
+    for mode in ("indexed", "rebuild"):
+        mdir = os.path.join(args.out, mode)
+        corpus, ckpt = os.path.join(mdir, "corpus"), os.path.join(mdir, "ck")
+        index = os.path.join(mdir, "index") if mode == "indexed" else None
+        times = []
+        for r in range(args.batches):
+            src = files[r]
+            os.rename(src + ".hidden", src)
+            os.utime(src, (1_700_000_000 + r * 10,) * 2)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            q = start_incremental_dedup_stream(
+                spark,
+                read_file_stream(
+                    spark, stage_root, schema, max_files_per_trigger=1,
+                    glob="*.parquet",
+                ),
+                corpus,
+                ckpt,
+                threshold=0.5,
+                index_dir=index,
+            )
+            q.awaitTermination(600)
+            times.append(round(time.time() - t0, 2))
+            print(f"# {mode} batch {r}: {times[-1]:.2f}s", file=sys.stderr)
+        results[mode] = times
+        for f in files:  # re-hide for the next mode
+            if os.path.exists(f):
+                os.rename(f, f + ".hidden")
+
+    print(
+        json.dumps(
+            {
+                "batch_rows": n_rows,
+                "batches": args.batches,
+                **results,
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(args.out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
