@@ -603,31 +603,41 @@ def start_incremental_dedup_stream(
                 inc_buckets = None
             # verdicts schema is (doc_id, keep int, dup_of, est_jaccard)
             # regardless of id_col (ids are cast to long inside the audit)
-            kept_ids = verdicts.filter(F.col("keep") == 1).select(
-                F.col("doc_id").alias("_keep_id")
+            # persisted: kept_ids feeds TWO actions in indexed mode (the
+            # corpus write and the index write) — without this the whole
+            # band-join + window verdict subtree executes twice per batch
+            kept_ids = (
+                verdicts.filter(F.col("keep") == 1)
+                .select(F.col("doc_id").alias("_keep_id"))
+                .persist()
             )
-            kept = incoming.join(
-                kept_ids,
-                F.col(id_col).cast("long") == F.col("_keep_id"),
-            ).drop("_keep_id")
-            kept.write.mode("overwrite").parquet(
-                os.path.join(corpus_dir, f"ingest_batch={batch_id}")
-            )
-            if inc_buckets is not None:
-                # append ONLY kept docs' band rows: rejected docs are not
-                # part of the future reference
-                (
-                    inc_buckets.join(
-                        kept_ids,
-                        F.col("doc_id") == F.col("_keep_id"),
-                        "left_semi",
-                    )
-                    .write.mode("overwrite")
-                    .parquet(
-                        os.path.join(index_dir, f"ingest_batch={batch_id}")
-                    )
+            try:
+                kept = incoming.join(
+                    kept_ids,
+                    F.col(id_col).cast("long") == F.col("_keep_id"),
+                ).drop("_keep_id")
+                kept.write.mode("overwrite").parquet(
+                    os.path.join(corpus_dir, f"ingest_batch={batch_id}")
                 )
-            release_cache(verdicts)  # the batch's signature subtree
+                if inc_buckets is not None:
+                    # append ONLY kept docs' band rows: rejected docs are
+                    # not part of the future reference
+                    (
+                        inc_buckets.join(
+                            kept_ids,
+                            F.col("doc_id") == F.col("_keep_id"),
+                            "left_semi",
+                        )
+                        .write.mode("overwrite")
+                        .parquet(
+                            os.path.join(
+                                index_dir, f"ingest_batch={batch_id}"
+                            )
+                        )
+                    )
+            finally:
+                kept_ids.unpersist()
+                release_cache(verdicts)  # the batch's signature subtree
         finally:
             incoming.unpersist()
 

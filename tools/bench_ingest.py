@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/spark_graft_ingest")
+    ap.add_argument(
+        "--batch-rows", type=int, default=None,
+        help="docs per batch (default: the whole documents table per "
+        "batch); smaller batches raise the corpus-to-batch ratio, which "
+        "is what separates the two modes",
+    )
     args = ap.parse_args()
 
     spark = get_spark("bench-ingest")
@@ -53,6 +59,8 @@ def main() -> None:
 
     shutil.rmtree(args.out, ignore_errors=True)
     base = read_table(spark, args.sf_dir, "documents").select("doc_id", "text")
+    if args.batch_rows:
+        base = base.filter(F.col("doc_id") < args.batch_rows)
     n_rows = base.count()
 
     # batch r = replica r: ids offset by r*stride (globally increasing),
