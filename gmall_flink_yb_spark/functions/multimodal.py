@@ -79,6 +79,41 @@ def synthesize_media(
     )
 
 
+def decode_media_headers_sql(df: DataFrame) -> DataFrame:
+    """Metadata-only decode as pure column expressions — zero Python workers.
+
+    At 100 TB the dominant media workload is metadata scans (routing,
+    size/shape filters, corpus stats) that never need the payload decoded;
+    paying the Arrow round-trip into Python for a fixed-offset header parse
+    wastes the cluster. This path stays entirely inside whole-stage
+    codegen: magic check + big-endian uint16 extraction via
+    substring/hex/conv on the binary column. Output matches
+    ``decode_media(use_real_codecs=False)`` row for row (parity and the
+    no-Python-node plan shape are both pytest-asserted), including the
+    zeroed-metadata-kept-row contract for undecodable payloads.
+    """
+    content = F.col("content")
+    ok = (F.length(content) >= HEADER_LEN) & (
+        F.substring(content, 1, 4) == F.lit(FAKE_MAGIC)
+    )
+
+    def be16(pos: int):  # big-endian uint16 at 1-based byte offset
+        return F.conv(F.hex(F.substring(content, pos, 2)), 16, 10).cast(
+            "int"
+        )
+
+    return df.select(
+        "media_id",
+        "media_type",
+        "content",
+        F.when(ok, be16(5)).otherwise(0).alias("width"),
+        F.when(ok, be16(7)).otherwise(0).alias("height"),
+        F.greatest(F.length(content) - HEADER_LEN, F.lit(0))
+        .cast("long")
+        .alias("body_bytes"),
+    )
+
+
 def _require_pillow() -> None:
     """Probe the codec dependency at PLAN time (driver) so a missing
     library is a clear error, not a per-task executor traceback."""

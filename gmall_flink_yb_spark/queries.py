@@ -45,6 +45,7 @@ from gmall_flink_yb_spark.functions.similarity import (
 )
 from gmall_flink_yb_spark.functions.multimodal import (
     decode_media,
+    decode_media_headers_sql,
     extract_features,
     sample_frames,
     synthesize_media,
@@ -679,6 +680,66 @@ SELECT n_name, order_month,
        CAST(SUM(rev) OVER (PARTITION BY n_name ORDER BY order_month
                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
            AS running_revenue
+FROM daily
+"""
+
+
+def q_revenue_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue via a RANGE interval frame — the frame shape
+    `running_revenue`'s ROWS frame can't express: with gaps in the date
+    axis, RANGE over a day number bounds the window by TIME, not by row
+    count, so a segment with missing days still averages over exactly 7
+    calendar days. Scale shape: pre-aggregate to (segment, day) FIRST —
+    the window then runs over day-level rows (thousands per partition,
+    not millions), partitioned by mktsegment so no single-task global
+    sort. The frame key is an epoch day number (exact integer arithmetic
+    in both engines)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_mktsegment",
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias(
+                "day_num"
+            ),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("_rev"))
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.date_format(
+            F.date_add(F.lit("1970-01-01"), F.col("day_num")), "yyyy-MM-dd"
+        ).alias("d"),
+        F.col("_rev").cast("double").alias("day_revenue"),
+        F.sum("_rev").over(w).cast("double").alias("trailing_7d_revenue"),
+    )
+
+
+SQL_REVENUE_TRAILING_7D = """
+WITH daily AS (
+  SELECT c_mktsegment AS mktsegment,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day_num,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT mktsegment,
+       strftime(DATE '1970-01-01' + INTERVAL (day_num) DAY, '%Y-%m-%d')
+           AS d,
+       CAST(rev AS DOUBLE) AS day_revenue,
+       CAST(SUM(rev) OVER (PARTITION BY mktsegment ORDER BY day_num
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_7d_revenue
 FROM daily
 """
 
@@ -1564,6 +1625,263 @@ WHERE EXISTS (SELECT 1 FROM lineitem l2
                   WHERE l3.l_orderkey = l1.l_orderkey
                     AND l3.l_suppkey <> l1.l_suppkey)
 GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 100
+"""
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — correlated MIN subquery over a snowflake chain (TPC-H Q2
+    re-based: no partsupp table here, so "supply cost" is the minimum
+    observed line price a supplier ever charged for the part): for
+    STANDARD parts of size < 10, the EUROPE supplier(s) whose observed
+    price for that part equals the part's minimum across EUROPE. Scale
+    shape: region->nation->supplier is a broadcast chain; the part filter
+    broadcasts into the fact scan, so the (part, supplier) cost aggregate
+    runs over the filtered slice only; the per-part MIN is
+    part-cardinality and broadcasts back for the correlate — lineitem
+    shuffles once, on (partkey, suppkey). Cost equality compares raw
+    stored l_extendedprice values (no derived arithmetic), so the
+    correlated equality is exact in both engines. Ordering is totalized
+    by (s_acctbal DESC, p_partkey, s_suppkey) — (part, supp) is unique —
+    so LIMIT 100 is deterministic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu_supp = (
+        supp.join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg.select("r_regionkey")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(eu_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            "s_acctbal", "n_name",
+        )
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    min_cost = cost.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("_min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("supply_cost") == F.col("_min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "s_suppkey", "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+SQL_Q2_MIN_COST_SUPPLIER = """
+WITH cost AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(l_extendedprice) AS supply_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND p_size < 10 AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+       supply_cost
+FROM cost c
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM cost m
+                     WHERE m.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100
+"""
+
+
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — HAVING against a global scalar subquery (TPC-H Q11
+    re-based from partsupp onto shipped revenue): parts whose revenue from
+    NATION_3 suppliers exceeds 0.1% of that nation-slice's total. Scale
+    shape: the nation's supplier keys broadcast into the fact scan; the
+    per-part aggregate shuffles partkeys once; the grand total is a 1-row
+    aggregate of the per-part frame that broadcasts back via crossJoin —
+    no second pass over lineitem. Both engines derive value and total from
+    the same exact-DECIMAL sums cast to double, and the 0.001 multiplier
+    is IEEE-exact on both, so the threshold comparison is deterministic.
+    Output order totalized by (value DESC, partkey)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 3
+    )
+    value = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast(DEC6)
+            ).cast("double").alias("value")
+        )
+        # value feeds both the grand total and the output filter; persist
+        # so lineitem is scanned once (same discipline as q21's late set)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = value.agg(
+        F.sum(F.col("value")).alias("_total")
+    )
+    return owns_cache(
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_total") * 0.001)
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey"),
+        value,  # caller releases via cacheutil.release_cache
+    )
+
+
+SQL_Q11_IMPORTANT_PARTS = """
+WITH value AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 3
+  GROUP BY 1
+)
+SELECT l_partkey, value
+FROM value
+WHERE value > (SELECT SUM(value) FROM value) * 0.001
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q_q12_late_priority_lines(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q12 shape — conditional two-way CASE aggregation over a fact-fact
+    join (TPC-H Q12 re-based: no l_shipmode column, so the grouping axis
+    is l_returnflag and "late receipt" is shipping > 60 days after the
+    order date): per return flag, how many late lines belong to
+    high-priority (1-URGENT / 2-HIGH) vs lower-priority orders. Scale
+    shape: lineitem ⋈ orders is the one shuffle (orderkey-bucketed tables
+    make it exchange-free — functions/bucketing.py); the CASE counters
+    are map-side partial aggregates into a 3-row result. Counts are exact
+    integers — no FP in the output."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("l_shipdate").isNotNull()
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_Q12_LATE_PRIORITY_LINES = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate IS NOT NULL
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_q16_supplier_part_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q16 shape — COUNT(DISTINCT) per attribute group with a NOT IN
+    exclusion (TPC-H Q16 re-based from partsupp onto observed shipping
+    pairs; the "complaints" exclusion becomes negative-balance
+    suppliers): for non-PROMO parts of selected sizes, how many distinct
+    suppliers (excluding s_acctbal < 0) have shipped each
+    (brand, type, size). Scale shape: the part filter broadcasts into the
+    fact scan; the excluded-supplier list is dim-sized and broadcasts as
+    a null-safe anti-join (Spark plans NOT IN on a non-null key as
+    BroadcastHashJoin LeftAnti); distinct (part, supp) pairs shuffle
+    once, then the count-distinct re-aggregates onto the small
+    (brand, type, size) group space. Output order totalized by all four
+    columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)
+    )
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(
+                part.select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_Q16_SUPPLIER_PART_DISTRIBUTION = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 # ---------------------------------------------------------------------------
@@ -3067,6 +3385,37 @@ SELECT doc_id AS media_id,
        CAST(64 + (doc_id % 24) * 16 AS INTEGER) AS height,
        CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
 FROM documents
+"""
+
+
+def q_multimodal_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media scan, zero Python workers: the header parse is
+    pure codegen'd column expressions (functions/multimodal.py::
+    decode_media_headers_sql), so unlike `multimodal_decode` the plan has
+    no Arrow/pandas stage at all — the shape a 100 TB routing/stats pass
+    over a media corpus should take when it never touches payload bytes.
+    Plan-asserted Python-free in tests/test_multimodal.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        decode_media_headers_sql(synthesize_media(docs))
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum("body_bytes").cast("long").alias("sum_body_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+SQL_MULTIMODAL_HEADER_SCAN = """
+SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(64 + (doc_id % 32) * 16) AS BIGINT) AS sum_width,
+       CAST(SUM(64 + (doc_id % 24) * 16) AS BIGINT) AS sum_height,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_body_bytes
+FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
@@ -4867,6 +5216,12 @@ QUERIES: dict[str, QueryFn] = {
     "q19_discount_revenue": q_q19_discount_revenue,
     "q20_excess_shipments_suppliers": q_q20_excess_shipments_suppliers,
     "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q11_important_parts": q_q11_important_parts,
+    "q12_late_priority_lines": q_q12_late_priority_lines,
+    "q16_supplier_part_distribution": q_q16_supplier_part_distribution,
+    "multimodal_header_scan": q_multimodal_header_scan,
+    "revenue_trailing_7d": q_revenue_trailing_7d,
     "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
     "unigram_lm": q_unigram_lm,
     "source_overlap": q_source_overlap,
@@ -4979,6 +5334,12 @@ ORACLES: dict[str, str] = {
     "q19_discount_revenue": SQL_Q19_DISCOUNT_REVENUE,
     "q20_excess_shipments_suppliers": SQL_Q20_EXCESS_SHIPMENTS_SUPPLIERS,
     "q21_waiting_suppliers": SQL_Q21_WAITING_SUPPLIERS,
+    "q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
+    "q11_important_parts": SQL_Q11_IMPORTANT_PARTS,
+    "q12_late_priority_lines": SQL_Q12_LATE_PRIORITY_LINES,
+    "q16_supplier_part_distribution": SQL_Q16_SUPPLIER_PART_DISTRIBUTION,
+    "multimodal_header_scan": SQL_MULTIMODAL_HEADER_SCAN,
+    "revenue_trailing_7d": SQL_REVENUE_TRAILING_7D,
     "q22_global_sales_opportunity": SQL_Q22_GLOBAL_SALES_OPPORTUNITY,
     "unigram_lm": SQL_UNIGRAM_LM,
     "source_overlap": SQL_SOURCE_OVERLAP,
@@ -5022,11 +5383,23 @@ _R03_DRIVER_CHECKED = {
     "uv_daily", "value_percentiles",
 }
 
+# Brand-new this round (no driver row AND no vanilla-run history yet):
+# ahead of even the rotated unchecked block so they cannot miss the gate.
+_NEW_R04 = {
+    "q2_min_cost_supplier", "q11_important_parts",
+    "q12_late_priority_lines", "q16_supplier_part_distribution",
+    "multimodal_header_scan", "revenue_trailing_7d",
+}
+
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k not in _R03_DRIVER_CHECKED},
+    **{k: v for k, v in QUERIES.items() if k in _NEW_R04},
+    **{k: v for k, v in QUERIES.items()
+       if k not in _R03_DRIVER_CHECKED and k not in _NEW_R04},
     **{k: v for k, v in QUERIES.items() if k in _R03_DRIVER_CHECKED},
 }
 ORACLES = {
-    **{k: v for k, v in ORACLES.items() if k not in _R03_DRIVER_CHECKED},
+    **{k: v for k, v in ORACLES.items() if k in _NEW_R04},
+    **{k: v for k, v in ORACLES.items()
+       if k not in _R03_DRIVER_CHECKED and k not in _NEW_R04},
     **{k: v for k, v in ORACLES.items() if k in _R03_DRIVER_CHECKED},
 }

@@ -12,11 +12,13 @@ from gmall_flink_yb_spark.functions.multimodal import (
     FAKE_MAGIC,
     HEADER_LEN,
     decode_media,
+    decode_media_headers_sql,
     extract_features,
     resize_images,
     sample_frames,
     synthesize_media,
 )
+from gmall_flink_yb_spark.plans.inspect import _simple_plan
 from gmall_flink_yb_spark.functions.similarity import cosine_near_dup_pairs
 
 
@@ -60,6 +62,37 @@ def test_decode_media(media):
     )
     got = decode_media(corrupt).first()
     assert got["width"] == 0 and got["height"] == 0
+
+
+def test_header_scan_matches_pandas_decode(media):
+    """The JVM-only header parse must agree with the mapInPandas decode
+    row for row — including the corrupt-payload zeroed-metadata rows —
+    and its plan must contain NO Python stage of any kind (the whole
+    point: metadata scans shouldn't fork Python workers)."""
+    corrupt = media.sparkSession.createDataFrame(
+        [(99, "image", bytearray(b"notmagic")), (98, "audio", bytearray(b""))],
+        "media_id long, media_type string, content binary",
+    )
+    inp = media.union(corrupt)
+    cols = ["media_id", "media_type", "width", "height", "body_bytes"]
+    via_sql = {
+        r["media_id"]: tuple(r[c] for c in cols)
+        for r in decode_media_headers_sql(inp).collect()
+    }
+    via_pandas = {
+        r["media_id"]: tuple(r[c] for c in cols)
+        for r in decode_media(inp).collect()
+    }
+    assert via_sql == via_pandas
+
+    plan = _simple_plan(decode_media_headers_sql(inp))
+    for node in (
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "BatchEvalPython",
+    ):
+        assert node not in plan, f"header scan forked Python: {node}"
 
 
 def test_real_codec_missing_dep_raises_clearly(media):

@@ -75,6 +75,13 @@ FACT_QUERIES = [
     "q17_small_quantity_revenue",
     "q20_excess_shipments_suppliers",
     "q21_waiting_suppliers",
+    # round-4 late additions (q2 correlated MIN over the snowflake chain,
+    # q11 global-scalar HAVING, q12 CASE aggregation, q16 count-distinct
+    # with a NOT IN exclusion)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_priority_lines",
+    "q16_supplier_part_distribution",
 ]
 
 REPLICAS = 10  # overridable via --replicas
