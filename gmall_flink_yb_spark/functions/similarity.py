@@ -437,6 +437,191 @@ def _srp_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     return acc
 
 
+def _srp_band_bucket(vec: Column, band: int, n_planes: int, dim: int) -> Column:
+    """Bucket id for one SRP band: ``n_planes`` sign bits from the band's
+    own plane family (global plane index ``band * n_planes + j``, so bands
+    are independent hash functions — the banding trick from MinHash-LSH
+    applied to sign-random projections)."""
+    acc = None
+    for j in range(n_planes):
+        coeffs = F.array(
+            *[F.lit(v) for v in _srp_plane(band * n_planes + j, dim)]
+        )
+        proj = _dot(vec, coeffs)
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        shifted = F.shiftleft(bit, j)
+        acc = shifted if acc is None else acc.bitwiseOR(shifted)
+    return acc
+
+
+def srp_band_buckets(
+    vecs: DataFrame, n_bands: int = 4, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """(id, vec, band, bucket) — one row per SRP band of a normalized
+    (id, vec) frame; vectors sharing any (band, bucket) are near-dup
+    candidates.
+
+    A single P-plane SRP bucket misses near-identical pairs with
+    probability 1-(1-theta/pi)^P (~30% at cos 0.99, P=8); B independent
+    bands drive the miss rate to (miss_one)^B (~1% at B=4) while keeping
+    candidates bucket-local — the recall/cost banding tradeoff as
+    MinHash-LSH, tuned by (n_bands, n_planes). The vector rides along on
+    every band row (xB storage) so candidate verification is join-local —
+    no second join against the corpus to fetch vectors; at 100 TB that
+    trade buys verify-time shuffle-freedom for B-fold index storage,
+    mirroring the sig-in-index layout of the MinHash band index
+    (dedup.band_buckets)."""
+    return vecs.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        _srp_band_bucket(
+                            F.col("vec"), b, n_planes, dim
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "vec", F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def incremental_cosine_dedup_indexed(
+    index_buckets: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    broadcast_incoming: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Embedding-level incremental near-dup admission against a
+    PRECOMPUTED SRP band index — the vector-space analog of
+    ``dedup.incremental_lsh_dedup_indexed``, sharing its contracts:
+
+    - ``index_buckets`` is exactly ``srp_band_buckets`` output
+      (id, vec, band, bucket) for every already-admitted vector — at
+      production scale a checkpointed table appended per ingest, so
+      admitted vectors are never re-hashed.
+    - verdict per incoming vector: duplicate if its exact cosine with any
+      indexed vector, or any SMALLER-id incoming vector, reaches
+      ``threshold`` (greedy-by-id within the batch). Returns
+      (verdicts(id, keep, dup_of, cos_sim), incoming_buckets); release
+      the persisted subtree via ``cacheutil.release_cache`` after both
+      are materialized.
+    - ``broadcast_incoming=True`` is for the streaming ingest path ONLY
+      (micro-batch-sized incoming by contract): the batch's band rows
+      broadcast so the index never moves. Batch callers with a
+      possibly-corpus-sized incoming side MUST leave it False and let
+      AQE decide from runtime sizes (session.py's broadcast policy).
+
+    Candidate verification is the EXACT cosine (rounded to 6 dp, the
+    repo-wide float convention) — banding only bounds which pairs get
+    scored, so precision is exact and recall is the banded-SRP bound
+    documented on ``srp_band_buckets``.
+    """
+    vi = incoming.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bi = srp_band_buckets(vi, n_bands, n_planes, dim).withColumn(
+        "inc", F.lit(True)
+    )
+    bx = index_buckets.select("id", "vec", "band", "bucket").withColumn(
+        "inc", F.lit(False)
+    )
+    right = bx.unionByName(bi)
+    left = F.broadcast(bi.alias("a")) if broadcast_incoming else bi.alias("a")
+    cand = (
+        left.join(
+            right.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (~F.col("b.inc") | (F.col("b.id") < F.col("a.id"))),
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("m_id"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id", "m_id"])
+    )
+    cos = F.round(
+        _dot(F.col("vec_a"), F.col("vec_b"))
+        / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
+        6,
+    )
+    matches = cand.select("id", "m_id", cos.alias("cos")).filter(
+        F.col("cos") >= threshold
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos").desc(), F.col("m_id").asc()
+    )
+    best = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "m_id", "cos")
+    )
+    verdicts = owns_cache(
+        vi.select("id")
+        .join(best, "id", "left")
+        .select(
+            "id",
+            F.col("m_id").isNull().cast("int").alias("keep"),
+            F.col("m_id").alias("dup_of"),
+            F.col("cos").alias("cos_sim"),
+        ),
+        vi,  # caller releases via cacheutil.release_cache
+    )
+    return verdicts, bi.drop("inc")
+
+
+def incremental_cosine_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    broadcast_incoming: bool = False,
+) -> DataFrame:
+    """Wrapper over ``incremental_cosine_dedup_indexed`` that REBUILDS the
+    SRP band index from the raw corpus (same plan shape; callers holding
+    the persisted index — the streaming ingest — use the indexed form so
+    per-batch cost tracks batch size, never corpus size)."""
+    ve = existing.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    bx = srp_band_buckets(ve, n_bands, n_planes, dim)
+    verdicts, _bi = incremental_cosine_dedup_indexed(
+        bx,
+        incoming,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        n_bands=n_bands,
+        n_planes=n_planes,
+        dim=dim,
+        broadcast_incoming=broadcast_incoming,
+    )
+    return verdicts
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

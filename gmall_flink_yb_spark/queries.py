@@ -38,6 +38,7 @@ from gmall_flink_yb_spark.functions.similarity import (
     _srp_plane,
     brute_force_topk,
     cosine_near_dup_pairs,
+    incremental_cosine_dedup,
     ivf_topk,
     label_centroid_outliers,
     lsh_bucket_topk,
@@ -3310,17 +3311,24 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, k=5, n_planes=_LSH_PLANES, dim=_LSH_DIM)
 
 
-def _sql_srp_bucket(vec: str, n_planes: int = _LSH_PLANES, dim: int = _LSH_DIM) -> str:
+def _sql_srp_bucket(
+    vec: str,
+    n_planes: int = _LSH_PLANES,
+    dim: int = _LSH_DIM,
+    plane_offset: int = 0,
+) -> str:
     """SRP bucket id as a SQL expression over a DOUBLE[] column.
 
     Mirrors similarity._srp_bucket exactly: per plane, the projection is the
     left-to-right sum of v[i]*coeff (same order as Spark's sequential
     F.aggregate fold; identical decimal literals parse to identical
     doubles), and the bucket ORs together sign bits (disjoint bits, so SUM
-    == bitwise OR)."""
+    == bitwise OR). ``plane_offset`` selects the plane family — band b of
+    the banded index (similarity._srp_band_bucket) is
+    ``plane_offset = b * n_planes``."""
     terms = []
     for p in range(n_planes):
-        coeffs = _srp_plane(p, dim)
+        coeffs = _srp_plane(plane_offset + p, dim)
         proj = " + ".join(
             f"{vec}[{j + 1}]*({c!r})" for j, c in enumerate(coeffs)
         )
@@ -3346,6 +3354,98 @@ SELECT q_id, n_id,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS INTEGER) AS rnk,
        round(cs, 6) AS cos_sim
 FROM s QUALIFY rnk <= 5
+"""
+
+
+_ANN_INC_BANDS = 4
+_ANN_INC_PLANES = 8
+_ANN_INC_THRESHOLD = 0.35
+
+
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level incremental near-dup admission (the vector-space
+    twin of `dedup_incremental`): the id-older half of the embeddings
+    table plays the already-admitted corpus, the id-newer half the
+    incoming batch; every incoming vector gets a keep/dup verdict with
+    its best match by exact cosine. Candidates come from a 4-band x
+    8-plane SRP band index (similarity.srp_band_buckets) — the oracle
+    reproduces the banding bit-for-bit (md5-derived hyperplane literals),
+    so the driver hash-checks the APPROXIMATION itself, not a brute-force
+    relaxation. The streaming ingest (start_incremental_ann_stream)
+    persists this exact index per batch."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("long").alias("_half"))
+    ex = (
+        emb.crossJoin(F.broadcast(half))
+        .filter(F.col("vec_id") <= F.col("_half"))
+        .drop("_half")
+    )
+    inc = (
+        emb.crossJoin(F.broadcast(half))
+        .filter(F.col("vec_id") > F.col("_half"))
+        .drop("_half")
+    )
+    return incremental_cosine_dedup(
+        ex,
+        inc,
+        "vec_id",
+        "embedding",
+        threshold=_ANN_INC_THRESHOLD,
+        n_bands=_ANN_INC_BANDS,
+        n_planes=_ANN_INC_PLANES,
+        dim=_LSH_DIM,
+    ).select(
+        F.col("id").alias("vec_id"), "keep", "dup_of", "cos_sim"
+    )
+
+
+def _sql_srp_band_rows(src: str) -> str:
+    """UNION ALL of one SELECT per band over ``src`` (an (id, v) relation),
+    each computing that band's bucket with its own plane family — mirrors
+    similarity.srp_band_buckets."""
+    return "\n  UNION ALL ".join(
+        f"SELECT id, v, {b} AS band, "
+        + _sql_srp_bucket(
+            "v", _ANN_INC_PLANES, _LSH_DIM, plane_offset=b * _ANN_INC_PLANES
+        )
+        + f" AS bucket FROM {src}"
+        for b in range(_ANN_INC_BANDS)
+    )
+
+
+SQL_ANN_INCREMENTAL = f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), half AS (
+  SELECT max(id) // 2 AS h FROM e
+), ex AS (
+  SELECT id, v FROM e, half WHERE id <= h
+), inc AS (
+  SELECT id, v FROM e, half WHERE id > h
+), bx AS (
+  {_sql_srp_band_rows('ex')}
+), bi AS (
+  {_sql_srp_band_rows('inc')}
+), cand AS (
+  SELECT DISTINCT a.id AS id, b.id AS m_id, a.v AS va, b.v AS vb
+  FROM bi a
+  JOIN (SELECT *, FALSE AS is_inc FROM bx
+        UNION ALL SELECT *, TRUE AS is_inc FROM bi) b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND (NOT b.is_inc OR b.id < a.id)
+), m AS (
+  SELECT id, m_id, round(list_cosine_similarity(va, vb), 6) AS cos
+  FROM cand
+  WHERE round(list_cosine_similarity(va, vb), 6) >= {_ANN_INC_THRESHOLD}
+), best AS (
+  SELECT id, m_id, cos,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, m_id) AS rn
+  FROM m
+)
+SELECT i.id AS vec_id,
+       CAST(CASE WHEN b.m_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+       b.m_id AS dup_of, b.cos AS cos_sim
+FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (id)
 """
 
 
@@ -5222,6 +5322,7 @@ QUERIES: dict[str, QueryFn] = {
     "q16_supplier_part_distribution": q_q16_supplier_part_distribution,
     "multimodal_header_scan": q_multimodal_header_scan,
     "revenue_trailing_7d": q_revenue_trailing_7d,
+    "ann_incremental": q_ann_incremental,
     "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
     "unigram_lm": q_unigram_lm,
     "source_overlap": q_source_overlap,
@@ -5340,6 +5441,7 @@ ORACLES: dict[str, str] = {
     "q16_supplier_part_distribution": SQL_Q16_SUPPLIER_PART_DISTRIBUTION,
     "multimodal_header_scan": SQL_MULTIMODAL_HEADER_SCAN,
     "revenue_trailing_7d": SQL_REVENUE_TRAILING_7D,
+    "ann_incremental": SQL_ANN_INCREMENTAL,
     "q22_global_sales_opportunity": SQL_Q22_GLOBAL_SALES_OPPORTUNITY,
     "unigram_lm": SQL_UNIGRAM_LM,
     "source_overlap": SQL_SOURCE_OVERLAP,
@@ -5388,7 +5490,7 @@ _R03_DRIVER_CHECKED = {
 _NEW_R04 = {
     "q2_min_cost_supplier", "q11_important_parts",
     "q12_late_priority_lines", "q16_supplier_part_distribution",
-    "multimodal_header_scan", "revenue_trailing_7d",
+    "multimodal_header_scan", "revenue_trailing_7d", "ann_incremental",
 }
 
 QUERIES = {

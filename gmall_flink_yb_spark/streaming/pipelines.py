@@ -649,6 +649,139 @@ def start_incremental_dedup_stream(
     )
 
 
+def start_incremental_ann_stream(
+    spark: SparkSession,
+    vecs_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    index_dir: str | None = None,
+    n_bands: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> StreamingQuery:
+    """Admit new embedding vectors into a curated corpus, rejecting
+    near-dups (exact cosine >= ``threshold``) of anything already admitted
+    or of a smaller-id vector in the same batch — the vector-space twin of
+    ``start_incremental_dedup_stream``, with the identical replay
+    discipline: batchId-keyed partition overwrites, reference reads
+    strictly smaller batch ids, PATH_NOT_FOUND (only) falls back to an
+    empty reference.
+
+    With ``index_dir`` set, the SRP band-bucket index (id, vec, band,
+    bucket — ``similarity.srp_band_buckets`` rows) is persisted and
+    appended per batch, so admitted vectors are never re-hashed and
+    per-batch cost tracks batch size, not corpus size. Without it the
+    index is rebuilt from the stored corpus vectors each batch."""
+    from gmall_flink_yb_spark.functions.cacheutil import release_cache
+    from gmall_flink_yb_spark.functions.similarity import (
+        incremental_cosine_dedup,
+        incremental_cosine_dedup_indexed,
+    )
+
+    def _read_ref(base_dir: str, batch_id: int, cols: list[str], empty_schema):
+        # same fail-open-only-on-PATH_NOT_FOUND contract as the dedup
+        # ingest: any other read error must fail the batch for replay
+        try:
+            return (
+                spark.read.option("basePath", base_dir)
+                .parquet(base_dir)
+                .filter(F.col("ingest_batch") < batch_id)
+                .select(*cols)
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            return spark.createDataFrame([], empty_schema)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        incoming = batch_df.persist()
+        try:
+            if index_dir is not None:
+                idx = _read_ref(
+                    index_dir,
+                    batch_id,
+                    ["id", "vec", "band", "bucket"],
+                    "id long, vec array<double>, band int, bucket long",
+                )
+                verdicts, inc_buckets = incremental_cosine_dedup_indexed(
+                    idx,
+                    incoming.select(id_col, vec_col),
+                    id_col,
+                    vec_col,
+                    threshold=threshold,
+                    n_bands=n_bands,
+                    n_planes=n_planes,
+                    dim=dim,
+                    broadcast_incoming=True,
+                )
+            else:
+                corpus = _read_ref(
+                    corpus_dir,
+                    batch_id,
+                    [id_col, vec_col],
+                    incoming.select(id_col, vec_col).schema,
+                )
+                verdicts = incremental_cosine_dedup(
+                    corpus,
+                    incoming.select(id_col, vec_col),
+                    id_col,
+                    vec_col,
+                    threshold=threshold,
+                    n_bands=n_bands,
+                    n_planes=n_planes,
+                    dim=dim,
+                    # micro-batch contract: trigger-bounded incoming side
+                    broadcast_incoming=True,
+                )
+                inc_buckets = None
+            # kept_ids feeds both writes in indexed mode — persist so the
+            # band-join + window verdict subtree runs once per batch
+            kept_ids = (
+                verdicts.filter(F.col("keep") == 1)
+                .select(F.col("id").alias("_keep_id"))
+                .persist()
+            )
+            try:
+                kept = incoming.join(
+                    kept_ids,
+                    F.col(id_col).cast("long") == F.col("_keep_id"),
+                ).drop("_keep_id")
+                kept.write.mode("overwrite").parquet(
+                    os.path.join(corpus_dir, f"ingest_batch={batch_id}")
+                )
+                if inc_buckets is not None:
+                    (
+                        inc_buckets.join(
+                            kept_ids,
+                            F.col("id") == F.col("_keep_id"),
+                            "left_semi",
+                        )
+                        .write.mode("overwrite")
+                        .parquet(
+                            os.path.join(
+                                index_dir, f"ingest_batch={batch_id}"
+                            )
+                        )
+                    )
+            finally:
+                kept_ids.unpersist()
+                release_cache(verdicts)  # the batch's vector subtree
+        finally:
+            incoming.unpersist()
+
+    return (
+        vecs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming count-min sketch ingest (mergeable-sketch discipline)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,161 @@
+"""Embedding-level incremental near-dup admission: batch operator
+(similarity.incremental_cosine_dedup / _indexed) and the streaming ingest
+with the persisted SRP band index (start_incremental_ann_stream) — the
+vector-space twins of the MinHash incremental dedup family, tested with
+the same batch-parity + replay discipline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from gmall_flink_yb_spark.functions.cacheutil import release_cache
+from gmall_flink_yb_spark.functions.similarity import (
+    incremental_cosine_dedup,
+    incremental_cosine_dedup_indexed,
+    srp_band_buckets,
+)
+
+DIM = 8
+
+V1 = [1.0, 0.1, 0.0, 0.0, 0.1, 0.0, 0.0, 0.2]
+V2 = [0.0, 1.0, 0.2, 0.0, 0.0, 0.3, 0.0, 0.0]
+V3 = [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.4, 0.1]
+V1_DUP = [1.01, 0.1, 0.001, 0.0, 0.1, 0.0, 0.0, 0.202]  # cos(V1) ~ 1.0
+V3_DUP = [0.0, 0.001, 0.0, 0.99, 0.0, 0.0, 0.41, 0.1]   # cos(V3) ~ 1.0
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _verdicts(df):
+    rows = {r["id"]: r for r in df.collect()}
+    release_cache(df)
+    return rows
+
+
+def test_rejects_near_dups_keeps_novel(spark):
+    """Incoming near-dup of an admitted vector -> rejected with dup_of;
+    novel vector -> kept; within-batch dup -> rejected against the
+    smaller-id incoming vector."""
+    ex = spark.createDataFrame([(1, V1), (2, V2)], SCHEMA)
+    inc = spark.createDataFrame(
+        [(10, V1_DUP), (11, V3), (12, V3_DUP)], SCHEMA
+    )
+    got = _verdicts(
+        incremental_cosine_dedup(ex, inc, threshold=0.95, dim=DIM)
+    )
+    assert set(got) == {10, 11, 12}
+    assert got[10]["keep"] == 0 and got[10]["dup_of"] == 1
+    assert got[11]["keep"] == 1 and got[11]["dup_of"] is None
+    assert got[12]["keep"] == 0 and got[12]["dup_of"] == 11
+
+
+def test_indexed_matches_rebuild(spark):
+    """The precomputed-index path must produce the identical verdict frame
+    as the rebuild-from-corpus wrapper (same banding, same plane family)."""
+    ex = spark.createDataFrame([(1, V1), (2, V2)], SCHEMA)
+    inc = spark.createDataFrame(
+        [(10, V1_DUP), (11, V3), (12, V3_DUP)], SCHEMA
+    )
+    rebuilt = _verdicts(
+        incremental_cosine_dedup(ex, inc, threshold=0.95, dim=DIM)
+    )
+    idx = srp_band_buckets(
+        ex.select(
+            F.col("vec_id").cast("long").alias("id"),
+            F.col("embedding").alias("vec"),
+        ),
+        dim=DIM,
+    )
+    verdicts, inc_buckets = incremental_cosine_dedup_indexed(
+        idx, inc, threshold=0.95, dim=DIM
+    )
+    indexed = _verdicts(verdicts)
+    assert {
+        k: (v["keep"], v["dup_of"]) for k, v in indexed.items()
+    } == {k: (v["keep"], v["dup_of"]) for k, v in rebuilt.items()}
+    # incoming band rows cover every incoming id, one row per band
+    bc = inc_buckets.groupBy("id").count().collect()
+    assert {r["id"]: r["count"] for r in bc} == {10: 4, 11: 4, 12: 4}
+
+
+def _drop_batch(spark, tmp_path, src, i, rows):
+    stage = tmp_path / f"stage_{i}"
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.rename(stage / part[0], src / f"{i:02d}.parquet")
+    os.utime(
+        src / f"{i:02d}.parquet",
+        (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+    )
+
+
+def test_incremental_ann_stream_with_persisted_index(spark, tmp_path):
+    """Streaming ingest with index_dir: batch-2 near-dups of batch-1
+    vectors are rejected via the PERSISTED index (batch-1 vectors are
+    never re-hashed), within-batch dups keep the smallest id, and the
+    index holds exactly the admitted ids' band rows."""
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_file_stream,
+        start_incremental_ann_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _drop_batch(spark, tmp_path, src, 0, [(1, V1), (2, V2)])
+    _drop_batch(
+        spark, tmp_path, src, 1, [(3, V1_DUP), (4, V3), (5, V3_DUP)]
+    )
+    stream = read_file_stream(
+        spark, str(src), SCHEMA, max_files_per_trigger=1, glob="*.parquet"
+    )
+    q = start_incremental_ann_stream(
+        spark,
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"),
+        threshold=0.95,
+        index_dir=str(tmp_path / "index"),
+        dim=DIM,
+    )
+    q.awaitTermination(180)
+    admitted = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert admitted == [1, 2, 4]
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    per_id = {
+        r["id"]: r["count"]
+        for r in idx.groupBy("id").count().collect()
+    }
+    assert per_id == {1: 4, 2: 4, 4: 4}  # 4 band rows per ADMITTED vector
+    # replay idempotence: a fresh query on the same checkpoint rewrites
+    # nothing (no new files -> no new batches)
+    q2 = start_incremental_ann_stream(
+        spark,
+        read_file_stream(
+            spark, str(src), SCHEMA, max_files_per_trigger=1,
+            glob="*.parquet",
+        ),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"),
+        threshold=0.95,
+        index_dir=str(tmp_path / "index"),
+        dim=DIM,
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    ) == [1, 2, 4]
