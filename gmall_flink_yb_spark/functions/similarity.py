@@ -467,7 +467,13 @@ def srp_band_buckets(
     probability 1-(1-theta/pi)^P (~30% at cos 0.99, P=8); B independent
     bands drive the miss rate to (miss_one)^B (~1% at B=4) while keeping
     candidates bucket-local — the recall/cost banding tradeoff as
-    MinHash-LSH, tuned by (n_bands, n_planes). The vector rides along on
+    MinHash-LSH, tuned by (n_bands, n_planes). Sizing note for large
+    corpora: RANDOM (near-orthogonal) pairs collide in a P-plane band
+    with probability ~2^-P, so candidate volume has a floor of
+    B * n^2 / 2^P pairs even with zero true similarity — keep
+    ``n_planes >= log2(n_rows) + margin`` (e.g. 24-32 planes at 10^7-10^9
+    rows, bucket stays one long) so the random floor is ~B*n and
+    candidates track true-similar density instead of n^2. The vector rides along on
     every band row (xB storage) so candidate verification is join-local —
     no second join against the corpus to fetch vectors; at 100 TB that
     trade buys verify-time shuffle-freedom for B-fold index storage,

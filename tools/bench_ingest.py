@@ -48,34 +48,68 @@ def main() -> None:
         "batch); smaller batches raise the corpus-to-batch ratio, which "
         "is what separates the two modes",
     )
+    ap.add_argument(
+        "--ann", action="store_true",
+        help="measure the EMBEDDING ingest (start_incremental_ann_stream, "
+        "persisted SRP band index vs rebuild-from-vectors) instead of the "
+        "text ingest; replicas are circular-shifted so cross-batch cosines "
+        "stay below the dup threshold and the corpus grows per batch",
+    )
     args = ap.parse_args()
 
     spark = get_spark("bench-ingest")
     spark.sparkContext.setLogLevel("ERROR")
     from gmall_flink_yb_spark.streaming.pipelines import (
         read_file_stream,
+        start_incremental_ann_stream,
         start_incremental_dedup_stream,
     )
 
     shutil.rmtree(args.out, ignore_errors=True)
-    base = read_table(spark, args.sf_dir, "documents").select("doc_id", "text")
+    if args.ann:
+        id_col = "vec_id"
+        base = read_table(spark, args.sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    else:
+        id_col = "doc_id"
+        base = read_table(spark, args.sf_dir, "documents").select(
+            "doc_id", "text"
+        )
     if args.batch_rows:
-        base = base.filter(F.col("doc_id") < args.batch_rows)
+        base = base.filter(F.col(id_col) < args.batch_rows)
     n_rows = base.count()
 
-    # batch r = replica r: ids offset by r*stride (globally increasing),
-    # words suffixed per replica so cross-batch shingles are disjoint —
-    # nearly every doc is admitted and the corpus grows linearly
+    # batch r = replica r: ids offset by r*stride (globally increasing).
+    # Text: words suffixed per replica so cross-batch shingles are
+    # disjoint. Embeddings: vectors circular-shifted by r so cross-batch
+    # cosines decorrelate below the dup threshold. Either way nearly
+    # every row is admitted and the corpus grows linearly.
     stage_root = os.path.join(args.out, "batches")
     os.makedirs(stage_root)
     files = []
     for r in range(args.batches):
-        rep = base.select(
-            (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
-            F.regexp_replace("text", r"([a-zA-Z0-9]+)", f"$1s{r}").alias(
-                "text"
-            ),
-        )
+        if args.ann:
+            dim = 64
+            s = r % dim
+            rep = base.select(
+                (F.col("vec_id") + F.lit(r * ID_STRIDE)).alias("vec_id"),
+                (
+                    F.concat(
+                        F.slice("embedding", s + 1, dim - s),
+                        F.slice("embedding", 1, s),
+                    )
+                    if s
+                    else F.col("embedding")
+                ).alias("embedding"),
+            )
+        else:
+            rep = base.select(
+                (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+                F.regexp_replace("text", r"([a-zA-Z0-9]+)", f"$1s{r}").alias(
+                    "text"
+                ),
+            )
         stage = os.path.join(args.out, f"stage_{r}")
         rep.coalesce(1).write.mode("overwrite").parquet(stage)
         part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
@@ -86,7 +120,11 @@ def main() -> None:
         os.rename(dst, dst + ".hidden")
 
     results: dict[str, list[float]] = {}
-    schema = "doc_id long, text string"
+    schema = (
+        "vec_id long, embedding array<double>"
+        if args.ann
+        else "doc_id long, text string"
+    )
     for mode in ("indexed", "rebuild"):
         mdir = os.path.join(args.out, mode)
         corpus, ckpt = os.path.join(mdir, "corpus"), os.path.join(mdir, "ck")
@@ -98,17 +136,20 @@ def main() -> None:
             os.utime(src, (1_700_000_000 + r * 10,) * 2)
             spark.catalog.clearCache()
             t0 = time.time()
-            q = start_incremental_dedup_stream(
-                spark,
-                read_file_stream(
-                    spark, stage_root, schema, max_files_per_trigger=1,
-                    glob="*.parquet",
-                ),
-                corpus,
-                ckpt,
-                threshold=0.5,
-                index_dir=index,
+            stream = read_file_stream(
+                spark, stage_root, schema, max_files_per_trigger=1,
+                glob="*.parquet",
             )
+            if args.ann:
+                q = start_incremental_ann_stream(
+                    spark, stream, corpus, ckpt,
+                    threshold=0.95, index_dir=index,
+                )
+            else:
+                q = start_incremental_dedup_stream(
+                    spark, stream, corpus, ckpt,
+                    threshold=0.5, index_dir=index,
+                )
             q.awaitTermination(600)
             times.append(round(time.time() - t0, 2))
             print(f"# {mode} batch {r}: {times[-1]:.2f}s", file=sys.stderr)

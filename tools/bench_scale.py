@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from gmall_flink_yb_spark.functions.similarity import (
     brute_force_topk,
+    incremental_cosine_dedup,
     ivf_topk,
     lsh_bucket_topk,
 )
@@ -212,7 +213,29 @@ def _ann_stages(queries_df):
             "ann_ivf_topk",
             lambda c: ivf_topk(c, queries_df, k=5, n_centroids=16, n_probe=4),
         ),
+        # incremental admission: BOTH sides scale with the corpus (older-id
+        # half = index, newer half = incoming), unlike the pinned-query
+        # top-k stages — the slope shows how banded-SRP candidate growth
+        # tracks corpus growth
+        ("ann_incremental", _ann_incremental_stage),
     ]
+
+
+def _ann_incremental_stage(c):
+    half = c.agg((F.max("vec_id") / 2).cast("long").alias("_h"))
+    ex = (
+        c.crossJoin(F.broadcast(half))
+        .filter(F.col("vec_id") <= F.col("_h"))
+        .drop("_h")
+    )
+    inc = (
+        c.crossJoin(F.broadcast(half))
+        .filter(F.col("vec_id") > F.col("_h"))
+        .drop("_h")
+    )
+    return incremental_cosine_dedup(
+        ex, inc, "vec_id", "embedding", threshold=0.35, dim=_LSH_DIM
+    )
 
 
 def time_df(spark, make_df, corpus_dir: str, runs: int, repin=None) -> float:
@@ -296,7 +319,10 @@ def main() -> None:
     stages = []
     repin = None
     if not args.skip_ann:
-        stage_names = ["ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk"]
+        stage_names = [
+            "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+            "ann_incremental",
+        ]
         if args.only:
             keep_ann = set(args.only.split(","))
             wanted = [n for n in stage_names if n in keep_ann]
