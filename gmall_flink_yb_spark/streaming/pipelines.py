@@ -782,6 +782,46 @@ def start_incremental_ann_stream(
     )
 
 
+def audit_ingest_consistency(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    corpus_id_col: str = "doc_id",
+    index_id_col: str = "doc_id",
+) -> DataFrame:
+    """Operational invariant check for the indexed ingests: every admitted
+    corpus id has index rows and vice versa. The batchId-keyed replay
+    discipline guarantees this at rest (both writes overwrite the same
+    ``ingest_batch=N`` partition, and a replayed batch rewrites both), but
+    after a crash BETWEEN the two writes the partition pair is split until
+    the checkpoint replays it — this auditor is the probe an operator runs
+    before trusting a corpus snapshot. Returns (id, in_corpus, in_index)
+    for ids present on exactly one side; empty frame = consistent. Scale
+    shape: two distinct-id projections (ids only — the index's band rows
+    collapse map-side) into one full-outer join on id."""
+    c_ids = (
+        spark.read.parquet(corpus_dir)
+        .select(F.col(corpus_id_col).cast("long").alias("id"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    i_ids = (
+        spark.read.parquet(index_dir)
+        .select(F.col(index_id_col).cast("long").alias("id"))
+        .distinct()
+        .withColumn("in_index", F.lit(True))
+    )
+    return (
+        c_ids.join(i_ids, "id", "full_outer")
+        .filter(F.col("in_corpus").isNull() | F.col("in_index").isNull())
+        .select(
+            "id",
+            F.coalesce("in_corpus", F.lit(False)).alias("in_corpus"),
+            F.coalesce("in_index", F.lit(False)).alias("in_index"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming count-min sketch ingest (mergeable-sketch discipline)
 # ---------------------------------------------------------------------------

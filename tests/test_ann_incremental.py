@@ -87,6 +87,38 @@ def test_indexed_matches_rebuild(spark):
     assert {r["id"]: r["count"] for r in bc} == {10: 4, 11: 4, 12: 4}
 
 
+def test_scaled_vector_is_caught(spark):
+    """SRP buckets are sign-based, so a positively-scaled copy of an
+    admitted vector lands in the SAME bucket in EVERY band (projection
+    signs are scale-invariant) and its cosine is exactly 1.0 — the
+    scaled-duplicate case can never slip past the banding, regardless of
+    (n_bands, n_planes)."""
+    ex = spark.createDataFrame([(1, V1)], SCHEMA)
+    scaled = [3.7 * x for x in V1]
+    inc = spark.createDataFrame([(10, scaled)], SCHEMA)
+    got = _verdicts(
+        incremental_cosine_dedup(ex, inc, threshold=0.95, dim=DIM)
+    )
+    assert got[10]["keep"] == 0 and got[10]["dup_of"] == 1
+    assert got[10]["cos_sim"] == 1.0
+    # and the band rows agree bucket-for-bucket
+    norm = srp_band_buckets(
+        spark.createDataFrame([(1, V1)], SCHEMA).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        ),
+        dim=DIM,
+    )
+    sc = srp_band_buckets(
+        spark.createDataFrame([(1, scaled)], SCHEMA).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        ),
+        dim=DIM,
+    )
+    b1 = {r["band"]: r["bucket"] for r in norm.collect()}
+    b2 = {r["band"]: r["bucket"] for r in sc.collect()}
+    assert b1 == b2 and len(b1) == 4
+
+
 def _drop_batch(spark, tmp_path, src, i, rows):
     stage = tmp_path / f"stage_{i}"
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
@@ -159,3 +191,37 @@ def test_incremental_ann_stream_with_persisted_index(spark, tmp_path):
         r["vec_id"]
         for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     ) == [1, 2, 4]
+
+    # the operational corpus<->index invariant holds after the replay...
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        audit_ingest_consistency,
+    )
+
+    audit = audit_ingest_consistency(
+        spark,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        corpus_id_col="vec_id",
+        index_id_col="id",
+    )
+    assert audit.count() == 0
+    # ...and the auditor actually detects a split partition pair: drop one
+    # corpus row's files (simulating a crash between the two writes)
+    import shutil
+
+    batch_dirs = [
+        d
+        for d in os.listdir(tmp_path / "corpus")
+        if d.startswith("ingest_batch=")
+    ]
+    shutil.rmtree(tmp_path / "corpus" / sorted(batch_dirs)[0])
+    broken = audit_ingest_consistency(
+        spark,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        corpus_id_col="vec_id",
+        index_id_col="id",
+    ).collect()
+    assert broken and all(
+        (not r["in_corpus"]) and r["in_index"] for r in broken
+    )

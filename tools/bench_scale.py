@@ -218,10 +218,14 @@ def _ann_stages(queries_df):
         # top-k stages — the slope shows how banded-SRP candidate growth
         # tracks corpus growth
         ("ann_incremental", _ann_incremental_stage),
+        # the documented n_planes >= log2(n) sizing rule in action: at
+        # large corpus the P=8 random-collision floor (B*n^2/2^P)
+        # dominates candidates; P=16 divides the floor by 256
+        ("ann_incremental_p16", lambda c: _ann_incremental_stage(c, 16)),
     ]
 
 
-def _ann_incremental_stage(c):
+def _ann_incremental_stage(c, n_planes=8):
     half = c.agg((F.max("vec_id") / 2).cast("long").alias("_h"))
     ex = (
         c.crossJoin(F.broadcast(half))
@@ -234,7 +238,8 @@ def _ann_incremental_stage(c):
         .drop("_h")
     )
     return incremental_cosine_dedup(
-        ex, inc, "vec_id", "embedding", threshold=0.35, dim=_LSH_DIM
+        ex, inc, "vec_id", "embedding", threshold=0.35,
+        n_planes=n_planes, dim=_LSH_DIM,
     )
 
 
@@ -321,7 +326,7 @@ def main() -> None:
     if not args.skip_ann:
         stage_names = [
             "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
-            "ann_incremental",
+            "ann_incremental", "ann_incremental_p16",
         ]
         if args.only:
             keep_ann = set(args.only.split(","))
