@@ -1744,17 +1744,26 @@ def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .cast(DEC6)
-            ).cast("double").alias("value")
+            ).alias("_value_dec")
         )
-        # value feeds both the grand total and the output filter; persist
-        # so lineitem is scanned once (same discipline as q21's late set)
+        # _value_dec feeds both the grand total and the output filter;
+        # persist so lineitem is scanned once (q21's late-set discipline)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # the grand total sums the DECIMAL column — a distributed double sum
+    # is partition-order dependent in its last ulp, which could flip a
+    # borderline threshold row between runs/engines; the decimal sum is
+    # exact and order-invariant, cast to double only for the comparison
     total = value.agg(
-        F.sum(F.col("value")).alias("_total")
+        F.sum(F.col("_value_dec")).cast("double").alias("_total")
     )
     return owns_cache(
         value.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.col("_value_dec").cast("double").alias("value"),
+            "_total",
+        )
         .filter(F.col("value") > F.col("_total") * 0.001)
         .select("l_partkey", "value")
         .orderBy(F.desc("value"), "l_partkey"),
@@ -1765,15 +1774,16 @@ def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q11_IMPORTANT_PARTS = """
 WITH value AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(18,6))) AS DOUBLE) AS value
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,6))) AS value_dec
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   WHERE s_nationkey = 3
   GROUP BY 1
 )
-SELECT l_partkey, value
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
 FROM value
-WHERE value > (SELECT SUM(value) FROM value) * 0.001
+WHERE CAST(value_dec AS DOUBLE)
+      > CAST((SELECT SUM(value_dec) FROM value) AS DOUBLE) * 0.001
 ORDER BY value DESC, l_partkey
 """
 
