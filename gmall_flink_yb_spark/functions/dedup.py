@@ -186,7 +186,16 @@ def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     the expensive full-set verification join — recall-lossless, so the
     DuckDB oracle (plain exact Jaccard) still matches. This keeps the
     candidate count tracking the true-pair count instead of corpus
-    structure (the >10x slope at 100x in round 3's stress run)."""
+    structure (the >10x slope at 100x in round 3's stress run).
+
+    All prunes derive from ``t_eff = threshold - 5e-7`` rather than the
+    raw threshold: the verification filter accepts ``round(J, 6) >=
+    threshold``, i.e. true J as low as threshold - 5e-7, and the FP
+    evaluation of ceil(t/(1+t)*(|A|+|B|)) can land one above the exact
+    bound at integer boundaries. The epsilon (half the rounding quantum,
+    orders of magnitude above double error at any realistic |A|+|B|)
+    makes every prune strictly weaker than the rounded verify filter —
+    the recall-lossless guarantee survives rounding ties."""
     # global df via hash aggregate + join, NOT a count-over-window: the
     # window formulation full-sorts every shingle row by token, while the
     # aggregate does map-side partial counting and only shuffles unique
@@ -202,9 +211,11 @@ def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
         .withColumn("set_size", F.count(F.lit(1)).over(w_doc_all))
         .withColumn("rnk", F.row_number().over(w_doc))
     )
+    t_eff = threshold - 5e-7  # see docstring: prune strictly weaker than
+    # the round(J,6) >= threshold verification filter
     prefix_len = (
         F.col("set_size")
-        - F.ceil(F.lit(threshold) * F.col("set_size"))
+        - F.ceil(F.lit(t_eff) * F.col("set_size"))
         + F.lit(1)
     )
     prefix = ranked.filter(F.col("rnk") <= prefix_len).select(
@@ -214,8 +225,8 @@ def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     b = prefix.alias("b")
     # overlap requirement: J >= t  <=>  inter >= t/(1+t) * (|A|+|B|)
     alpha = F.ceil(
-        F.lit(threshold)
-        / F.lit(1.0 + threshold)
+        F.lit(t_eff)
+        / F.lit(1.0 + t_eff)
         * (F.col("size_a") + F.col("size_b"))
     )
     return (
@@ -224,8 +235,8 @@ def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
-            & (F.col("a.set_size") >= F.lit(threshold) * F.col("b.set_size"))
-            & (F.col("b.set_size") >= F.lit(threshold) * F.col("a.set_size")),
+            & (F.col("a.set_size") >= F.lit(t_eff) * F.col("b.set_size"))
+            & (F.col("b.set_size") >= F.lit(t_eff) * F.col("a.set_size")),
         )
         .groupBy(
             F.col("a.doc_id").alias("id_a"),
@@ -256,6 +267,7 @@ def jaccard_prefix_pairs(
     text_col: str,
     threshold: float = 0.5,
     n: int = 3,
+    verify_array_cap: int = 250_000,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard pairs (SSJoin/PPJoin prefix filter).
 
@@ -287,12 +299,33 @@ def jaccard_prefix_pairs(
     # rows); this form aggregates each doc's distinct shingles once into
     # an array (bounded by doc length) and scores each candidate pair in
     # one codegen'd intersect — measured 20-35% faster at a 150k-doc
-    # corpus with identical output (counts are exact either way)
-    docsets = toks.groupBy("doc_id").agg(
-        F.collect_list("token").alias("_toks")
+    # corpus with identical output (counts are exact either way).
+    #
+    # Mega-document bound (VERDICT r04 #3): one pathological doc with tens
+    # of millions of shingles would otherwise make a single unbounded
+    # array row. Docs over ``verify_array_cap`` distinct shingles are
+    # excluded from array materialization BEFORE collect_list (a count
+    # aggregate pre-filter, so the giant array never exists) and their
+    # candidate pairs are verified by the row-level join fallback instead
+    # — exact either way, so the oracle and the sub-cap plan are
+    # unchanged, and per-row memory is bounded by the cap.
+    small_ids = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") <= verify_array_cap)
+        .select("doc_id")
     )
-    inter = (
-        cand.join(
+    docsets = (
+        toks.join(small_ids, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_list("token").alias("_toks"))
+    )
+    cap_ok = (F.col("size_a") <= verify_array_cap) & (
+        F.col("size_b") <= verify_array_cap
+    )
+    inter_small = (
+        cand.filter(cap_ok)
+        .join(
             docsets.select(
                 F.col("doc_id").alias("id_a"), F.col("_toks").alias("_ta")
             ),
@@ -312,6 +345,23 @@ def jaccard_prefix_pairs(
             F.size(F.array_intersect("_ta", "_tb")).alias("inter"),
         )
     )
+    # row-join fallback for pairs touching an over-cap doc: expand the
+    # candidate to its a-side shingle rows, inner-join the b-side rows on
+    # (id_b, token), count matches — never materializes a whole doc in one
+    # row, at the cost of the two extra shuffles the array form avoids.
+    # Empty whenever no doc exceeds the cap (the normal case); AQE
+    # collapses the empty branch at runtime.
+    inter_big = (
+        cand.filter(~cap_ok)
+        .join(toks.select(F.col("doc_id").alias("id_a"), "token"), "id_a")
+        .join(
+            toks.select(F.col("doc_id").alias("id_b"), "token"),
+            ["id_b", "token"],
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    inter = inter_small.unionByName(inter_big)
     return owns_cache(
         inter.select(
             "id_a",

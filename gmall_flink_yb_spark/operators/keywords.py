@@ -71,7 +71,10 @@ def fmm_segment(text: str, words: frozenset[str], max_len: int) -> list[str]:
     out: list[str] = []
     pos, n = 0, len(text)
     while pos < n:
-        for ln in range(min(max_len, n - pos), 1, -1):
+        # candidate lengths run down to 1 so single-character dictionary
+        # words match as words, exactly like the oracle CTE; the else
+        # branch then fires only for out-of-vocabulary characters
+        for ln in range(min(max_len, n - pos), 0, -1):
             cand = text[pos : pos + ln]
             if cand in words:
                 out.append(cand)

@@ -77,6 +77,42 @@ def test_jaccard_prefix_equals_exact(spark, sf_dir, threshold):
     assert len(exact) > 0  # corpus has planted near-dups; test is not vacuous
 
 
+def test_jaccard_prefix_mega_doc_capped(spark):
+    """VERDICT r04 #3: a document whose shingle set exceeds
+    ``verify_array_cap`` must be verified via the row-join fallback (its
+    array is never materialized) with output still exactly equal to the
+    brute-force inverted-index join — one giant near-dup pair AND the
+    small-doc pairs both survive, and pairs below threshold still don't."""
+    from gmall_flink_yb_spark.functions.dedup import jaccard_prefix_pairs
+
+    big = " ".join(f"tok{i}" for i in range(700))
+    big_mut = " ".join(
+        f"tok{i}" if i % 25 else f"mut{i}" for i in range(700)
+    )
+    rows = [
+        (0, big),
+        (1, big_mut),
+        (2, "small doc about spark shuffles and joins"),
+        (3, "small doc about spark shuffles and aggregation"),
+        (4, "entirely unrelated text mentioning nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3).collect())
+    )
+    capped = sorted(
+        map(tuple, jaccard_prefix_pairs(
+            docs, "doc_id", "text", threshold=0.3, verify_array_cap=100
+        ).collect())
+    )
+    assert capped == exact
+    ids = {(a, b) for a, b, _ in capped}
+    assert (0, 1) in ids  # giant pair via the row-join branch
+    assert (2, 3) in ids  # small pair via the array branch
+    assert not any(4 in p for p in ids)
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
              for r in minhash_lsh_pairs(docs, "doc_id", "text",

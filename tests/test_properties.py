@@ -16,8 +16,12 @@ from gmall_flink_yb_spark.operators.keywords import (
 
 _CHARS = sorted({c for w in ZH_ECOMMERCE_DICT for c in w}) + ["买", "了", "x"]
 _texts = st.text(alphabet=_CHARS, min_size=0, max_size=40)
+# include single-character words: the segmenter matches them as dictionary
+# words (candidate lengths run down to 1), exactly like the oracle CTE
 _dicts = st.sets(
-    st.sampled_from(ZH_ECOMMERCE_DICT), min_size=1, max_size=12
+    st.sampled_from(ZH_ECOMMERCE_DICT + ("机", "茶", "买")),
+    min_size=1,
+    max_size=12,
 ).map(frozenset)
 
 
@@ -54,7 +58,7 @@ class TestFMMProperties:
             best = next(
                 (
                     text[pos : pos + ln]
-                    for ln in range(min(max_len, len(text) - pos), 1, -1)
+                    for ln in range(min(max_len, len(text) - pos), 0, -1)
                     if text[pos : pos + ln] in words
                 ),
                 text[pos] if pos < len(text) else "",
