@@ -29,6 +29,53 @@ def owns_cache(result: DataFrame, *deps: DataFrame) -> DataFrame:
     return result
 
 
+class RDDCacheHandle:
+    """``unpersist()``-compatible handle for RDD-level persists —
+    ``localCheckpoint(eager=True)`` pins its blocks on the RDD, outside the
+    SQL cache manager, so ``DataFrame.unpersist`` cannot free them and
+    ``spark.catalog.clearCache`` does not see them. ``release_cache``
+    treats a handle like any other tagged dep; unpersisting an
+    already-evicted id is a no-op."""
+
+    def __init__(self, sc, rdd_id: int):
+        self._sc = sc
+        self._id = int(rdd_id)
+
+    def unpersist(self) -> None:
+        jrdd = self._sc._jsc.getPersistentRDDs().get(self._id)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD currently pinned in this SparkContext (DataFrame
+    caches AND rdd-level persists such as localCheckpoint blocks)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def rdd_handles_since(spark, before: set[int]) -> list[RDDCacheHandle]:
+    """Releasable handles for every RDD pinned since the ``before``
+    snapshot — how iterative builders tag their final localCheckpoint
+    blocks onto the result they return."""
+    sc = spark.sparkContext
+    return [RDDCacheHandle(sc, i) for i in persistent_rdd_ids(spark) - before]
+
+
+def carry_cache(derived: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Propagate cache-ownership tags from ``sources`` onto ``derived``.
+
+    The tag lives on the Python DataFrame wrapper, so ANY transformation
+    (``.select``, ``.join``, a wrapping builder) silently drops it and
+    ``release_cache`` on the final frame no-ops — the leak ADVICE r4
+    found in q_ann_incremental. Builders/queries that derive a new frame
+    from a tagged one must call this on the result they hand out."""
+    deps: list[DataFrame] = []
+    for s in sources:
+        deps.extend(getattr(s, _ATTR, []))
+    return owns_cache(derived, *deps)
+
+
 def release_cache(result: DataFrame) -> None:
     """Unpersist every cached dependency tagged on ``result``. Safe to
     call on untagged frames and safe to call twice (unpersist of an

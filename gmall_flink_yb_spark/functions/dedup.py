@@ -26,7 +26,13 @@ from __future__ import annotations
 import uuid
 
 from pyspark import StorageLevel
-from gmall_flink_yb_spark.functions.cacheutil import owns_cache
+from gmall_flink_yb_spark.functions.cacheutil import (
+    carry_cache,
+    owns_cache,
+    persistent_rdd_ids,
+    rdd_handles_since,
+    release_cache,
+)
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -868,6 +874,11 @@ def connected_components(
     # (measured 12s of a 19s run at sf0.1)
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     caller = pairs.sparkSession
+    # snapshot pinned-RDD ids: whatever the loop leaves pinned at return
+    # (the final round's localCheckpoint blocks, which back the result and
+    # which DataFrame.unpersist cannot free) is tagged on the result for
+    # cacheutil.release_cache (ADVICE r4 leak class)
+    rdds_before = persistent_rdd_ids(caller)
     loop, lpairs, in_view = _enter_loop_session(pairs, "cc")
     edges = None
     edges_by_dst = None
@@ -956,14 +967,23 @@ def connected_components(
         if edges is not None:
             edges.unpersist()
         pairs.unpersist()
+        # the label loop consumed `pairs` eagerly (edges are persisted and
+        # lineage-truncated above), so any caches a builder tagged on it
+        # (e.g. jaccard_prefix_pairs' shingle frame) are dead weight now —
+        # release here instead of relying on callers to carry the tag
+        # through their own derivations (ADVICE r4)
+        release_cache(pairs)
         caller.catalog.dropGlobalTempView(in_view)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations; raise max_iterations (rounds needed = graph diameter)"
         )
-    return _exit_loop_session(
-        labels.select("node", F.col("label").alias("component")), caller
+    return owns_cache(
+        _exit_loop_session(
+            labels.select("node", F.col("label").alias("component")), caller
+        ),
+        *rdd_handles_since(caller, rdds_before),
     )
 
 
@@ -999,10 +1019,13 @@ def select_canonical(
     w = Window.partitionBy(component).orderBy(
         F.desc("_score"), F.col("_id")
     )
-    return joined.select(
-        F.col("_id").alias(id_col),
-        component.cast("long").alias("component"),
-        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    return carry_cache(
+        joined.select(
+            F.col("_id").alias(id_col),
+            component.cast("long").alias("component"),
+            (F.row_number().over(w) == 1).cast("int").alias("keep"),
+        ),
+        components,  # keep the CC result's checkpoint blocks releasable
     )
 
 
@@ -1037,6 +1060,7 @@ def connected_components_star(
     ~2^max_iterations nodes — never in practice).
     """
     caller = pairs.sparkSession
+    rdds_before = persistent_rdd_ids(caller)  # see connected_components
     _, lpairs, in_view = _enter_loop_session(pairs, "ccs")
     # everything after the view registration lives inside try: an analysis
     # error on a bad id column must still drop the loop-session temp view
@@ -1127,12 +1151,22 @@ def connected_components_star(
         comp.count()
         if cur is not e:
             cur.unpersist()
-        return _exit_loop_session(comp, caller)
+        # tag the result's own persist + any still-pinned checkpoint
+        # blocks (handles for frames the finally below frees anyway are
+        # harmless no-ops at release time)
+        return owns_cache(
+            _exit_loop_session(comp, caller),
+            comp,
+            *rdd_handles_since(caller, rdds_before),
+        )
     finally:
         if nodes is not None:
             nodes.unpersist()
         if e is not None:
             e.unpersist()
+        # pairs fully consumed by the hooking loop: release builder-tagged
+        # caches here, same contract as connected_components (ADVICE r4)
+        release_cache(pairs)
         caller.catalog.dropGlobalTempView(in_view)
 
 

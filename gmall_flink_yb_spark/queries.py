@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from gmall_flink_yb_spark.functions.cacheutil import owns_cache
+from gmall_flink_yb_spark.functions.cacheutil import carry_cache, owns_cache
 from gmall_flink_yb_spark.functions.dedup import (
     connected_components,
     exact_dedup,
@@ -3175,7 +3175,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_valid = F.substring(
         F.md5(comp.cast("string")), 1, 8
     ) < sample_threshold(_SPLIT_VALID_FRACTION)
-    return (
+    return carry_cache(
         docs.select("doc_id")
         .join(
             comps.select(
@@ -3190,7 +3190,8 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_valid, F.lit("valid"))
             .otherwise(F.lit("train"))
             .alias("split"),
-        )
+        ),
+        comps,  # CC checkpoint blocks, releasable after materialization
     )
 
 
@@ -3395,7 +3396,7 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") > F.col("_half"))
         .drop("_half")
     )
-    return incremental_cosine_dedup(
+    verdicts = incremental_cosine_dedup(
         ex,
         inc,
         "vec_id",
@@ -3404,8 +3405,14 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_ANN_INC_BANDS,
         n_planes=_ANN_INC_PLANES,
         dim=_LSH_DIM,
-    ).select(
-        F.col("id").alias("vec_id"), "keep", "dup_of", "cos_sim"
+    )
+    # carry the cache-ownership tag through the rename so release_cache on
+    # the registered result actually frees the builder's persists (ADVICE r4)
+    return carry_cache(
+        verdicts.select(
+            F.col("id").alias("vec_id"), "keep", "dup_of", "cos_sim"
+        ),
+        verdicts,
     )
 
 
