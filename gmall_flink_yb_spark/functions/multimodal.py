@@ -16,14 +16,16 @@ metadata (routing, filtering, sampling decisions) must select around
 when referenced).
 
 The actual codec work runs behind ``use_real_codecs=True``: image decode
-and resize are implemented via pillow WHEN IMPORTABLE (the import is
-probed up front so a missing dependency fails at plan time, not inside an
-executor task), and raise a clearly-marked NotImplementedError otherwise —
-this container ships no codec libraries, so tests pytest.importorskip and
-skip visibly. The default path uses a deterministic fake payload format
-(FAKE_HEADER below) so the Spark-side plumbing — schema, batching,
-partitioning, multi-row emission — is real and testable end-to-end either
-way. Audio/video codecs (av) remain stubbed.
+and resize prefer pillow WHEN IMPORTABLE (probed at plan time so the code
+path is fixed before any executor task runs) and otherwise fall back to
+the bundled pure-Python PNG codec (``functions/png.py``, VERDICT r04 #4)
+— real PNG bytes decode and resize in this codec-free container, and
+non-PNG payloads hit the same undecodable contract (zeroed metadata /
+resize passthrough) as corrupt bytes. The default path uses a
+deterministic fake payload format (FAKE_HEADER below) so the Spark-side
+plumbing — schema, batching, partitioning, multi-row emission — is real
+and testable end-to-end either way. Audio/video codecs (av) remain
+stubbed: no pure-Python fallback is practical for them.
 
 Fake payload format (deterministic, oracle-friendly):
     bytes 0..3   magic b"FMM1"
@@ -114,36 +116,49 @@ def decode_media_headers_sql(df: DataFrame) -> DataFrame:
     )
 
 
-def _require_pillow() -> None:
-    """Probe the codec dependency at PLAN time (driver) so a missing
-    library is a clear error, not a per-task executor traceback."""
+def _have_pillow() -> bool:
+    """Probe the preferred codec at PLAN time (driver) so the chosen code
+    path is fixed before any executor task runs. When pillow is absent the
+    real-codec path falls back to the bundled pure-Python PNG codec
+    (``functions/png.py``) — PNG payloads decode/resize for real; other
+    formats hit the same undecodable contract (zeroed metadata / resize
+    passthrough) they would hit as corrupt bytes."""
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "use_real_codecs=True needs pillow, which is not installed in "
-            "this environment; the deterministic fake-payload path "
-            "(use_real_codecs=False) exercises the same Spark plumbing"
-        ) from exc
+
+        return True
+    except ImportError:
+        return False
 
 
 def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """Parse each payload into typed metadata columns.
 
-    Real mode (pillow importable): `content` is treated as an encoded
-    image (PNG/JPEG/...); width/height come from the actual decoder, and
-    payloads pillow cannot open get zeroed metadata — same kept-row
-    contract as the fake path, so downstream dirty-data routing is
-    identical. Fake mode parses the FMM1 header. Both are Arrow
-    batch-at-a-time mapInPandas with the same output schema.
+    Real mode: `content` is treated as an encoded image; width/height come
+    from an actual decoder — pillow when importable (any format it knows),
+    else the bundled pure-Python PNG codec (PNG only; an IHDR-only probe,
+    no decompression). Payloads the decoder cannot open get zeroed
+    metadata — same kept-row contract as the fake path, so downstream
+    dirty-data routing is identical. Fake mode parses the FMM1 header.
+    Both are Arrow batch-at-a-time mapInPandas with the same output
+    schema.
     """
     if use_real_codecs:
-        _require_pillow()
+        pillow = _have_pillow()
 
         def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import io
 
-            from PIL import Image
+            from gmall_flink_yb_spark.functions.png import png_size
+
+            if pillow:
+                from PIL import Image
+
+                def _size(b: bytes) -> tuple[int, int]:
+                    with Image.open(io.BytesIO(b)) as im:
+                        return im.size
+            else:
+                _size = png_size
 
             for pdf in batches:
                 out = pdf[["media_id", "media_type", "content"]].copy()
@@ -151,8 +166,7 @@ def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
                 for buf in pdf["content"]:
                     b = bytes(buf)
                     try:
-                        with Image.open(io.BytesIO(b)) as im:
-                            w, h = im.size
+                        w, h = _size(b)
                     except Exception:
                         w, h = 0, 0  # undecodable -> zeroed metadata
                     widths.append(w)
@@ -197,31 +211,46 @@ def decode_media(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
 def resize_images(
     df: DataFrame, target_w: int, target_h: int, use_real_codecs: bool = False
 ) -> DataFrame:
-    """Resize image payloads to the target dimensions. Real mode decodes
-    with pillow, resizes, and re-encodes as PNG (undecodable payloads pass
-    through untouched); fake mode rewrites the FMM1 header and carries the
-    body through. Only media_type == 'image' rows are transformed; others
-    pass through."""
+    """Resize image payloads to the target dimensions. Real mode decodes,
+    resizes, and re-encodes as PNG — via pillow when importable, else the
+    bundled pure-Python PNG codec (nearest-neighbor resample); undecodable
+    payloads pass through untouched. Fake mode rewrites the FMM1 header
+    and carries the body through. Only media_type == 'image' rows are
+    transformed; others pass through."""
     if use_real_codecs:
-        _require_pillow()
+        pillow = _have_pillow()
 
         def resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import io
 
-            from PIL import Image
+            from gmall_flink_yb_spark.functions import png as _png
 
-            def _one(b: bytes) -> bytes:
-                try:
-                    with Image.open(io.BytesIO(b)) as im:
-                        resized = im.resize((target_w, target_h))
-                    buf = io.BytesIO()
-                    # inside the try: a decodable image whose mode PNG
-                    # can't encode (CMYK JPEG, I;16 TIFF) must also pass
-                    # through, not fail the task
-                    resized.save(buf, format="PNG")
-                    return buf.getvalue()
-                except Exception:
-                    return b  # undecodable/unencodable -> unchanged
+            if pillow:
+                from PIL import Image
+
+                def _one(b: bytes) -> bytes:
+                    try:
+                        with Image.open(io.BytesIO(b)) as im:
+                            resized = im.resize((target_w, target_h))
+                        buf = io.BytesIO()
+                        # inside the try: a decodable image whose mode PNG
+                        # can't encode (CMYK JPEG, I;16 TIFF) must also
+                        # pass through, not fail the task
+                        resized.save(buf, format="PNG")
+                        return buf.getvalue()
+                    except Exception:
+                        return b  # undecodable/unencodable -> unchanged
+            else:
+
+                def _one(b: bytes) -> bytes:
+                    try:
+                        return _png.encode_png(
+                            _png.resize_nearest(
+                                _png.decode_png(b), target_w, target_h
+                            )
+                        )
+                    except Exception:
+                        return b  # non-PNG/undecodable -> unchanged
 
             for pdf in batches:
                 out = pdf.copy()
