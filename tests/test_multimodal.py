@@ -95,47 +95,60 @@ def test_header_scan_matches_pandas_decode(media):
         assert node not in plan, f"header scan forked Python: {node}"
 
 
-def test_real_codec_missing_dep_raises_clearly(media):
-    """Without pillow the real path must fail at PLAN time with a clear
-    message (not a per-task executor traceback); with pillow installed the
-    real tests below run instead."""
-    try:
-        import PIL.Image  # noqa: F401
-
-        pytest.skip("pillow installed: real-codec path covered below")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="pillow"):
-        decode_media(media, use_real_codecs=True)
-    with pytest.raises(NotImplementedError, match="pillow"):
-        resize_images(media, 224, 224, use_real_codecs=True)
-
-
 def test_real_codec_decode_and_resize(spark):
-    """Real-codec path: decode an actual PNG's dimensions and resize it.
-    Skips visibly when pillow is absent (this container ships no codecs) —
-    same skipped-not-silent discipline as the Kafka broker tests."""
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
+    """Real-codec path, executed through Spark on a genuine PNG. Runs in
+    every environment: pillow decodes any PNG and the bundled pure-Python
+    codec (``functions/png.py``) decodes the one we build here, so whichever
+    branch ``_have_pillow`` picks, the mapInPandas pipeline must produce the
+    same dimensions — plus the undecodable-passthrough contract (mirrors
+    the dirty-record side-output discipline of the reference's BaseLogApp)."""
+    import numpy as np
 
-    im = PIL_Image.new("RGB", (32, 20), (200, 10, 10))
-    buf = io.BytesIO()
-    im.save(buf, format="PNG")
-    png = buf.getvalue()
+    from gmall_flink_yb_spark.functions import png as _png
+
+    arr = np.zeros((20, 32, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200  # solid-ish RGB so resample has real pixels
+    arr[5:15, 8:24, 1] = 90
+    png_bytes = _png.encode_png(arr)
+    assert _png.png_size(png_bytes) == (32, 20)
+
     df = spark.createDataFrame(
-        [(1, "image", png), (2, "image", b"not-an-image")],
+        [(1, "image", png_bytes), (2, "image", b"not-an-image")],
         "media_id long, media_type string, content binary",
     )
     rows = {r["media_id"]: r for r in decode_media(df, use_real_codecs=True).collect()}
     assert (rows[1]["width"], rows[1]["height"]) == (32, 20)
     assert (rows[2]["width"], rows[2]["height"]) == (0, 0)  # kept, zeroed
+    assert rows[2]["body_bytes"] == len(b"not-an-image")
 
     resized = decode_media(
         resize_images(df, 8, 8, use_real_codecs=True), use_real_codecs=True
     )
     rrows = {r["media_id"]: r for r in resized.collect()}
     assert (rrows[1]["width"], rrows[1]["height"]) == (8, 8)
+    # the resized payload is itself a decodable PNG
+    out_arr = _png.decode_png(bytes(rrows[1]["content"]))
+    assert out_arr.shape == (8, 8, 3)
     assert bytes(rrows[2]["content"]) == b"not-an-image"  # passthrough
+
+
+def test_real_codec_non_image_rows_untouched_by_resize(spark):
+    """resize_images must only rewrite media_type == 'image' rows even in
+    real-codec mode; audio/video payloads pass through byte-identical."""
+    import numpy as np
+
+    from gmall_flink_yb_spark.functions import png as _png
+
+    png_bytes = _png.encode_png(np.full((4, 6, 3), 7, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, "image", png_bytes), (2, "audio", png_bytes), (3, "video", b"vv")],
+        "media_id long, media_type string, content binary",
+    )
+    out = {r["media_id"]: bytes(r["content"])
+           for r in resize_images(df, 2, 2, use_real_codecs=True).collect()}
+    assert _png.png_size(out[1]) == (2, 2)
+    assert out[2] == png_bytes  # audio: byte-identical passthrough
+    assert out[3] == b"vv"
 
 
 def test_resize_only_touches_images(media):
