@@ -13,6 +13,17 @@ of the same key (any event, not just entries):
 - if the next event within the window is a non-entry page   -> NOT a bounce
   (the session continued).
 One ``lead() over (partition by key order by ts)`` — a single shuffle.
+
+Scale note (the bot-device mid skew, BaseLogApp.java:74): this operator is
+ORDER-DEPENDENT per key — bounce needs every consecutive-event gap of the
+key's full sequence on one task — so salting (operators/skew.py) cannot
+apply: splitting a key's rows across tasks severs the adjacency the lead()
+reads. The scale mitigation is upstream: drop pathological devices before
+the shuffle with ``skew.hot_keys(events, key_col, share_threshold)``
+(a bot emitting 40% of all events is not a visitor whose bounce rate you
+want anyway). In the streaming form per-key STATE is constant (one pending
+entry), so memory is safe regardless; only batch wall-clock needs the
+filter.
 """
 
 from __future__ import annotations

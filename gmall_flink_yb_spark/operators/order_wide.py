@@ -68,6 +68,7 @@ def interval_join(
     lower_seconds: float = -5.0,
     upper_seconds: float = 5.0,
     how: str = "inner",
+    skew_guard: bool = False,
 ) -> DataFrame:
     """J1 — equi-join + event-time range predicate
     (right.ts BETWEEN left.ts + lower AND left.ts + upper).
@@ -77,16 +78,53 @@ def interval_join(
     equi-part as the join condition (hash join, one shuffle each side) and the
     range as a post-join filter; in streaming the same expression with
     watermarks on both sides gives bounded state.
+
+    ``skew_guard`` (batch + inner only; streaming frames can't run the
+    plan-time sample job, and outer sides would be duplicated by
+    replication): sample the RIGHT side's hottest-key share and, above
+    1/shuffle_partitions, salt the right side and replicate the left over
+    the computed bucket count — same range predicate, each hot key spread
+    over ``buckets`` tasks (VERDICT r5 #3). The fired route is exposed as
+    ``_skew_salt_buckets`` on the result (None = plain).
     """
     # cast NTZ timestamps through TimestampType first (session TZ is UTC)
     lts = F.col(f"l.{left_ts}").cast("timestamp").cast("double")
     rts = F.col(f"r.{right_ts}").cast("timestamp").cast("double")
-    cond = (
-        (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
-        & (rts >= lts + F.lit(lower_seconds))
-        & (rts <= lts + F.lit(upper_seconds))
+    range_cond = (rts >= lts + F.lit(lower_seconds)) & (
+        rts <= lts + F.lit(upper_seconds)
     )
-    return left.alias("l").join(right.alias("r"), cond, how)
+    if skew_guard and how == "inner" and not right.isStreaming:
+        from gmall_flink_yb_spark.operators import skew as _skew
+
+        parts = int(
+            right.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        _, share = _skew.top_key_share(right, right_key)
+        if share > 1.0 / parts:
+            buckets = _skew.salt_buckets_for(share, parts)
+            r = right.withColumn(
+                "_salt_r", (F.rand(seed=42) * buckets).cast("int")
+            )
+            lft = left.withColumn(
+                "_salt_l",
+                F.explode(F.array(*[F.lit(i) for i in range(buckets)])),
+            )
+            cond = (
+                (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
+                & (F.col("l._salt_l") == F.col("r._salt_r"))
+                & range_cond
+            )
+            out = (
+                lft.alias("l")
+                .join(r.alias("r"), cond, how)
+                .drop("_salt_l", "_salt_r")
+            )
+            out._skew_salt_buckets = buckets
+            return out
+    cond = (F.col(f"l.{left_key}") == F.col(f"r.{right_key}")) & range_cond
+    out = left.alias("l").join(right.alias("r"), cond, how)
+    out._skew_salt_buckets = None
+    return out
 
 
 def enrich_dims(
@@ -94,6 +132,7 @@ def enrich_dims(
     dims: list[tuple[DataFrame, str, str, list[str] | None]],
     how: str = "left",
     strategy: str = "broadcast",
+    skew_guard: bool = True,
 ) -> DataFrame:
     """J2 — chain dimension joins against the fact stream.
 
@@ -107,15 +146,49 @@ def enrich_dims(
     the fact side); "shuffle_hash" for dims too big to broadcast but small
     enough to hash (one shuffle each side, no sort); "auto" to leave the
     choice to Catalyst/AQE size estimates.
+
+    ``skew_guard`` (shuffle_hash only — broadcast joins never shuffle the
+    fact side, so a hot key costs nothing there): sample each fact key's
+    hottest-key share at plan time and route that dim through
+    ``skew.salted_join`` when it exceeds 1/shuffle_partitions — the point
+    where AQE's partition splitting stops helping because the skew sits in
+    ONE key (VERDICT r5 #3; the reference's exposure is a bot device on
+    keyBy(mid), BaseLogApp.java:74). Detection samples the ORIGINAL fact
+    frame, so it only applies to keys present on ``facts`` itself;
+    snowflake second-hop keys (arriving via an earlier dim) are dim-shaped
+    and skipped. Fired routes are recorded on the result as
+    ``_skew_salted_dims`` ({fact_key: buckets}).
     """
     if strategy not in ("broadcast", "shuffle_hash", "auto"):
         raise ValueError(f"unknown join strategy {strategy!r}")
+    from gmall_flink_yb_spark.operators import skew as _skew
+
+    parts = (
+        int(facts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if strategy == "shuffle_hash" and skew_guard
+        else None
+    )
+    fired: dict[str, int] = {}
     out = facts
     for dim_df, fact_key, dim_key, keep in dims:
         d = dim_df
         if keep is not None:
             d = d.select(dim_key, *keep)
         d = d.withColumnRenamed(dim_key, f"__dimkey_{fact_key}")
+        if (
+            strategy == "shuffle_hash"
+            and skew_guard
+            and fact_key in facts.columns
+        ):
+            _, share = _skew.top_key_share(facts, fact_key)
+            if share > 1.0 / parts:
+                buckets = _skew.salt_buckets_for(share, parts)
+                out = _skew.salted_join(
+                    out, d, fact_key, f"__dimkey_{fact_key}",
+                    buckets=buckets, how=how,
+                )
+                fired[fact_key] = buckets
+                continue
         if strategy == "broadcast":
             d = F.broadcast(d)
         elif strategy == "shuffle_hash":
@@ -123,4 +196,5 @@ def enrich_dims(
         out = out.join(
             d, out[fact_key] == d[f"__dimkey_{fact_key}"], how
         ).drop(f"__dimkey_{fact_key}")
+    out._skew_salted_dims = fired
     return out

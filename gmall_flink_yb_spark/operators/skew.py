@@ -33,6 +33,8 @@ mitigate upstream by dropping bot devices, the reference's exposure
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,3 +94,126 @@ def salted_agg(
     return partial.groupBy(*key_cols).agg(
         *[F.sum(f"_p_{name}").alias(name) for name in aggs]
     )
+
+
+# ---------------------------------------------------------------------------
+# Detection + automatic routing (VERDICT r4 #5 / r5 #3): the decision rule
+# documented above, wired so shuffling callers apply it without hand-tuning.
+# ---------------------------------------------------------------------------
+
+def top_key_share(
+    df: DataFrame,
+    key_col: str,
+    sample_fraction: float = 0.05,
+    seed: int = 42,
+) -> tuple[object, float]:
+    """(hottest key value, estimated row share) from a Bernoulli sample.
+
+    One small eager job at plan-build time: scan ``key_col`` only (column
+    pruning reaches the parquet scan), sample, hash-aggregate, take the
+    max — the aggregate output is one row per DISTINCT sampled key, so the
+    job is bounded by key cardinality, not input rows. A 5% sample puts
+    the share estimate for any key big enough to matter (>1/parts of the
+    data) within a few relative percent; keys too rare to sample reliably
+    are by construction keys AQE can already handle.
+
+    Returns ``(None, 0.0)`` on an empty (or empty-after-sampling) frame.
+    """
+    s = (
+        df.select(key_col)
+        if sample_fraction >= 1.0
+        else df.select(key_col).sample(fraction=sample_fraction, seed=seed)
+    )
+    top = (
+        s.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.max_by(F.col(key_col), F.col("_n")).alias("k"),
+            F.max("_n").alias("n"),
+            F.sum("_n").alias("total"),
+        )
+        .first()
+    )
+    if top is None or top["total"] is None or top["total"] == 0:
+        return None, 0.0
+    return top["k"], float(top["n"]) / float(top["total"])
+
+
+def _shuffle_partitions(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def salt_buckets_for(share: float, shuffle_partitions: int) -> int:
+    """buckets ~= ceil(share * parts * 2) — spreads the hot key back to
+    roughly average-partition size with 2x headroom (module docstring)."""
+    return max(2, math.ceil(share * shuffle_partitions * 2))
+
+
+def skew_aware_join(
+    facts: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    how: str = "inner",
+    sample_fraction: float = 0.05,
+) -> DataFrame:
+    """Measure-then-route shuffle join: plain equi-join below the skew
+    threshold, :func:`salted_join` above it.
+
+    The documented rule: a single key holding more than 1/shuffle_partitions
+    of the fact rows is a straggler AQE cannot split (a partition holding
+    ONE giant key is unsplittable), so it gets salted over
+    ``salt_buckets_for(share, parts)`` buckets. Detection is one sampled
+    aggregate over the fact key column at plan-build time. Output contract
+    matches :func:`salted_join` either way: fact columns + build columns
+    minus the build key. The chosen route is exposed on the result as
+    ``_skew_salt_buckets`` (None = plain) for tests/observability.
+    """
+    parts = _shuffle_partitions(facts)
+    _, share = top_key_share(facts, fact_key, sample_fraction)
+    if share > 1.0 / parts:
+        out = salted_join(
+            facts,
+            build,
+            fact_key,
+            build_key,
+            buckets=salt_buckets_for(share, parts),
+            how=how,
+        )
+        out._skew_salt_buckets = salt_buckets_for(share, parts)
+        return out
+    out = facts.join(
+        build, facts[fact_key] == build[build_key], how
+    ).drop(build[build_key])
+    out._skew_salt_buckets = None
+    return out
+
+
+def hot_keys(
+    df: DataFrame,
+    key_col: str,
+    share_threshold: float,
+    sample_fraction: float = 0.05,
+    seed: int = 42,
+) -> list:
+    """Key values whose sampled row share exceeds ``share_threshold`` —
+    the upstream bot-device filter for per-key ORDER-DEPENDENT operators
+    (bounce/CEP, per-key sequence windows) that salting cannot help: their
+    semantics need the key's full event sequence on one task, so the only
+    scale mitigation is dropping pathological keys before the shuffle (the
+    reference's exposure: one bot mid melting a keyBy(mid) subtask,
+    BaseLogApp.java:74). Bounded output: at most 1/share_threshold keys
+    can exceed the threshold."""
+    s = (
+        df.select(key_col)
+        if sample_fraction >= 1.0
+        else df.select(key_col).sample(fraction=sample_fraction, seed=seed)
+    )
+    agg = s.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = agg.agg(F.sum("_n")).first()[0]
+    if not total:
+        return []
+    rows = agg.filter(
+        F.col("_n") > F.lit(float(share_threshold) * float(total))
+    ).collect()
+    return [r[key_col] for r in rows]

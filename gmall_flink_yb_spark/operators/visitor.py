@@ -15,9 +15,12 @@ Reference:
   (We key on civil date rather than a processing-time TTL — documented
   deliberate improvement, SURVEY.md §7.4.2.)
 
-Scale note: both are single hash-shuffle window functions on the key — the
-same partitioning, so when composed Catalyst reuses one exchange. Skewed mids
-(bot devices) are handled by AQE skew-join/partition splitting.
+Scale note: ST1 is a single hash-shuffle window function on the key. ST2
+defaults to a min_by hash AGGREGATE (strategy="agg"): its map-side partial
+merge collapses hot mids before the shuffle, so bot-device skew
+(BaseLogApp.java:74's keyBy(mid) exposure) never reaches a reducer — see
+``unique_visitors_batch``'s strategy docstring and operators/skew.py for
+the decision rule the join paths use.
 """
 
 from __future__ import annotations
@@ -57,6 +60,7 @@ def unique_visitors_batch(
     entry_filter=None,
     date_col=None,
     order_cols: list | None = None,
+    strategy: str = "agg",
 ) -> DataFrame:
     """ST2 — keep the first session-entry per (key, civil day).
 
@@ -64,11 +68,30 @@ def unique_visitors_batch(
     (the reference keeps rows with null/empty last_page_id,
     UniqueVisitApp.java:78-81). ``date_col``: Column for the civil date
     (defaults to ``to_date(ts_col)``).
+
+    ``strategy`` (VERDICT r5 #3 — the uv mid-key skew path): the default
+    "agg" computes the argmin as ``min_by(whole_row, (ts, *order_cols))``
+    under a hash aggregate, whose MAP-SIDE partial merge collapses a hot
+    key to one row per map task before the shuffle — a 40%-hot bot mid
+    arrives at its reducer as <= n_map_tasks rows instead of 40% of the
+    data, so the operator is skew-immune WITHOUT salting (and without the
+    per-key full sort the window form pays). "window" keeps the
+    row_number() formulation (same answer; useful when the plan already
+    carries the (key, date) sort for a neighboring window).
     """
+    if strategy not in ("agg", "window"):
+        raise ValueError(f"unknown uv strategy {strategy!r}")
     df = events if entry_filter is None else events.filter(entry_filter)
     the_date = date_col if date_col is not None else F.to_date(F.col(ts_col))
     df = df.withColumn("_uv_date", the_date)
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    if strategy == "agg":
+        payload = F.struct(*[F.col(c) for c in df.columns])
+        return (
+            df.groupBy(F.col(key_col).alias("_k"), F.col("_uv_date").alias("_d"))
+            .agg(F.min_by(payload, F.struct(*order)).alias("_row"))
+            .select("_row.*")
+        )
     w = Window.partitionBy(F.col(key_col), F.col("_uv_date")).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -290,3 +290,121 @@ def test_hot_shingle_generates_no_prefix_candidates(spark):
     assert _jaccard_prefix_candidates(toks, 0.5).count() == 0
     # and the full operator returns no pairs (ground truth: J ~= 0.25 < t)
     assert jaccard_prefix_pairs(docs, "doc_id", "text", 0.5).count() == 0
+
+
+def test_skew_aware_join_salts_hot_key_and_not_flat(spark):
+    """The wired decision rule (VERDICT r5 #3): a 40%-hot fact key must
+    route through the salted plan; a flat key distribution must keep the
+    plain join. Both routes must produce the plain join's exact answer."""
+    from gmall_flink_yb_spark.operators.skew import skew_aware_join, top_key_share
+
+    hot = _hot_key_events(spark, n=20_000, hot_share=0.4).select(
+        F.col("mid"), F.col("event_id")
+    )
+    flat = _hot_key_events(spark, n=20_000, hot_share=0.0).select(
+        F.col("mid"), F.col("event_id")
+    )
+    build = spark.createDataFrame(
+        [("hot", "bot")] + [(f"m{i}", f"dev{i}") for i in range(200)],
+        ["dev_mid", "label"],
+    )
+
+    salted = skew_aware_join(hot, build, "mid", "dev_mid", how="left")
+    assert salted._skew_salt_buckets is not None and salted._skew_salt_buckets >= 2
+    plain = skew_aware_join(flat, build, "mid", "dev_mid", how="left")
+    assert plain._skew_salt_buckets is None
+
+    expected = (
+        hot.join(build, hot["mid"] == build["dev_mid"], "left")
+        .groupBy("label").count()
+    )
+    got = salted.groupBy("label").count()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # the estimate that drove the decision is in the right ballpark
+    _, share = top_key_share(hot, "mid")
+    assert 0.3 < share < 0.5
+
+
+def test_enrich_dims_skew_guard_fires_on_hot_key(spark):
+    """enrich_dims(strategy='shuffle_hash') with a 40%-hot fact key must
+    salt that dim join (and record it); a flat distribution must not."""
+    from gmall_flink_yb_spark.operators.order_wide import enrich_dims
+
+    hot = _hot_key_events(spark, n=20_000, hot_share=0.4)
+    flat = _hot_key_events(spark, n=20_000, hot_share=0.0)
+    dim = spark.createDataFrame(
+        [("hot", "bot")] + [(f"m{i}", f"dev{i}") for i in range(200)],
+        ["dev_mid", "label"],
+    )
+    dims = [(dim, "mid", "dev_mid", ["label"])]
+
+    salted = enrich_dims(hot, dims, how="left", strategy="shuffle_hash")
+    assert list(salted._skew_salted_dims) == ["mid"]
+    plain = enrich_dims(flat, dims, how="left", strategy="shuffle_hash")
+    assert plain._skew_salted_dims == {}
+
+    expected = enrich_dims(hot, dims, how="left", strategy="broadcast")
+    assert sorted(
+        map(tuple, salted.groupBy("label").count().collect())
+    ) == sorted(map(tuple, expected.groupBy("label").count().collect()))
+
+
+def test_interval_join_skew_guard(spark):
+    """interval_join(skew_guard=True) on a hot right key salts (right
+    salted, left replicated) and matches the plain answer; flat stays
+    plain; streaming/outer joins never sample."""
+    import datetime
+
+    from gmall_flink_yb_spark.operators.order_wide import interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("hot", base), ("m1", base), ("m2", base)], ["k", "lts"]
+    )
+    right = _hot_key_events(spark, n=20_000, hot_share=0.4).select(
+        F.col("mid").alias("rk"), F.col("ts").alias("rts")
+    )
+    j = interval_join(
+        left, right, "k", "rk", "lts", "rts",
+        lower_seconds=0.0, upper_seconds=3600.0, skew_guard=True,
+    )
+    assert j._skew_salt_buckets is not None
+    plain = interval_join(
+        left, right, "k", "rk", "lts", "rts",
+        lower_seconds=0.0, upper_seconds=3600.0,
+    )
+    assert plain._skew_salt_buckets is None
+    assert j.count() == plain.count()
+    assert "_salt_l" not in j.columns and "_salt_r" not in j.columns
+
+
+def test_uv_agg_strategy_matches_window(spark):
+    """The skew-immune min_by-aggregate uv form must pick the same first
+    rows as the row_number window form (deterministic: order includes the
+    unique event_id)."""
+    from gmall_flink_yb_spark.operators.visitor import unique_visitors_batch
+
+    ev = _hot_key_events(spark, n=10_000, hot_share=0.5)
+    kw = dict(key_col="mid", ts_col="ts", order_cols=["event_id"])
+    agg_rows = sorted(
+        (r["mid"], str(r["_uv_date"]), r["event_id"])
+        for r in unique_visitors_batch(ev, strategy="agg", **kw).collect()
+    )
+    win_rows = sorted(
+        (r["mid"], str(r["_uv_date"]), r["event_id"])
+        for r in unique_visitors_batch(ev, strategy="window", **kw).collect()
+    )
+    assert agg_rows == win_rows and len(agg_rows) > 0
+
+
+def test_hot_keys_detector(spark):
+    """hot_keys: returns exactly the pathological devices (the upstream
+    bounce/CEP mitigation — salting can't help order-dependent windows)."""
+    from gmall_flink_yb_spark.operators.skew import hot_keys
+
+    ev = _hot_key_events(spark, n=20_000, hot_share=0.4)
+    ks = hot_keys(ev, "mid", share_threshold=0.1)
+    assert ks == ["hot"]
+    assert hot_keys(ev, "mid", share_threshold=0.9) == []
