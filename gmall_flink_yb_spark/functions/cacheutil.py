@@ -56,8 +56,15 @@ def persistent_rdd_ids(spark) -> set[int]:
 
 def rdd_handles_since(spark, before: set[int]) -> list[RDDCacheHandle]:
     """Releasable handles for every RDD pinned since the ``before``
-    snapshot — how iterative builders tag their final localCheckpoint
-    blocks onto the result they return."""
+    snapshot.
+
+    HAZARD (ADVICE r5): the diff is CONTEXT-WIDE — any frame another
+    query/thread persists on the shared context inside the window gets
+    captured, and releasing its blocks can make someone else's truncated-
+    lineage frame permanently unusable. The iterative builders therefore
+    no longer use this; they read each checkpoint's RDD id off its own
+    plan (``dedup._truncate_lineage`` returns the handle). Only safe on a
+    context you know is otherwise idle (tests/tools)."""
     sc = spark.sparkContext
     return [RDDCacheHandle(sc, i) for i in persistent_rdd_ids(spark) - before]
 

@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gmall_flink_yb_spark.functions.cacheutil import owns_cache
 from gmall_flink_yb_spark.functions.dedup import _truncate_lineage
 from gmall_flink_yb_spark.functions.similarity import _as_double, cosine
 
@@ -172,7 +173,7 @@ def _fit_distributed(
     iteration carries n rows, not n*k. Each iteration's k-row centroid
     frame is eagerly materialized (lineage truncated) — otherwise round
     i's plan would chain i full corpus scans."""
-    cent_df = _truncate_lineage(
+    cent_df, handle = _truncate_lineage(
         init.select(F.col("id").alias("ccid"), F.col("vec").alias("cv"))
     )
     for it in range(n_iterations):
@@ -195,8 +196,12 @@ def _fit_distributed(
             .agg(F.avg("x").alias("c"), F.count(F.lit(1)).alias("n"))
         )
         if it == n_iterations - 1:
-            return _shape_state(state)
-        cent_df = _truncate_lineage(
+            # the returned plan still references this round's cent_df
+            # checkpoint blocks (state is lazy) — tag the handle on the
+            # result for cacheutil.release_cache instead of freeing here
+            out = _shape_state(state)
+            return owns_cache(out, handle) if handle is not None else out
+        cent_df, new_handle = _truncate_lineage(
             state.groupBy(F.col("cid").alias("ccid")).agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "c"))),
@@ -204,4 +209,7 @@ def _fit_distributed(
                 ).alias("cv")
             )
         )
+        if handle is not None:
+            handle.unpersist()  # previous round's k-row checkpoint blocks
+        handle = new_handle
     raise AssertionError("unreachable")

@@ -27,10 +27,9 @@ import uuid
 
 from pyspark import StorageLevel
 from gmall_flink_yb_spark.functions.cacheutil import (
+    RDDCacheHandle,
     carry_cache,
     owns_cache,
-    persistent_rdd_ids,
-    rdd_handles_since,
     release_cache,
 )
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -40,8 +39,18 @@ from gmall_flink_yb_spark.functions.text import doc_fingerprint
 from gmall_flink_yb_spark.operators.keywords import tokenize
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame) -> tuple[DataFrame, "RDDCacheHandle | None"]:
     """Materialize ``df`` and truncate its lineage, durably when possible.
+
+    Returns ``(truncated_df, handle)`` where ``handle`` releases the
+    localCheckpoint blocks backing the result (None on the reliable-
+    checkpoint path, whose files live on the checkpoint dir, not the block
+    manager). The id is read off the checkpointed plan's own LogicalRDD —
+    NOT a context-wide pinned-RDD diff — so concurrent queries persisting
+    frames on the shared context can never be tagged onto (and later
+    force-unpersisted by) this loop's release path (ADVICE r5, medium).
+    Freeing the handle makes the frame NON-RECOMPUTABLE (the lineage was
+    truncated), so it must only fire after every consumer is done.
 
     ``localCheckpoint`` stores blocks on executors only — an executor loss
     mid-loop kills an iterative job on a real cluster. When the context has
@@ -64,8 +73,18 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         out = cached.checkpoint(eager=True)
         cached.unpersist()
-        return out
-    return df.localCheckpoint(eager=True)
+        return out, None
+    out = df.localCheckpoint(eager=True)
+    handle = None
+    try:
+        # the checkpointed plan is a LogicalRDD wrapping exactly the RDD
+        # whose blocks localCheckpoint pinned
+        rid = out._jdf.queryExecution().analyzed().rdd().id()
+        handle = RDDCacheHandle(sc, int(rid))
+    except Exception:
+        pass  # plan-shape drift across Spark versions: leak-on-release
+        # beats force-unpersisting a wrong id
+    return out, handle
 
 
 def _enter_loop_session(src: DataFrame, tag: str) -> tuple[SparkSession, DataFrame, str]:
@@ -896,20 +915,31 @@ def connected_components(
     Returns (node, component) where component is the minimum node id
     reachable from `node`. Only nodes that appear in `pairs` are returned
     (isolated docs are their own trivial component — callers left-join).
+
+    Cache contract (ADVICE r5): the result is BACKED by the final round's
+    truncated-lineage checkpoint blocks, tagged for
+    ``cacheutil.release_cache``. Releasing frees those blocks and the
+    frame cannot be recomputed afterwards — call release only once every
+    consumer has materialized what it needs.
     """
     # persist pairs FIRST: the symmetrize-union reads it twice, and without
     # this the entire upstream pair-generation pipeline executes twice
     # (measured 12s of a 19s run at sf0.1)
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     caller = pairs.sparkSession
-    # snapshot pinned-RDD ids: whatever the loop leaves pinned at return
-    # (the final round's localCheckpoint blocks, which back the result and
-    # which DataFrame.unpersist cannot free) is tagged on the result for
-    # cacheutil.release_cache (ADVICE r4 leak class)
-    rdds_before = persistent_rdd_ids(caller)
     loop, lpairs, in_view = _enter_loop_session(pairs, "cc")
     edges = None
     edges_by_dst = None
+    # each round's localCheckpoint handle is tracked EXPLICITLY off its
+    # own plan (ADVICE r5, medium: a context-wide pinned-RDD diff would
+    # tag — and later force-unpersist — frames persisted concurrently by
+    # other queries on the shared context). The previous round's blocks
+    # are freed as soon as the next round is materialized, so loop block
+    # memory is O(1) rounds, and only the FINAL round's handle survives,
+    # tagged on the result for cacheutil.release_cache. NOTE: the result
+    # is backed by those truncated-lineage blocks, so release_cache makes
+    # it permanently unusable — release only after consumers are done.
+    cur_handle = None
     try:
         edges = (
             lpairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -976,19 +1006,26 @@ def connected_components(
             # long loops. One job per round either way; durable when a
             # checkpoint dir is set.
             )
-            new_labels = _truncate_lineage(new_labels)
+            new_labels, new_handle = _truncate_lineage(new_labels)
             changed = (
                 new_labels.agg(
                     F.sum(F.col("_changed").cast("long")).alias("c")
                 ).collect()[0]["c"]
                 or 0
             )
-            old = labels
+            old, old_handle = labels, cur_handle
             labels = new_labels.drop("_changed")
-            old.unpersist()
+            cur_handle = new_handle
+            old.unpersist()  # round-0 persist; no-op on checkpointed rounds
+            if old_handle is not None:
+                old_handle.unpersist()  # previous round's checkpoint blocks
             if changed == 0:
                 converged = True
                 break
+    except BaseException:
+        if cur_handle is not None:
+            cur_handle.unpersist()
+        raise
     finally:
         if edges_by_dst is not None:
             edges_by_dst.unpersist()
@@ -1003,6 +1040,8 @@ def connected_components(
         release_cache(pairs)
         caller.catalog.dropGlobalTempView(in_view)
     if not converged:
+        if cur_handle is not None:
+            cur_handle.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations; raise max_iterations (rounds needed = graph diameter)"
@@ -1011,7 +1050,7 @@ def connected_components(
         _exit_loop_session(
             labels.select("node", F.col("label").alias("component")), caller
         ),
-        *rdd_handles_since(caller, rdds_before),
+        *( [cur_handle] if cur_handle is not None else [] ),
     )
 
 
@@ -1088,14 +1127,16 @@ def connected_components_star(
     ~2^max_iterations nodes — never in practice).
     """
     caller = pairs.sparkSession
-    rdds_before = persistent_rdd_ids(caller)  # see connected_components
     _, lpairs, in_view = _enter_loop_session(pairs, "ccs")
     # everything after the view registration lives inside try: an analysis
     # error on a bad id column must still drop the loop-session temp view
-    # and any persists (the min-label variant has the same structure)
+    # and any persists (the min-label variant has the same structure).
+    # Checkpoint handles are tracked per round off each round's own plan
+    # (see connected_components — no context-wide pinned-RDD diff).
     e = nodes = None
     prev_sig = None
     converged = False
+    cur_handle = None
     try:
         h0 = F.greatest(F.col(id_a), F.col(id_b))
         l0 = F.least(F.col(id_a), F.col(id_b))
@@ -1141,7 +1182,7 @@ def connected_components_star(
             # planning). Durable checkpoint when the context has a
             # checkpoint dir (cluster), executor-local otherwise; lineage
             # stays O(1) per round in either mode.
-            new_e = _truncate_lineage(
+            new_e, new_handle = _truncate_lineage(
                 j.where(F.col("l") != F.col("mn"))
                 .select(F.col("l").alias("h"), F.col("mn").alias("l"))
                 .union(j.select("h", F.col("mn").alias("l")))
@@ -1155,7 +1196,10 @@ def connected_components_star(
             sig = (sig_row["n"], sig_row["s"])
             if cur is not e:
                 cur.unpersist()
+            if cur_handle is not None:
+                cur_handle.unpersist()  # previous round's checkpoint blocks
             cur = new_e
+            cur_handle = new_handle
             if sig == prev_sig:
                 converged = True
                 break
@@ -1179,14 +1223,24 @@ def connected_components_star(
         comp.count()
         if cur is not e:
             cur.unpersist()
-        # tag the result's own persist + any still-pinned checkpoint
-        # blocks (handles for frames the finally below frees anyway are
-        # harmless no-ops at release time)
+        # keep the final round's checkpoint blocks alive and tagged: the
+        # rebound caller-session frame re-analyzes the plan through a temp
+        # view, and its execution may recompute comp's join from cur's
+        # LogicalRDD instead of hitting comp's persist — freeing the
+        # blocks here broke exactly that collect. release_cache frees
+        # both (and makes the result non-recomputable — same
+        # release-after-consumption contract as connected_components).
+        final_handle = cur_handle
+        cur_handle = None  # success: don't free in the except path
         return owns_cache(
             _exit_loop_session(comp, caller),
             comp,
-            *rdd_handles_since(caller, rdds_before),
+            *([final_handle] if final_handle is not None else []),
         )
+    except BaseException:
+        if cur_handle is not None:
+            cur_handle.unpersist()
+        raise
     finally:
         if nodes is not None:
             nodes.unpersist()

@@ -2349,6 +2349,13 @@ def q_interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="l_shipdate",
         lower_seconds=0.0,
         upper_seconds=30 * 24 * 3600.0,
+        # production skew wiring (VERDICT r5 #3): sample the lineitem key
+        # share at plan time; a hot l_orderkey (>1/shuffle_partitions of
+        # rows) flips this join to the salted form. TPC-H keys are flat,
+        # so here the sample is the only added work and the plan is
+        # unchanged — the salted route is exercised by
+        # tests/test_merge_skew.py on a 40%-hot synthetic key.
+        skew_guard=True,
     )
     return j.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
@@ -4403,11 +4410,14 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = kmeans_fit_assign(
         emb, n_clusters=_KMEANS_K, n_iterations=2
     )
-    return state.select(
-        "cluster_id",
-        "n_members",
-        "dim",
-        F.round("c", 6).alias("c"),
+    return carry_cache(
+        state.select(
+            "cluster_id",
+            "n_members",
+            "dim",
+            F.round("c", 6).alias("c"),
+        ),
+        state,  # large-k path tags its final checkpoint blocks
     )
 
 

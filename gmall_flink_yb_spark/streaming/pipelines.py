@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 from typing import Callable
 
 from pyspark.errors import AnalysisException
@@ -297,9 +298,16 @@ def _read_dim_manifest(
         return None
     gen = max(gens) if gen is None else gen
     fs, jpath = _hadoop_fs(spark, _dim_manifest_file(path, gen))
-    text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-        fs.open(jpath), "UTF-8"
-    )
+    # close the stream explicitly (ADVICE r5): this runs per micro-batch
+    # in long-lived CDC drivers, and IOUtils.toString does not close its
+    # input — leaving it to GC finalization leaks file handles.
+    stream = fs.open(jpath)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
     m = json.loads(text)
     m["gen"] = gen
     m["buckets"] = {int(k): int(v) for k, v in m.get("buckets", {}).items()}
@@ -312,23 +320,23 @@ def _write_dim_manifest(
     gen: int,
     n_buckets: int,
     buckets: dict[int, int],
+    schema_json: str | None = None,
 ) -> None:
     """Publish generation ``gen``: create-new (never overwrite-in-place),
     so the manifest becomes visible atomically — readers either resolve
-    the previous generation or this one, never a torn state."""
+    the previous generation or this one, never a torn state.
+    ``schema_json`` (the writer's row schema) lets readers return a typed
+    empty frame when no bucket has ever received a row."""
     fs, jpath = _hadoop_fs(spark, _dim_manifest_file(path, gen))
+    payload = {
+        "n_buckets": n_buckets,
+        "buckets": {str(k): v for k, v in sorted(buckets.items())},
+    }
+    if schema_json is not None:
+        payload["schema"] = schema_json
     out = fs.create(jpath, False)
     try:
-        out.write(
-            bytearray(
-                json.dumps(
-                    {
-                        "n_buckets": n_buckets,
-                        "buckets": {str(k): v for k, v in sorted(buckets.items())},
-                    }
-                ).encode("utf-8")
-            )
-        )
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
     finally:
         out.close()
 
@@ -369,6 +377,13 @@ def read_dim_parquet(spark: SparkSession, path: str) -> DataFrame:
     if m is None:
         return spark.read.parquet(path)
     if not m["buckets"]:
+        # an all-empty-upserts table: the gen dir holds no parquet files,
+        # so a path read would fail schema inference (ADVICE r5). The
+        # manifest records the writer's schema for exactly this case.
+        if m.get("schema"):
+            return spark.createDataFrame(
+                [], schema=StructType.fromJson(json.loads(m["schema"]))
+            )
         return spark.read.parquet(f"{path.rstrip('/')}/gen={m['gen']}")
     paths = [
         f"{path.rstrip('/')}/gen={g}/_pk_bucket={b}"
@@ -421,6 +436,12 @@ def upsert_dim_parquet(
     same code is correct against HDFS/S3A, not just local disk. Production
     target is Delta/Iceberg ``MERGE INTO`` either way — this is the same
     snapshot-manifest idea those formats implement with richer metadata.
+
+    Concurrency contract: SINGLE WRITER per dim table (one CDC driver per
+    sink, the reference's deployment shape); readers are unlimited and
+    snapshot-isolated. A second concurrent writer deterministically fails
+    its publish (staging-dir rename or create-new manifest) without
+    corrupting the winner's generation.
     """
     manifest = _read_dim_manifest(spark, path)
     if manifest is not None:
@@ -477,12 +498,34 @@ def upsert_dim_parquet(
     else:
         merged = new_rows
         gen, prev_buckets = 1, {}
+    # Collision safety (ADVICE r5): the store assumes a SINGLE writer (one
+    # CDC driver per dim table — the reference's one-job-per-sink layout),
+    # with the create-new manifest as the commit point. Defense in depth
+    # for a misconfigured second writer: the gen dir is written to a
+    # unique staging dir and renamed into place, so a racing loser fails
+    # at the rename (or at the manifest create) WITHOUT ever writing
+    # inside a gen dir the winner already published — mode("overwrite")
+    # straight onto gen=N+1 could clobber the winner's files after its
+    # manifest was live.
     gen_dir = f"{base}/gen={gen}"
-    merged.write.mode("overwrite").partitionBy("_pk_bucket").parquet(gen_dir)
+    staging = f"{base}/.staging-gen{gen}-{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").partitionBy("_pk_bucket").parquet(staging)
+    fs, _ = _hadoop_fs(spark, base)
+    jstaging = spark._jvm.org.apache.hadoop.fs.Path(staging)
+    jgen = spark._jvm.org.apache.hadoop.fs.Path(gen_dir)
+    if hadoop_path_exists(spark, gen_dir) or not fs.rename(jstaging, jgen):
+        fs.delete(jstaging, True)
+        raise RuntimeError(
+            f"dim upsert lost a publish race for {gen_dir}: another writer "
+            "created this generation first (the store is single-writer; "
+            "see upsert_dim_parquet docstring)"
+        )
     buckets = dict(prev_buckets)
     for d in hadoop_child_dirs(spark, gen_dir, "_pk_bucket="):
         buckets[int(d.split("=", 1)[1])] = gen
-    _write_dim_manifest(spark, path, gen, n_buckets, buckets)
+    _write_dim_manifest(
+        spark, path, gen, n_buckets, buckets, schema_json=merged.schema.json()
+    )
     if legacy:
         # clear superseded legacy files (one-time; concurrent readers of a
         # PRE-manifest layout have no snapshot guarantee to preserve)

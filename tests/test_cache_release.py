@@ -29,6 +29,15 @@ def _n_persistent(spark) -> int:
 )
 def test_no_cached_rdds_survive_release(spark, name):
     spark.catalog.clearCache()
+    # hermetic precondition: other test FILES legitimately leave
+    # localCheckpoint blocks behind (they don't release_cache results
+    # they only collect once), and clearCache can't see RDD-level
+    # persists — force-free them so this test measures ITS query only
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
     assert _n_persistent(spark) == 0
     df = QUERIES[name](spark, SF_DIR)
     df.count()

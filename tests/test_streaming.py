@@ -1636,3 +1636,31 @@ def test_keyword_zh_segmenter_stream_matches_batch(spark, tmp_path):
     assert g == e
     # segmentation really happened: multi-char dictionary words counted
     assert sum(n for (_, tok), n in e.items() if tok == "手机壳") == 2
+
+
+def test_dim_upsert_empty_first_batch_reads_typed_empty(spark, tmp_path):
+    """ADVICE r5: a table whose only upserts carried zero rows has a
+    manifest with an empty bucket map and a gen dir with no parquet files.
+    The reader must return a typed EMPTY frame (schema from the manifest),
+    not fail schema inference — and a later real upsert must work."""
+    from pyspark.sql import Row
+
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_dim_parquet,
+        upsert_dim_parquet,
+    )
+
+    path = str(tmp_path / "dim_empty")
+    empty = spark.createDataFrame([], "id string, payload string")
+    upsert_dim_parquet(spark, empty, path, "id", n_buckets=4)
+
+    df = read_dim_parquet(spark, path)
+    assert df.count() == 0
+    assert set(df.columns) >= {"id", "payload"}
+
+    upsert_dim_parquet(
+        spark, spark.createDataFrame([Row(id="1", payload="v1")]), path,
+        "id", n_buckets=4,
+    )
+    got = {r["id"]: r["payload"] for r in read_dim_parquet(spark, path).collect()}
+    assert got == {"1": "v1"}
