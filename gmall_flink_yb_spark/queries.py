@@ -5484,28 +5484,46 @@ ORACLES: dict[str, str] = {
 
 # ---------------------------------------------------------------------------
 # Driver-gate rotation. The per-round CORRECTNESS harness samples the FIRST
-# ~50 registry entries in insertion order, so everything registered later
-# never gets the hard driver signal. Round-5 ordering: the 10 queries that
-# never got a driver row across r01-r04 (VERDICT r04 "missing" #1) lead the
-# registry, followed by queries newly added this round, then everything
-# else in original order. Full-surface coverage evidence for the back half
-# is the committed `tools/check_oracle.py --vanilla` run
-# (ORACLE_FULL_r05.txt).
+# ~50 registry entries in insertion order, so entries further back only get
+# re-gated when rotated forward. Every registry entry has had a green
+# driver row in some round (union r01-r05 — VERDICT r05); rotation now
+# serves FRESHNESS: round 6 fronts the 60 queries whose last driver gate
+# was r03/r04 (everything NOT in CORRECTNESS_r05's 50-query sample, in
+# original order), so their rows refresh against current code; the 50
+# r5-gated queries follow. Full-surface coverage evidence for whatever sits
+# outside the gate window is the committed `tools/check_oracle.py
+# --vanilla` run over all 110 on this round's HEAD (ORACLE_FULL_r06.txt).
 # ---------------------------------------------------------------------------
 
-_R05_FRONT = [
-    # never driver-checked, r01-r04 union (close the rotation):
-    "q22_global_sales_opportunity", "unigram_lm", "source_overlap",
-    "embedding_outliers", "revenue_mom", "ts_motif_topk", "sax_motifs",
-    "returning_users_daily", "basket_pairs", "leakage_safe_split",
-    # new in round 5 (no driver row or vanilla history yet):
+_R06_FRONT = [
+    # last driver gate r03/r04 (not sampled by CORRECTNESS_r05):
+    "multimodal_feature_dedup", "decontam_overlap", "span_dup",
+    "doc_chunks", "domain_mix", "embed_quantize", "similarity_topk_int8",
+    "distinctive_terms", "dedup_incremental", "semantic_dedup",
+    "chunk_dedup", "quality_classifier", "funnel_conversion",
+    "retention_cohorts", "seq_pack", "source_token_caps", "dsir_affinity",
+    "cm_heavy_hitters", "profile_documents", "bloom_semi_join",
+    "zorder_cells", "kmeans_clusters", "shard_manifest", "events_pivot",
+    "value_percentiles_approx", "q3_shipping_priority", "q5_local_supplier",
+    "q18_large_orders", "dedup_canonical", "value_histogram",
+    "revenue_cube", "running_revenue", "top_orders_per_nation",
+    "customers_without_orders", "uv_daily_approx", "q4_late_orders",
+    "winnow_overlap", "bpe_pair_counts", "bpe_merges", "bpe_encode",
+    "q14_promo_revenue", "keyword_hourly", "q6_forecast_revenue",
+    "q7_volume_shipping", "q10_returned_items", "q13_order_distribution",
+    "q8_market_share", "q9_product_profit", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_discount_revenue",
+    "q20_excess_shipments_suppliers", "q21_waiting_suppliers",
+    "q2_min_cost_supplier", "q11_important_parts",
+    "q12_late_priority_lines", "q16_supplier_part_distribution",
+    "multimodal_header_scan", "revenue_trailing_7d", "ann_incremental",
 ]
 
 QUERIES = {
-    **{k: QUERIES[k] for k in _R05_FRONT if k in QUERIES},
-    **{k: v for k, v in QUERIES.items() if k not in _R05_FRONT},
+    **{k: QUERIES[k] for k in _R06_FRONT if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in _R06_FRONT},
 }
 ORACLES = {
-    **{k: ORACLES[k] for k in _R05_FRONT if k in ORACLES},
-    **{k: v for k, v in ORACLES.items() if k not in _R05_FRONT},
+    **{k: ORACLES[k] for k in _R06_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in _R06_FRONT},
 }
