@@ -355,3 +355,142 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(embed, "media_id long, embedding array<double>")
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV/PCM metadata (VERDICT r05 #8). The codec itself is the
+# bundled pure-stdlib RIFF parser (functions/wav.py) — unlike images there
+# is no optional C library to prefer, so the "real" path is always on.
+# ---------------------------------------------------------------------------
+
+def synthesize_wav(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic real-WAV audio table from the documents fixture:
+    each doc becomes a silent PCM16 payload with n_frames = char count,
+    sample_rate = 8000 + (id % 4) * 4000, channels = 1 + (id // 4) % 2 —
+    derivable from (id, text) in any engine, so decode queries are
+    oracle-checkable without shipping audio fixtures. Payload bytes are
+    written by ``wav.encode_wav`` inside an Arrow batch (the one place
+    Python is required: SQL cannot emit binary PCM)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from gmall_flink_yb_spark.functions.wav import encode_wav
+
+        for pdf in batches:
+            out = pd.DataFrame()
+            out["media_id"] = pdf[id_col].astype("int64")
+            out["media_type"] = "audio"
+            contents = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                n = len(t or "")
+                rate = 8000 + (int(i) % 4) * 4000
+                ch = 1 + (int(i) // 4) % 2
+                contents.append(
+                    encode_wav(np.zeros((n, ch), dtype=np.int16), rate)
+                )
+            out["content"] = contents
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, "media_id long, media_type string, content binary"
+    )
+
+
+AUDIO_SCHEMA = (
+    "media_id long, media_type string, sample_rate int, n_channels int, "
+    "bits_per_sample int, n_frames long, duration_ms long"
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Parse each payload's WAV header into typed audio metadata columns
+    (sample_rate, n_channels, bits_per_sample, n_frames, duration_ms).
+
+    Arrow batch-at-a-time mapInPandas over ``wav.wav_info`` — header-only,
+    no sample decode. Undecodable payloads (non-RIFF, compressed codecs
+    this container can't read) get zeroed metadata with the row KEPT,
+    the same dirty-data contract as ``decode_media``. The payload column
+    is dropped on output: audio metadata scans shouldn't carry PCM bodies
+    through the rest of the plan."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gmall_flink_yb_spark.functions.wav import wav_info
+
+        for pdf in batches:
+            out = pdf[["media_id", "media_type"]].copy()
+            rates, chans, bits, frames, durs = [], [], [], [], []
+            for buf in pdf["content"]:
+                try:
+                    r, c, b, n = wav_info(bytes(buf))
+                    d = (1000 * n) // r
+                except Exception:
+                    r = c = b = n = d = 0
+                rates.append(r)
+                chans.append(c)
+                bits.append(b)
+                frames.append(n)
+                durs.append(d)
+            out["sample_rate"] = pd.Series(rates, dtype="int32")
+            out["n_channels"] = pd.Series(chans, dtype="int32")
+            out["bits_per_sample"] = pd.Series(bits, dtype="int32")
+            out["n_frames"] = pd.Series(frames, dtype="int64")
+            out["duration_ms"] = pd.Series(durs, dtype="int64")
+            yield out
+
+    return df.mapInPandas(parse, AUDIO_SCHEMA)
+
+
+def decode_audio_headers_sql(df: DataFrame) -> DataFrame:
+    """Zero-Python audio metadata scan for CANONICAL WAV files (the
+    44-byte-header layout ``encode_wav`` and most PCM writers emit: fmt
+    chunk at offset 12, data chunk at 36). Same motivation as
+    ``decode_media_headers_sql``: at 100 TB the dominant workload is
+    metadata filtering, and a fixed-offset header parse has no business
+    forking Python workers. Little-endian fields are assembled by
+    concatenating per-byte hex in reverse order inside whole-stage
+    codegen. Non-canonical-but-valid WAVs (extra LIST/fact chunks before
+    ``data``) zero out here — route those through ``decode_audio``, the
+    general chunk-walking path (parity on canonical files is
+    pytest-asserted)."""
+    c = F.col("content")
+
+    def le(pos: int, nbytes: int):  # little-endian uint at 1-based offset
+        return F.conv(
+            F.concat(
+                *[
+                    F.lpad(F.hex(F.substring(c, pos + i, 1)), 2, "0")
+                    for i in range(nbytes - 1, -1, -1)
+                ]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    tag = le(21, 2)
+    rate = le(25, 4)
+    block_align = le(33, 2)
+    ok = (
+        (F.length(c) >= 44)
+        & (F.substring(c, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(c, 9, 8) == F.lit(b"WAVEfmt "))
+        & (F.substring(c, 37, 4) == F.lit(b"data"))
+        & tag.isin(1, 3)
+        & (rate > 0)
+        & (block_align > 0)
+    )
+    n_frames = F.floor(le(41, 4) / block_align).cast("long")
+    z = F.lit(0)
+    return df.select(
+        "media_id",
+        "media_type",
+        F.when(ok, rate.cast("int")).otherwise(z.cast("int")).alias("sample_rate"),
+        F.when(ok, le(23, 2).cast("int")).otherwise(z.cast("int")).alias("n_channels"),
+        F.when(ok, le(35, 2).cast("int")).otherwise(z.cast("int")).alias("bits_per_sample"),
+        F.when(ok, n_frames).otherwise(z.cast("long")).alias("n_frames"),
+        F.when(ok, F.floor(n_frames * 1000 / rate).cast("long"))
+        .otherwise(z.cast("long"))
+        .alias("duration_ms"),
+    )

@@ -45,11 +45,13 @@ from gmall_flink_yb_spark.functions.similarity import (
     semantic_dedup,
 )
 from gmall_flink_yb_spark.functions.multimodal import (
+    decode_audio,
     decode_media,
     decode_media_headers_sql,
     extract_features,
     sample_frames,
     synthesize_media,
+    synthesize_wav,
 )
 from gmall_flink_yb_spark.functions.text import (
     LANG_MARKERS,
@@ -3543,6 +3545,41 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio-codec path (VERDICT r05 #8): ``synthesize_wav`` writes
+    genuine RIFF/PCM16 payloads whose parameters derive arithmetically
+    from (doc_id, text); ``decode_audio`` parses them back with the
+    bundled pure-stdlib WAV chunk walker (functions/wav.py). The oracle
+    recomputes the expected metadata directly from the documents table,
+    so hash equality proves the encode -> header-parse round trip —
+    sample rate, channel count, frame count, and floor-division duration
+    all survive the binary container."""
+    docs = read_table(spark, sf_dir, "documents")
+    meta = decode_audio(synthesize_wav(docs))
+    return (
+        meta.groupBy("sample_rate", "n_channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_frames").alias("sum_frames"),
+            F.sum("duration_ms").alias("sum_duration_ms"),
+            F.sum("bits_per_sample").cast("long").alias("sum_bits"),
+        )
+        .orderBy("sample_rate", "n_channels")
+    )
+
+
+SQL_AUDIO_METADATA = """
+SELECT CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+       CAST(1 + (doc_id // 4) % 2 AS INTEGER) AS n_channels,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_frames,
+       CAST(SUM((1000 * length(text)) // (8000 + (doc_id % 4) * 4000))
+            AS BIGINT) AS sum_duration_ms,
+       CAST(SUM(16) AS BIGINT) AS sum_bits
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _FRAME_STRIDE = 32
 
 
@@ -5348,6 +5385,7 @@ QUERIES: dict[str, QueryFn] = {
     "q12_late_priority_lines": q_q12_late_priority_lines,
     "q16_supplier_part_distribution": q_q16_supplier_part_distribution,
     "multimodal_header_scan": q_multimodal_header_scan,
+    "audio_metadata": q_audio_metadata,
     "revenue_trailing_7d": q_revenue_trailing_7d,
     "ann_incremental": q_ann_incremental,
     "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
@@ -5467,6 +5505,7 @@ ORACLES: dict[str, str] = {
     "q12_late_priority_lines": SQL_Q12_LATE_PRIORITY_LINES,
     "q16_supplier_part_distribution": SQL_Q16_SUPPLIER_PART_DISTRIBUTION,
     "multimodal_header_scan": SQL_MULTIMODAL_HEADER_SCAN,
+    "audio_metadata": SQL_AUDIO_METADATA,
     "revenue_trailing_7d": SQL_REVENUE_TRAILING_7D,
     "ann_incremental": SQL_ANN_INCREMENTAL,
     "q22_global_sales_opportunity": SQL_Q22_GLOBAL_SALES_OPPORTUNITY,
@@ -5496,6 +5535,8 @@ ORACLES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 _R06_FRONT = [
+    # new in round 6 (no driver history yet):
+    "audio_metadata",
     # last driver gate r03/r04 (not sampled by CORRECTNESS_r05):
     "multimodal_feature_dedup", "decontam_overlap", "span_dup",
     "doc_chunks", "domain_mix", "embed_quantize", "similarity_topk_int8",
