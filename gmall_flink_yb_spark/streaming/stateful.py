@@ -116,7 +116,10 @@ def detect_bounce_stream(
             return pd.DataFrame(
                 {
                     key_col: [mid] * len(ts_list),
-                    ts_col: pd.to_datetime(ts_list, unit="s"),
+                    # round to Spark's microsecond precision: float-seconds
+                    # noise below 1 us otherwise makes the ns->us Arrow
+                    # cast "unsafe" and fails the task
+                    ts_col: pd.to_datetime(ts_list, unit="s").round("us"),
                 }
             )
 
