@@ -163,6 +163,8 @@ def enrich_dims(
         raise ValueError(f"unknown join strategy {strategy!r}")
     from gmall_flink_yb_spark.operators import skew as _skew
 
+    skew_guard = skew_guard and not facts.isStreaming  # no plan-time
+    # sample job on a streaming frame; streaming dim joins broadcast
     parts = (
         int(facts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         if strategy == "shuffle_hash" and skew_guard
