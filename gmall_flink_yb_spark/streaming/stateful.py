@@ -54,13 +54,24 @@ def correct_is_new_stream(
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf) == 0:
+        # per-GROUP cost is the scale bound at high key cardinality (one
+        # call per key per micro-batch — tools/bench_state.py): avoid
+        # pandas machinery that a typical 1-row group doesn't need
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
             return
-        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
-        pdf["is_new_fixed"] = "0"
-        if not state.exists and str(pdf.loc[0, is_new_col]) == "1":
-            pdf.loc[0, "is_new_fixed"] = "1"
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        if len(pdf) > 1:
+            pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(
+                drop=True
+            )
+        first_new = not state.exists and str(pdf[is_new_col].iloc[0]) == "1"
+        fixed = ["0"] * len(pdf)
+        if first_new:
+            fixed[0] = "1"
+        pdf = pdf.assign(is_new_fixed=fixed)
         state.update((1,))
         yield pdf[cols]
 
@@ -132,12 +143,20 @@ def detect_bounce_stream(
                 yield emit([pending])
             return
 
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        if len(pdf) > 1:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+        # vectorized epoch-seconds once per group: per-value
+        # Timestamp.timestamp() calls dominate small-group cost
+        ts_secs = pdf[ts_col].to_numpy("datetime64[ns]").astype("int64") / 1e9
         pending = state.get[0] if state.exists else None
         bounced: list[float] = []
-        for ts_val, entry in zip(pdf[ts_col], pdf[entry_col]):
-            ts_s = ts_val.timestamp()
+        for ts_s, entry in zip(ts_secs, pdf[entry_col].to_numpy()):
             if pending is not None:
                 gap = ts_s - pending
                 if gap > win:
@@ -146,7 +165,7 @@ def detect_bounce_stream(
                     bounced.append(pending)  # matched bounce (re-entry)
                 pending = None  # non-entry within window: session continued
             if entry and pending is None:
-                pending = ts_s
+                pending = float(ts_s)  # plain float for state serialization
         if pending is not None:
             state.update((pending,))
             deadline_ms = int(pending * 1000) + int(win * 1000)
