@@ -98,23 +98,41 @@ def build_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]:
     base.write.mode("overwrite").parquet(
         os.path.join(one_dir, "documents.parquet")
     )
-    replicas = [
-        base.select(
-            (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
-            F.regexp_replace("text", r"([a-zA-Z0-9]+)", f"$1s{r}").alias(
-                "text"
-            ),
-            *[
-                c
-                for c in base.columns
-                if c not in ("doc_id", "text")
-            ],
+    if REPLICAS > 32:
+        # large-replica fast path (1000x runs): an N-way union makes an
+        # N-branch plan the driver chokes on; a crossJoin with a replica
+        # range plus COLUMN-valued regexp replacement builds the same
+        # salted corpus in one branch
+        reps = base.sparkSession.range(REPLICAS).select(
+            F.col("id").alias("_rep")
         )
-        for r in range(REPLICAS)
-    ]
-    ten = replicas[0]
-    for rep in replicas[1:]:
-        ten = ten.unionByName(rep)
+        ten = base.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_rep") * ID_STRIDE).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"([a-zA-Z0-9]+)"),
+                F.concat(F.lit("$1s"), F.col("_rep").cast("string")),
+            ).alias("text"),
+            *[c for c in base.columns if c not in ("doc_id", "text")],
+        )
+    else:
+        replicas = [
+            base.select(
+                (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+                F.regexp_replace("text", r"([a-zA-Z0-9]+)", f"$1s{r}").alias(
+                    "text"
+                ),
+                *[
+                    c
+                    for c in base.columns
+                    if c not in ("doc_id", "text")
+                ],
+            )
+            for r in range(REPLICAS)
+        ]
+        ten = replicas[0]
+        for rep in replicas[1:]:
+            ten = ten.unionByName(rep)
     ten.repartition(32).write.mode("overwrite").parquet(
         os.path.join(ten_dir, "documents.parquet")
     )
@@ -148,6 +166,20 @@ def _replicate(df, id_cols: list[str]):
     each replica keeps its internal join/grouping structure and replicas
     never collide (orderkeys still join within a replica; user streams
     stay intact per replica)."""
+    if REPLICAS > 32:
+        # see build_corpora: single-branch crossJoin replication for
+        # large replica counts
+        reps = df.sparkSession.range(REPLICAS).select(
+            F.col("id").alias("_rep")
+        )
+        return df.crossJoin(F.broadcast(reps)).select(
+            *[
+                (F.col(c) + F.col("_rep") * ID_STRIDE).alias(c)
+                if c in id_cols
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
     replicas = [
         df.select(
             *[
