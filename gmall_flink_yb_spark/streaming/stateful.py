@@ -12,6 +12,16 @@ watermark-bounded — every pending entry either resolves on the next event or
 is evicted by its event-time timer, so state size is O(active sessions), not
 O(history). This is exactly the bounded-state discipline the reference's ST1
 lacks (unbounded ValueState per device, BaseLogApp.java:80-82; SURVEY.md §4.2).
+
+Measured (tools/bench_state.py, BASELINE.md "Round-6 streaming state-size
+stress"): in-heap state is ~185-205 B/key regardless of payload (UnsafeRow +
+versioned-map overhead; ~2x with the store's default two retained versions),
+so 10M keys is a few GB — budget ~0.4 GB per 1M resident keys per executor
+and move to the RocksDB state store provider past a few GB per executor.
+Batch wall-clock is LINEAR in distinct keys (one Python call per key per
+micro-batch — the applyInPandasWithState group protocol is the floor), so
+at 10M+ active keys the lever is executor count, or the batch forms in
+operators/visitor which run as plain aggregates.
 """
 
 from __future__ import annotations
