@@ -142,12 +142,19 @@ def build_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]:
 def build_embedding_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]:
     """1x and 10x embeddings corpora for the ANN corpus-scaling slope.
 
-    Replicas are verbatim copies under shifted vec_ids: the slope experiment
-    pins the QUERY side to the 1x query set (corpus scaling is the 100 TB
-    question; the registered queries' %50 query rule would otherwise grow
-    the query side 10x too and measure a 100x workload, mis-grading linear
-    operators). Tie-heavy top-k results from identical copies don't matter
-    here — only the timing does.
+    Replicas are SALTED with a per-replica deterministic sign flip per
+    dimension (the embedding analog of the text corpus's per-replica word
+    suffix): flipping the same dimensions on both vectors of a pair leaves
+    every intra-replica cosine bit-identical, while cross-replica cosines
+    become ~0 (each dimension's product keeps its sign with probability
+    1/2 under an independent flip pattern). Verbatim copies would instead
+    put all N copies of a vector in the SAME SRP bucket at any banding —
+    every true near-dup clique grows N-fold and candidate PAIRS grow N^2 —
+    a quadratic-input benchmark that mis-grades the both-sides-scaling
+    incremental stage (measured: at --replicas 1000 the verbatim clique
+    floor is ~7.5e8 vector-carrying pairs, which spills out this box's
+    disk at ANY n_planes). The pinned-query top-k stages never noticed
+    because their pair count is corpus x queries, not corpus x corpus.
     """
     base = read_table(spark, sf_dir, "embeddings")
     one_dir = os.path.join(out_dir, "escale1x")
@@ -155,9 +162,26 @@ def build_embedding_corpora(spark, sf_dir: str, out_dir: str) -> tuple[str, str]
     base.write.mode("overwrite").parquet(
         os.path.join(one_dir, "embeddings.parquet")
     )
-    _replicate(base, ["vec_id"]).repartition(32).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(ten_dir, "embeddings.parquet"))
+    replicated = _replicate(base, ["vec_id"])
+    # sign(rep, dim) = +/-1 from a hash of the replica tag and dimension
+    # index; _rep is recovered from the vec_id stride so this stays one
+    # codegen'd projection regardless of replica count.
+    rep = (F.col("vec_id") / F.lit(ID_STRIDE)).cast("long")
+    salted = replicated.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * F.when(rep == 0, F.lit(1.0))  # replica 0 stays verbatim so
+            # pinned-query top-k stages keep their organic match structure
+            .when(
+                F.pmod(F.xxhash64(rep, i), F.lit(2)) == 0, F.lit(-1.0)
+            ).otherwise(F.lit(1.0)),
+        ),
+    )
+    salted.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(ten_dir, "embeddings.parquet")
+    )
     return one_dir, ten_dir
 
 
@@ -254,6 +278,12 @@ def _ann_stages(queries_df):
         # large corpus the P=8 random-collision floor (B*n^2/2^P)
         # dominates candidates; P=16 divides the floor by 256
         ("ann_incremental_p16", lambda c: _ann_incremental_stage(c, 16)),
+        # the rule's large-corpus setting (srp_band_buckets sizing note:
+        # 24-32 planes at 10^7-10^9 rows): at --replicas 1000 (1M vectors
+        # per side) log2(n)=20, so P=16 still leaves a ~1.2e8-pair random
+        # floor whose vector-carrying shuffle exceeds this box's disk —
+        # P=24 is the honest banding for that tier
+        ("ann_incremental_p24", lambda c: _ann_incremental_stage(c, 24)),
     ]
 
 
@@ -359,6 +389,7 @@ def main() -> None:
         stage_names = [
             "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
             "ann_incremental", "ann_incremental_p16",
+            "ann_incremental_p24",
         ]
         if args.only:
             keep_ann = set(args.only.split(","))
