@@ -336,21 +336,39 @@ def jaccard_prefix_pairs(
     # Cost structure (VERDICT r05 #2): the cap machinery is NOT free — the
     # r5 always-on form (extra per-doc count + join before collect_list +
     # the union with the row-join branch) cost +53% at sf0.1 even though
-    # no doc came near the cap. So the over-cap plan is now GATED at plan
-    # time on one tiny aggregate: ``sizes`` (one row per doc, persisted)
-    # answers "does any doc exceed the cap?" with a take(1); in the normal
-    # no-mega-doc case the verification plan is byte-identical to the
-    # uncapped form (docsets straight off ``toks``, no cap filter, no
-    # union), and the gate's aggregate doubles as the eager materializer
-    # of the shared ``toks`` cache the self-join needs anyway.
-    sizes = (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("_sz"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    has_big = bool(
-        sizes.filter(F.col("_sz") > verify_array_cap).take(1)
-    )
+    # no doc came near the cap. The over-cap plan is therefore GATED at
+    # plan time, in two tiers so the normal case never touches the
+    # shingle subtree before the main job:
+    #   1. necessary condition on the RAW frame: a doc with more than
+    #      ``cap`` DISTINCT shingles has more than ``cap`` tokens, and
+    #      every token costs >= 1 char + 1 separator, so its text is at
+    #      least ``2*cap - 1`` chars. One codegen'd max(length(text))
+    #      over the input (no explode, no window — at sf0.1 ~50 ms, and
+    #      at any scale a single narrow column agg) clears every normal
+    #      corpus. The r5 gate ran the exact probe below unconditionally,
+    #      which shingles + aggregates the whole corpus as a separate
+    #      blocking job: measured ~+1.1 s at sf0.1 — most of the
+    #      regression the gate was meant to remove.
+    #   2. only if tier 1 fires: the exact per-doc shingle count
+    #      (``sizes``, one row per doc) answers "does any doc actually
+    #      exceed the cap?" with a take(1).
+    # In the no-mega-doc case the verification plan is byte-identical to
+    # the uncapped r4 form (docsets straight off ``toks``, no cap filter,
+    # no union, no extra jobs).
+    max_len = df.select(
+        F.max(F.length(F.col(text_col).cast("string"))).alias("_ml")
+    ).first()["_ml"]
+    sizes = None
+    has_big = False
+    if max_len is not None and max_len >= 2 * verify_array_cap - 1:
+        sizes = (
+            toks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        has_big = bool(
+            sizes.filter(F.col("_sz") > verify_array_cap).take(1)
+        )
 
     def _array_verify(c: DataFrame, dsets: DataFrame) -> DataFrame:
         return (
@@ -425,8 +443,9 @@ def jaccard_prefix_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold),
-        toks,  # caller releases via cacheutil.release_cache
-        sizes,
+        # caller releases via cacheutil.release_cache; sizes only exists
+        # when the tier-1 length gate fired
+        *([toks, sizes] if sizes is not None else [toks]),
     )
 
 
