@@ -17,8 +17,9 @@ from gmall_flink_yb_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
 
 
 @pytest.mark.parametrize(
@@ -28,20 +29,19 @@ def _n_persistent(spark) -> int:
      "unigram_lm", "source_overlap", "basket_pairs"],
 )
 def test_no_cached_rdds_survive_release(spark, name):
+    # Measure ONLY this query's pins: snapshot the registry and assert no
+    # NEW ids survive release. The r6 version force-unpersisted EVERY
+    # pre-existing RDD (including localCheckpoint blocks other test files'
+    # session-scoped fixtures still depend on — truncated lineage is not
+    # recomputable), which is exactly the context-wide-release hazard the
+    # cacheutil HAZARD note warns about (ADVICE r6). clearCache only drops
+    # SQL-cache entries, which ARE recomputable, so it stays.
     spark.catalog.clearCache()
-    # hermetic precondition: other test FILES legitimately leave
-    # localCheckpoint blocks behind (they don't release_cache results
-    # they only collect once), and clearCache can't see RDD-level
-    # persists — force-free them so this test measures ITS query only
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in list(jmap.keySet().toArray()):
-        jrdd = jmap.get(rid)
-        if jrdd is not None:
-            jrdd.unpersist(False)
-    assert _n_persistent(spark) == 0
+    before = _persistent_ids(spark)
     df = QUERIES[name](spark, SF_DIR)
     df.count()
     release_cache(df)
-    assert _n_persistent(spark) == 0, (
-        f"{name} leaked persisted RDDs past release_cache"
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, (
+        f"{name} leaked persisted RDDs past release_cache: {sorted(leaked)}"
     )
