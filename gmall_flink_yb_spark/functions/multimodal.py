@@ -41,7 +41,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FAKE_MAGIC = b"FMM1"
@@ -443,6 +443,39 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(parse, AUDIO_SCHEMA)
 
 
+def _wav_le(c: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian uint field at 1-based byte offset ``pos`` of binary
+    column ``c`` — per-byte hex concatenated in reverse order, all inside
+    whole-stage codegen."""
+    return F.conv(
+        F.concat(
+            *[
+                F.lpad(F.hex(F.substring(c, pos + i, 1)), 2, "0")
+                for i in range(nbytes - 1, -1, -1)
+            ]
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _canonical_wav(c: Column) -> Column:
+    """True iff the payload is a canonical 44-byte-header PCM WAV (fmt
+    chunk at offset 12, data chunk at 36, sane PCM fields) — exactly the
+    layout the codegen fast path can parse. Shared by
+    ``decode_audio_headers_sql`` (as its validity gate) and
+    ``scan_audio_metadata`` (as its tier router)."""
+    return (
+        (F.length(c) >= 44)
+        & (F.substring(c, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(c, 9, 8) == F.lit(b"WAVEfmt "))
+        & (F.substring(c, 37, 4) == F.lit(b"data"))
+        & _wav_le(c, 21, 2).isin(1, 3)
+        & (_wav_le(c, 25, 4) > 0)
+        & (_wav_le(c, 33, 2) > 0)
+    )
+
+
 def decode_audio_headers_sql(df: DataFrame) -> DataFrame:
     """Zero-Python audio metadata scan for CANONICAL WAV files (the
     44-byte-header layout ``encode_wav`` and most PCM writers emit: fmt
@@ -454,43 +487,44 @@ def decode_audio_headers_sql(df: DataFrame) -> DataFrame:
     codegen. Non-canonical-but-valid WAVs (extra LIST/fact chunks before
     ``data``) zero out here — route those through ``decode_audio``, the
     general chunk-walking path (parity on canonical files is
-    pytest-asserted)."""
+    pytest-asserted), or use :func:`scan_audio_metadata`, which composes
+    the two automatically."""
     c = F.col("content")
-
-    def le(pos: int, nbytes: int):  # little-endian uint at 1-based offset
-        return F.conv(
-            F.concat(
-                *[
-                    F.lpad(F.hex(F.substring(c, pos + i, 1)), 2, "0")
-                    for i in range(nbytes - 1, -1, -1)
-                ]
-            ),
-            16,
-            10,
-        ).cast("long")
-
-    tag = le(21, 2)
-    rate = le(25, 4)
-    block_align = le(33, 2)
-    ok = (
-        (F.length(c) >= 44)
-        & (F.substring(c, 1, 4) == F.lit(b"RIFF"))
-        & (F.substring(c, 9, 8) == F.lit(b"WAVEfmt "))
-        & (F.substring(c, 37, 4) == F.lit(b"data"))
-        & tag.isin(1, 3)
-        & (rate > 0)
-        & (block_align > 0)
-    )
-    n_frames = F.floor(le(41, 4) / block_align).cast("long")
+    rate = _wav_le(c, 25, 4)
+    block_align = _wav_le(c, 33, 2)
+    ok = _canonical_wav(c)
+    n_frames = F.floor(_wav_le(c, 41, 4) / block_align).cast("long")
     z = F.lit(0)
     return df.select(
         "media_id",
         "media_type",
         F.when(ok, rate.cast("int")).otherwise(z.cast("int")).alias("sample_rate"),
-        F.when(ok, le(23, 2).cast("int")).otherwise(z.cast("int")).alias("n_channels"),
-        F.when(ok, le(35, 2).cast("int")).otherwise(z.cast("int")).alias("bits_per_sample"),
+        F.when(ok, _wav_le(c, 23, 2).cast("int")).otherwise(z.cast("int")).alias("n_channels"),
+        F.when(ok, _wav_le(c, 35, 2).cast("int")).otherwise(z.cast("int")).alias("bits_per_sample"),
         F.when(ok, n_frames).otherwise(z.cast("long")).alias("n_frames"),
         F.when(ok, F.floor(n_frames * 1000 / rate).cast("long"))
         .otherwise(z.cast("long"))
         .alias("duration_ms"),
     )
+
+
+def scan_audio_metadata(df: DataFrame) -> DataFrame:
+    """Two-tier audio metadata scan (VERDICT r6 #7) — the audio twin of the
+    png.py metadata pattern: payloads matching the canonical 44-byte-header
+    WAV layout are parsed entirely inside whole-stage codegen
+    (:func:`decode_audio_headers_sql`); everything else — LIST/fact-chunked
+    but valid WAVs, plus genuinely undecodable bytes — routes through
+    :func:`decode_audio`, the Arrow-batched chunk walker, which gives
+    non-canonical WAVs real metadata and keeps undecodable rows under the
+    zeroed-metadata contract.
+
+    Scale shape: the router predicate is one codegen'd header probe per
+    row; on a 100 TB corpus of PCM exports the Python tier sees only the
+    (typically tiny) non-canonical slice, so no Python worker fork happens
+    on the hot path. Both tiers prune to the same output schema and the
+    union preserves every input row exactly once (the router predicate is
+    deterministic per-row, NULL-safe via the coalesce)."""
+    canonical = _canonical_wav(F.col("content"))
+    fast = decode_audio_headers_sql(df.filter(canonical))
+    slow = decode_audio(df.filter(~F.coalesce(canonical, F.lit(False))))
+    return fast.unionByName(slow)

@@ -45,11 +45,11 @@ from gmall_flink_yb_spark.functions.similarity import (
     semantic_dedup,
 )
 from gmall_flink_yb_spark.functions.multimodal import (
-    decode_audio,
     decode_media,
     decode_media_headers_sql,
     extract_features,
     sample_frames,
+    scan_audio_metadata,
     synthesize_media,
     synthesize_wav,
 )
@@ -3548,14 +3548,16 @@ FROM documents GROUP BY 1 ORDER BY 1
 def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio-codec path (VERDICT r05 #8): ``synthesize_wav`` writes
     genuine RIFF/PCM16 payloads whose parameters derive arithmetically
-    from (doc_id, text); ``decode_audio`` parses them back with the
-    bundled pure-stdlib WAV chunk walker (functions/wav.py). The oracle
-    recomputes the expected metadata directly from the documents table,
-    so hash equality proves the encode -> header-parse round trip —
-    sample rate, channel count, frame count, and floor-division duration
-    all survive the binary container."""
+    from (doc_id, text); ``scan_audio_metadata`` (VERDICT r6 #7) parses
+    them back two-tier — canonical 44-byte headers entirely in
+    whole-stage codegen, anything else through the pure-stdlib WAV chunk
+    walker (functions/wav.py). The oracle recomputes the expected
+    metadata directly from the documents table, so hash equality proves
+    the encode -> header-parse round trip — sample rate, channel count,
+    frame count, and floor-division duration all survive the binary
+    container."""
     docs = read_table(spark, sf_dir, "documents")
-    meta = decode_audio(synthesize_wav(docs))
+    meta = scan_audio_metadata(synthesize_wav(docs))
     return (
         meta.groupBy("sample_rate", "n_channels")
         .agg(
@@ -3569,11 +3571,15 @@ def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_AUDIO_METADATA = """
+-- COALESCE matches the engine's 0-frame contract for NULL text (ADVICE
+-- r6): synthesize_wav writes a 0-frame WAV for NULL, while a bare
+-- SUM(length(text)) would skip the row and go NULL on an all-NULL group.
 SELECT CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
        CAST(1 + (doc_id // 4) % 2 AS INTEGER) AS n_channels,
        CAST(COUNT(*) AS BIGINT) AS n_media,
-       CAST(SUM(length(text)) AS BIGINT) AS sum_frames,
-       CAST(SUM((1000 * length(text)) // (8000 + (doc_id % 4) * 4000))
+       CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS sum_frames,
+       CAST(SUM((1000 * COALESCE(length(text), 0))
+                // (8000 + (doc_id % 4) * 4000))
             AS BIGINT) AS sum_duration_ms,
        CAST(SUM(16) AS BIGINT) AS sum_bits
 FROM documents GROUP BY 1, 2 ORDER BY 1, 2

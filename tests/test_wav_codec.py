@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from gmall_flink_yb_spark.functions.multimodal import (
     decode_audio,
     decode_audio_headers_sql,
+    scan_audio_metadata,
     synthesize_wav,
 )
 from gmall_flink_yb_spark.functions.wav import encode_wav, wav_info
@@ -99,3 +100,72 @@ def test_audio_header_sql_matches_pandas_and_is_python_free(spark, sf_dir):
     for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
                  "BatchEvalPython"):
         assert node not in plan, f"audio header scan forked Python: {node}"
+
+
+def _list_chunked_wav(n_frames=100, rate=16_000) -> bytes:
+    """Valid but NON-canonical WAV: a LIST/INFO chunk between fmt and
+    data, so the fixed-offset SQL fast path cannot parse it."""
+    base = encode_wav(np.zeros(n_frames, dtype=np.int16), rate)
+    fmt_chunk = base[12:36]
+    data_chunk = base[36:]
+    info = b"INFOsoft"
+    lst = b"LIST" + struct.pack("<I", len(info)) + info
+    body = fmt_chunk + lst + data_chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_scan_audio_metadata_two_tier(spark):
+    """The composed operator (VERDICT r6 #7): canonical rows take the
+    codegen tier, a LIST-chunked WAV gets REAL metadata via the chunk
+    walker (where the SQL-only scan zeroes it), undecodable bytes keep
+    the zeroed-row contract, and every input row appears exactly once."""
+    rows = [
+        (1, "audio", bytearray(encode_wav(np.zeros((500, 2), dtype=np.int16), 12_000))),
+        (2, "audio", bytearray(_list_chunked_wav())),
+        (3, "audio", bytearray(b"not audio at all")),
+        (4, "audio", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    got = {r["media_id"]: r for r in scan_audio_metadata(df).collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    assert (
+        got[1]["sample_rate"], got[1]["n_channels"], got[1]["n_frames"]
+    ) == (12_000, 2, 500)
+    # the fallback tier recovers the LIST-chunked file's real metadata...
+    assert (
+        got[2]["sample_rate"], got[2]["n_channels"],
+        got[2]["bits_per_sample"], got[2]["n_frames"],
+    ) == (16_000, 1, 16, 100)
+    # ...which the SQL-only scan cannot (documented split)
+    sql_only = {
+        r["media_id"]: r for r in decode_audio_headers_sql(df).collect()
+    }
+    assert sql_only[2]["sample_rate"] == 0
+    for mid in (3, 4):
+        assert got[mid]["sample_rate"] == 0 and got[mid]["n_frames"] == 0
+
+
+def test_scan_audio_metadata_adds_single_fallback_python_stage(spark):
+    """The composed plan's ONLY added Python node is the fallback tier
+    under the non-canonical filter; the canonical tier stays codegen-only.
+    Counted against the input's own Python stages (synthesize_wav is
+    itself one mapInPandas, and the union references the input twice)."""
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+    wavs = synthesize_wav(docs)
+    composed = scan_audio_metadata(wavs)
+    # correctness: equals the chunk walker row for row
+    assert sorted(map(tuple, composed.collect())) == sorted(
+        map(tuple, decode_audio(wavs).collect())
+    )
+    base_stages = _simple_plan(wavs).count("MapInPandas")
+    assert base_stages == 1  # synthesize_wav itself
+    composed_stages = _simple_plan(composed).count("MapInPandas")
+    # two branches re-scan the input (2 * base) + exactly 1 fallback tier
+    assert composed_stages == 2 * base_stages + 1, (
+        f"expected one fallback Python stage, plan has {composed_stages}"
+    )
