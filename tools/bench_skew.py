@@ -12,7 +12,13 @@ revenue aggregation three ways:
   plain_skew_on    the session default — AQE splits the oversized
                    partition and replicates the matching build partition
   salted           operators.skew.salted_join(buckets) — key spread over
-                   ``buckets`` reducers regardless of planner support
+                   ``buckets`` reducers regardless of planner support,
+                   with the WHOLE build side replicated buckets times
+                   (the pre-r7 form)
+  salted_hotcold   the production form (VERDICT r6 #1): only rows on the
+                   hot key are salted, only that key's build rows
+                   replicate (#hot_keys x buckets rows), cold rows take
+                   the plain join
 
 The build side is forced OFF the broadcast path (runtime threshold -1 in
 the comparison sessions): at bench scale orders would happily broadcast,
@@ -81,6 +87,11 @@ def run_once(spark, facts, orders, mode: str) -> float:
         joined = salted_join(
             facts, orders, "l_orderkey", "o_orderkey", buckets=32
         )
+    elif mode == "salted_hotcold":
+        joined = salted_join(
+            facts, orders, "l_orderkey", "o_orderkey", buckets=32,
+            hot_keys=[HOT_KEY],
+        )
     else:
         joined = facts.join(
             orders, facts["l_orderkey"] == orders["o_orderkey"]
@@ -114,6 +125,7 @@ def main() -> None:
         ("plain_skew_off", "false"),
         ("plain_skew_on", "true"),
         ("salted", "true"),
+        ("salted_hotcold", "true"),
     ):
         spark = get_spark(f"bench-skew-{mode}")
         spark.sparkContext.setLogLevel("ERROR")
