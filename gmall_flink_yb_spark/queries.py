@@ -5534,34 +5534,34 @@ ORACLES: dict[str, str] = {
 # Driver-gate rotation. The per-round CORRECTNESS harness samples the FIRST
 # ~50 registry entries in insertion order, so entries further back only get
 # re-gated when rotated forward. Every registry entry has had a green
-# driver row in some round (union r01-r05 — VERDICT r05); rotation now
-# serves FRESHNESS: round 6 fronts the 60 queries whose last driver gate
-# was r03/r04 (everything NOT in CORRECTNESS_r05's 50-query sample, in
-# original order), so their rows refresh against current code; the 50
-# r5-gated queries follow. Full-surface coverage evidence for whatever sits
-# outside the gate window is the committed `tools/check_oracle.py
-# --vanilla` run over all 110 on this round's HEAD (ORACLE_FULL_r06.txt).
+# driver row in some round; rotation serves FRESHNESS: round 7 fronts the
+# 50 queries whose last driver gate was CORRECTNESS_r05 (VERDICT r6 #6),
+# followed by the 11 queries _R06_FRONT carried at positions 51-61 (last
+# gated r03/r04 — front these in r8), then the 50 r6-gated queries.
+# Full-surface coverage evidence for whatever sits outside the ~50-query
+# gate window is the committed `tools/check_oracle.py --vanilla` run over
+# all 111 registry entries on this round's HEAD (ORACLE_FULL_r07.txt).
 # ---------------------------------------------------------------------------
 
-_R06_FRONT = [
-    # new in round 6 (no driver history yet):
-    "audio_metadata",
-    # last driver gate r03/r04 (not sampled by CORRECTNESS_r05):
-    "multimodal_feature_dedup", "decontam_overlap", "span_dup",
-    "doc_chunks", "domain_mix", "embed_quantize", "similarity_topk_int8",
-    "distinctive_terms", "dedup_incremental", "semantic_dedup",
-    "chunk_dedup", "quality_classifier", "funnel_conversion",
-    "retention_cohorts", "seq_pack", "source_token_caps", "dsir_affinity",
-    "cm_heavy_hitters", "profile_documents", "bloom_semi_join",
-    "zorder_cells", "kmeans_clusters", "shard_manifest", "events_pivot",
-    "value_percentiles_approx", "q3_shipping_priority", "q5_local_supplier",
-    "q18_large_orders", "dedup_canonical", "value_histogram",
-    "revenue_cube", "running_revenue", "top_orders_per_nation",
-    "customers_without_orders", "uv_daily_approx", "q4_late_orders",
-    "winnow_overlap", "bpe_pair_counts", "bpe_merges", "bpe_encode",
-    "q14_promo_revenue", "keyword_hourly", "q6_forecast_revenue",
-    "q7_volume_shipping", "q10_returned_items", "q13_order_distribution",
-    "q8_market_share", "q9_product_profit", "q15_top_supplier",
+_R07_FRONT = [
+    # last driver gate r05 (the 50-query block VERDICT r6 #6 names):
+    "uv_daily", "new_visitor_daily", "bounce_daily", "events_split_counts",
+    "events_json_extract", "tumbling_hourly", "q1_pricing_summary",
+    "order_wide", "payment_wide", "session_stats", "sliding_hourly",
+    "value_percentiles", "revenue_rollup", "revenue_by_nation",
+    "top_brands", "interval_join_shipments", "cdc_route_kafka",
+    "cdc_route_hbase", "keyword_top100", "keyword_top100_zh",
+    "text_quality", "text_repetition", "pii_scrub", "lang_id",
+    "dedup_exact", "dedup_jaccard", "dedup_jaccard_prefix",
+    "similarity_topk", "embedding_near_dup", "multimodal_decode",
+    "multimodal_frames", "asof_latest_order", "sample_hash_revenue",
+    "sample_stratified_docs", "corpus_curation", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_clusters", "similarity_lsh_topk",
+    "similarity_ivf_topk", "q22_global_sales_opportunity", "unigram_lm",
+    "source_overlap", "embedding_outliers", "revenue_mom",
+    "ts_motif_topk", "sax_motifs", "returning_users_daily",
+    "basket_pairs", "leakage_safe_split",
+    # last driver gate r03/r04 (just outside the r6 gate window; next up):
     "q17_small_quantity_revenue", "q19_discount_revenue",
     "q20_excess_shipments_suppliers", "q21_waiting_suppliers",
     "q2_min_cost_supplier", "q11_important_parts",
@@ -5570,10 +5570,10 @@ _R06_FRONT = [
 ]
 
 QUERIES = {
-    **{k: QUERIES[k] for k in _R06_FRONT if k in QUERIES},
-    **{k: v for k, v in QUERIES.items() if k not in _R06_FRONT},
+    **{k: QUERIES[k] for k in _R07_FRONT if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in _R07_FRONT},
 }
 ORACLES = {
-    **{k: ORACLES[k] for k in _R06_FRONT if k in ORACLES},
-    **{k: v for k, v in ORACLES.items() if k not in _R06_FRONT},
+    **{k: ORACLES[k] for k in _R07_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in _R07_FRONT},
 }
