@@ -17,12 +17,35 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Streaming state backends (VERDICT r6 #3). The reference carries a
+# commented-out FsStateBackend/RocksDB block in every app
+# (BaseLogApp.java:38-46); Spark's equivalents:
+#  - "hdfs": HDFSBackedStateStoreProvider (default) keeps every loaded
+#    state-map version in EXECUTOR HEAP — measured at ~200 B/key for the
+#    is_new/bounce states (BASELINE.md round-6 stress), fine to ~10M
+#    keys/executor.
+#  - "rocksdb": RocksDBStateStoreProvider spills state to local SSD and
+#    bounds heap at the block-cache size — switch once per-executor state
+#    crosses a few GB. changelogCheckpointing ships deltas instead of
+#    full SST uploads per commit.
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    ),
+}
+
 
 def get_spark(
     app_name: str = "gmall_flink_yb_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for both local tests and scale.
 
@@ -75,4 +98,20 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if state_store is not None:
+        if state_store not in STATE_STORE_PROVIDERS:
+            raise ValueError(
+                f"unknown state_store {state_store!r}; "
+                f"one of {sorted(STATE_STORE_PROVIDERS)}"
+            )
+        # providerClass is a RUNTIME conf read at stream start, so set it
+        # on the session (getOrCreate may have returned a pre-existing
+        # one, where builder confs are silently ignored). It applies to
+        # streams started AFTER this call; an existing checkpoint keeps
+        # the provider it was created with.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS[state_store],
+        )
+    return spark

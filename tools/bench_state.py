@@ -30,6 +30,13 @@ sets the knee.
 
 Usage: python tools/bench_state.py [--keys 100000,1000000,10000000]
        [--ops isnew,bounce] [--out /tmp/spark_graft_state]
+       [--state-store hdfs|rocksdb]
+
+--state-store exercises the session knob (session.get_spark(state_store=...),
+VERDICT r6 #3): "rocksdb" runs the same workload under
+RocksDBStateStoreProvider — state on local disk, heap bounded by the block
+cache — the backend a real cluster switches to once per-executor state
+crosses a few GB. Rows carry the backend name for BASELINE.md comparison.
 """
 
 from __future__ import annotations
@@ -128,6 +135,8 @@ def main() -> None:
     ap.add_argument("--keys", default="100000,1000000,10000000")
     ap.add_argument("--ops", default="isnew,bounce")
     ap.add_argument("--out", default="/tmp/spark_graft_state")
+    ap.add_argument("--state-store", default="hdfs",
+                    choices=("hdfs", "rocksdb"))
     args = ap.parse_args()
     key_counts = [int(k) for k in args.keys.split(",")]
     ops = args.ops.split(",")
@@ -135,6 +144,7 @@ def main() -> None:
     spark = get_spark(
         "bench-state",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
+        state_store=args.state_store,
     )
     spark.sparkContext.setLogLevel("ERROR")
     results = []
@@ -152,11 +162,13 @@ def main() -> None:
                     if r["state_rows"]
                     else None
                 )
-                rec = {"op": op, "n_keys": n, **r, "bytes_per_key": bpk}
+                rec = {"op": op, "store": args.state_store,
+                       "n_keys": n, **r, "bytes_per_key": bpk}
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
             print(
-                json.dumps({"op": op, "n_keys": n, "wall_s": wall}),
+                json.dumps({"op": op, "store": args.state_store,
+                            "n_keys": n, "wall_s": wall}),
                 flush=True,
             )
             shutil.rmtree(ckpt, ignore_errors=True)
