@@ -344,14 +344,30 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proj = _feature_projection(dim)
         for pdf in batches:
-            vecs = []
-            for buf in pdf["content"]:
-                body = np.frombuffer(bytes(buf)[HEADER_LEN:], dtype=np.uint8)
-                hist = np.bincount(body, minlength=256)[:256].astype(np.int64)
-                v = hist @ proj  # exact int64 (|v| <= body_len * 1000)
-                vecs.append(v.astype(np.float64).tolist())
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"media_id": pd.Series([], dtype="int64"),
+                     "embedding": pd.Series([], dtype="object")}
+                )
+                continue
+            # whole-batch histogram (r7 perf): one flattened (row, byte)
+            # bincount + one batch GEMM instead of a per-row Python loop —
+            # same exact int64 arithmetic, ~4x less Python time per batch
+            bodies = [bytes(buf)[HEADER_LEN:] for buf in pdf["content"]]
+            lens = np.fromiter((len(b) for b in bodies), dtype=np.int64,
+                               count=n)
+            flat = np.frombuffer(b"".join(bodies), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            hist = np.bincount(
+                row_idx * 256 + flat, minlength=n * 256
+            ).reshape(n, 256)
+            vecs = (hist @ proj).astype(np.float64)  # |v| <= body_len*1000
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"].astype("int64"), "embedding": vecs}
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "embedding": vecs.tolist(),
+                }
             )
 
     return df.mapInPandas(embed, "media_id long, embedding array<double>")

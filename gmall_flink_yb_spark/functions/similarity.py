@@ -170,7 +170,8 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | str = 8,
+    target_block_rows: int = 2048,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold — embedding-space
     near-duplicate detection.
@@ -182,13 +183,37 @@ def cosine_near_dup_pairs(
     upper-triangular half so every unordered pair is emitted exactly once.
     Work is inherently O(n^2/2) dot products — choose n_blocks so a block
     fits executor memory; only pairs >= threshold leave the executor.
+
+    ``n_blocks="auto"`` (r7): size blocks from the corpus instead of a
+    fixed constant — ``clamp(ceil(n / target_block_rows), 1, 256)``. A
+    fixed 8 is wrong at both ends: at 5k vectors it scatters trivial
+    GEMMs over 36 shuffled python groups (fan-out dominates), at 500k it
+    builds 62k-row blocks whose 4B-entry score matrices blow task
+    memory. Auto keeps every task's score matrix ~``target_block_rows^2``
+    doubles (32 MB at the default) at any corpus size; the 256-block cap
+    bounds the shuffle replication factor — past ~256*target rows the
+    exact all-pairs form is the wrong tool (its O(n^2) work, not its
+    plan, is the wall) and the LSH/SemDeDup variants take over. The
+    count that drives auto materializes the SAME persisted frame the
+    pair stage reads, so no extra lineage execution — just one cheap
+    cached count at plan time.
     """
     spark = embeddings.sparkSession
     # persisted: the block-pair replication reads the input twice (left/right
     # member joins); without this the upstream subtree (which may include
     # Python feature-extraction stages) executes twice
-    e = _blocked(embeddings, id_col, vec_col, n_blocks).persist(
-        StorageLevel.MEMORY_AND_DISK
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if n_blocks == "auto":
+        import math as _math
+
+        n_rows = base.count()  # materializes the persist the pair stage
+        # reuses; plan-time scalar, not a collect of data
+        n_blocks = max(1, min(256, _math.ceil(n_rows / target_block_rows)))
+    e = base.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
     bp = spark.createDataFrame(
         [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
@@ -244,7 +269,7 @@ def cosine_near_dup_pairs(
         both.groupBy("ba", "bb").applyInPandas(
             gemm, "id_a long, id_b long, cos_sim double"
         ),
-        e,  # caller releases via cacheutil.release_cache
+        base,  # caller releases via cacheutil.release_cache
     )
 
 

@@ -2997,7 +2997,11 @@ _COS_THRESHOLD = 0.35
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=_COS_THRESHOLD)
+    # n_blocks="auto" (r7): block count sized from the corpus so every
+    # GEMM task's score matrix stays ~target_block_rows^2 at ANY sf
+    return cosine_near_dup_pairs(
+        emb, threshold=_COS_THRESHOLD, n_blocks="auto"
+    )
 
 
 SQL_EMBEDDING_NEAR_DUP = f"""
@@ -3626,6 +3630,10 @@ def q_multimodal_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_FEATURE_DEDUP_THRESHOLD,
         id_col="media_id",
         vec_col="embedding",
+        # auto block sizing (r7): 5k docs at sf0.1 -> 3 blocks / 6 GEMM
+        # groups instead of a fixed 8 -> 36; same O(n^2) dot products,
+        # bounded score-matrix memory at any sf
+        n_blocks="auto",
     )
 
 
