@@ -231,12 +231,20 @@ def hot_key_shares(
     bounded: at most len(key_cols)/share_threshold rows can exceed the
     threshold, so the collect is model-sized by construction.
 
+    Scale shape: the (column, value) counts come from ONE hash aggregate
+    with map-side combine; per-column totals are a second tiny aggregate
+    over that output, broadcast back so the threshold filter runs
+    DISTRIBUTED on the counts before anything reaches the driver. The
+    counts subtree appears twice in the plan and Catalyst/AQE reuses its
+    shuffle exchange, so the sample is scanned once. (A
+    window-partitioned-by-column formulation would funnel one column's
+    entire distinct-value set through a single task — the exact
+    single-reducer shape this module exists to avoid.)
+
     One eager job runs at plan-build time over ``df``'s lineage — callers
     enriching a DERIVED fact frame should persist it first (ADVICE r6),
     or the upstream pipeline executes once here and again for the real
     job."""
-    from pyspark.sql.window import Window
-
     s = df.select(*key_cols)
     if sample_fraction < 1.0:
         s = s.sample(fraction=sample_fraction, seed=seed)
@@ -254,14 +262,19 @@ def hot_key_shares(
         ).alias("p")
     ).select("p.c", "p.v")
     counts = pairs.groupBy("c", "v").agg(F.count(F.lit(1)).alias("_n"))
-    shares = counts.withColumn(
-        "_share",
-        F.col("_n") / F.sum("_n").over(Window.partitionBy("c")),
+    totals = counts.groupBy("c").agg(F.sum("_n").alias("_total"))
+    rows = (
+        counts.join(F.broadcast(totals), "c")
+        .filter(
+            F.col("v").isNotNull()
+            & (
+                F.col("_n")
+                > F.lit(float(share_threshold)) * F.col("_total")
+            )
+        )
+        .select("c", "v", (F.col("_n") / F.col("_total")).alias("_share"))
+        .collect()  # bounded: <= len(key_cols)/share_threshold rows
     )
-    rows = shares.filter(
-        F.col("v").isNotNull()
-        & (F.col("_share") > F.lit(float(share_threshold)))
-    ).collect()  # bounded: <= len(key_cols)/share_threshold rows
     out: dict[str, list[tuple[str, float]]] = {k: [] for k in key_cols}
     for r in rows:
         out[r["c"]].append((r["v"], float(r["_share"])))
