@@ -206,7 +206,11 @@ def cosine_near_dup_pairs(
         F.col(id_col).cast("long").alias("id"),
         _as_double(F.col(vec_col)).alias("vec"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    if n_blocks == "auto":
+    if isinstance(n_blocks, str):
+        if n_blocks != "auto":
+            raise ValueError(
+                f"n_blocks must be an int or 'auto', got {n_blocks!r}"
+            )
         import math as _math
 
         n_rows = base.count()  # materializes the persist the pair stage
