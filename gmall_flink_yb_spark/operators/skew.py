@@ -177,6 +177,10 @@ def top_key_share(
 ) -> tuple[object, float]:
     """(hottest key value, estimated row share) from a Bernoulli sample.
 
+    Single-key convenience probe (kept public for ad-hoc diagnosis and
+    tests); the production routing paths use :func:`hot_key_shares`,
+    which profiles EVERY hot value of MANY columns in one job.
+
     One small eager job at plan-build time: scan ``key_col`` only (column
     pruning reaches the parquet scan), sample, hash-aggregate, take the
     max — the aggregate output is one row per DISTINCT sampled key, so the
