@@ -524,7 +524,9 @@ def decode_audio_headers_sql(df: DataFrame) -> DataFrame:
     )
 
 
-def scan_audio_metadata(df: DataFrame) -> DataFrame:
+def scan_audio_metadata(
+    df: DataFrame, persist_input: bool = False
+) -> DataFrame:
     """Two-tier audio metadata scan (VERDICT r6 #7) — the audio twin of the
     png.py metadata pattern: payloads matching the canonical 44-byte-header
     WAV layout are parsed entirely inside whole-stage codegen
@@ -539,8 +541,23 @@ def scan_audio_metadata(df: DataFrame) -> DataFrame:
     (typically tiny) non-canonical slice, so no Python worker fork happens
     on the hot path. Both tiers prune to the same output schema and the
     union preserves every input row exactly once (the router predicate is
-    deterministic per-row, NULL-safe via the coalesce)."""
+    deterministic per-row, NULL-safe via the coalesce).
+
+    The two branches each scan ``df``. For a parquet-backed media table
+    that is the right trade (two pruned scans beat caching 100 TB); for a
+    DERIVED input with Python stages upstream, pass
+    ``persist_input=True`` to evaluate the upstream once — the persist is
+    tagged on the result via ``owns_cache``, so whoever materializes it
+    calls ``cacheutil.release_cache`` afterwards (the bench/oracle
+    harnesses already do)."""
+    from gmall_flink_yb_spark.functions.cacheutil import owns_cache
+
+    if persist_input:
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     canonical = _canonical_wav(F.col("content"))
     fast = decode_audio_headers_sql(df.filter(canonical))
     slow = decode_audio(df.filter(~F.coalesce(canonical, F.lit(False))))
-    return fast.unionByName(slow)
+    out = fast.unionByName(slow)
+    return owns_cache(out, df) if persist_input else out

@@ -3564,6 +3564,11 @@ def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame count, and floor-division duration all survive the binary
     container."""
     docs = read_table(spark, sf_dir, "documents")
+    # persist_input measured and declined (r7): the router's two branches
+    # re-run the synth stage, but re-synthesizing costs ~0.13 s at sf0.1
+    # while persisting 5k binary payloads costs ~0.6 s (min-of-5: 0.68 s
+    # recompute vs 1.30 s persisted) — the knob is for genuinely
+    # expensive derived upstreams, which this arithmetic synth is not
     meta = scan_audio_metadata(synthesize_wav(docs))
     return (
         meta.groupBy("sample_rate", "n_channels")

@@ -147,6 +147,27 @@ def test_scan_audio_metadata_two_tier(spark):
         assert got[mid]["sample_rate"] == 0 and got[mid]["n_frames"] == 0
 
 
+def test_scan_audio_metadata_persist_input_owned_and_released(spark):
+    """persist_input=True evaluates a derived upstream once; the persist
+    is tagged on the result and freed by release_cache (the repo's
+    caller-owned cache contract)."""
+    from gmall_flink_yb_spark.functions.cacheutil import release_cache
+
+    def _ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("text"),
+    )
+    before = _ids()
+    out = scan_audio_metadata(synthesize_wav(docs), persist_input=True)
+    assert out.count() == 10
+    release_cache(out)
+    assert _ids() - before == set(), "persisted input leaked past release"
+
+
 def test_scan_audio_metadata_adds_single_fallback_python_stage(spark):
     """The composed plan's ONLY added Python node is the fallback tier
     under the non-canonical filter; the canonical tier stays codegen-only.
