@@ -13,6 +13,13 @@ surface; no reference counterpart — SURVEY.md §2.9 last paragraph):
   substring-duplication metric from "Deduplicating Training Data Makes
   Language Models Better" (Lee et al., 2022), using an inverted gram index
   instead of a suffix array.
+- ``dup_span_rows`` / ``remove_dup_spans``: the REMOVAL half of Lee et al.
+  — merge every corpus-duplicated n-gram occurrence into maximal token
+  spans (interval-union via a per-document window, the distributed stand-in
+  for their suffix-array pass), then cut those spans out of the document
+  with a pure higher-order ``filter`` over the token array (no Python, no
+  range join: the span list is per-document-bounded and rides along as an
+  array column).
 
 Scale design (100 TB):
 - Eval/benchmark gram sets are small (benchmarks are MBs, not TBs), so
@@ -162,6 +169,127 @@ def span_dup_stats(
                 F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
             ).alias("dup_frac"),
         )
+    )
+
+
+def dup_span_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Maximal duplicated token spans per document: (doc_id, span_start,
+    span_end), token indices 0-based inclusive.
+
+    A token n-gram is *duplicated* when it occurs more than once in the
+    whole corpus (across documents OR repeated within one — Lee et al.
+    2022's "appears more than once" contract, which a suffix array gives
+    for free and the inverted gram index reproduces with a plain count).
+    Every duplicated gram occurrence covers tokens [pos, pos+n-1]; runs of
+    occurrences whose intervals overlap or touch are merged into one
+    maximal span via island detection (new island when the gap between
+    consecutive start positions exceeds n).
+
+    Scale: one shuffle on the md5 gram hash for the occurrence count, one
+    on doc_id for the island window — the window partition is bounded by
+    document length, never by corpus size.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    positions = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _clean_tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(_ngrams_of_tokens(F.col("_toks"), n)).alias("pos", "g"),
+        )
+        .select("doc_id", "pos", F.md5(F.col("g")).alias("gh"))
+    )
+    occ = Window.partitionBy("gh")
+    dup = positions.withColumn("n_occ", F.count(F.lit(1)).over(occ)).where(
+        F.col("n_occ") > 1
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(by_pos) > n, F.lit(1)
+        ).otherwise(F.lit(0)).alias("_brk"),
+    ).withColumn("_island", F.sum("_brk").over(by_pos))
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (n - 1)).alias("span_end"),
+    ).select("doc_id", "span_start", "span_end")
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Cut every maximal duplicated span (``dup_span_rows``) out of its
+    document. Returns one row per input document:
+    (doc_id, total_tokens, dup_tokens, kept_tokens, n_spans, clean_text)
+    where ``clean_text`` is the surviving tokens re-joined with single
+    spaces (documents are normalized to the token stream on both the keep
+    and cut paths, so the contract is token-exact, not whitespace-exact).
+
+    Plan shape: spans collapse to one array<struct> column per document
+    (bounded by doc_len / n entries), join back to the token arrays, and
+    the cut itself is a codegen'd higher-order ``filter`` with an index
+    lambda — no explode of the token stream, no per-token range join, no
+    Python."""
+    spans = (
+        dup_span_rows(df, id_col, text_col, n)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("_spans")
+        )
+    )
+    # NULL text normalizes to the 0-token document (same contract as the
+    # audio path's 0-frame rule): it keeps nothing, cuts nothing, and its
+    # clean_text is the empty string rather than NULL.
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.coalesce(
+            _clean_tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    )
+    spans_col = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    joined = toks.join(spans, "doc_id", "left").select(
+        "doc_id", "_toks", spans_col.alias("_spans")
+    )
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+    )
+    clean = F.filter(F.col("_toks"), lambda t, i: ~in_span(i))
+    return joined.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("total_tokens"),
+        F.size("_spans").cast("long").alias("n_spans"),
+        F.aggregate(
+            F.col("_spans"),
+            F.lit(0).cast("long"),
+            lambda acc, sp: acc + (sp["span_end"] - sp["span_start"] + 1),
+        ).alias("dup_tokens"),
+        clean.alias("_clean"),
+    ).select(
+        "doc_id",
+        "total_tokens",
+        "n_spans",
+        "dup_tokens",
+        F.size("_clean").cast("long").alias("kept_tokens"),
+        F.concat_ws(" ", F.col("_clean")).alias("clean_text"),
     )
 
 

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from gmall_flink_yb_spark.functions.chunking import chunk_documents
 from gmall_flink_yb_spark.functions.ngrams import (
     decontaminate,
+    dup_span_rows,
+    remove_dup_spans,
     span_dup_stats,
     token_ngrams,
 )
@@ -217,3 +219,106 @@ def test_chunk_dedup_within_doc_repeat_not_dropped(spark):
     out = chunk_dedup(df, "doc_id", "text", chunk_size=2).collect()
     assert out[0]["n_dropped_chunks"] == 0
     assert out[0]["clean_text"] == "a b a b"
+
+
+# ---------------------------------------------------------------------------
+# dup_span_rows / remove_dup_spans — the Lee et al. 2022 removal half
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_rows_merges_and_splits(spark):
+    # doc 1 dup bigram starts: 0 ("a b"), 2 ("c d"), 6 ("e f");
+    # gap 2-0 = n merges, gap 6-2 > n splits -> spans [0,3] and [6,7].
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d u1 u2 e f u3 u4"),
+            (2, "a b x c d y e f"),
+        ],
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dup_span_rows(df, "doc_id", "text", n=2).collect()
+    }
+    assert spans == {
+        (1, 0, 3),
+        (1, 6, 7),
+        (2, 0, 1),
+        (2, 3, 4),
+        (2, 6, 7),
+    }
+
+
+def test_dup_span_rows_counts_within_doc_repeats(spark):
+    # Lee et al.'s contract is "appears more than once in the CORPUS" —
+    # unlike span_dup_stats (which distincts grams per doc first), a gram
+    # repeated within a single document IS a duplicated span.
+    df = _docs(spark, [(1, "p q r p q")])
+    spans = {
+        (r["span_start"], r["span_end"])
+        for r in dup_span_rows(df, "doc_id", "text", n=2).collect()
+    }
+    assert spans == {(0, 1), (3, 4)}
+
+
+def test_dup_span_rows_rejects_bad_n(spark):
+    with pytest.raises(ValueError):
+        dup_span_rows(_docs(spark, [(1, "a b")]), "doc_id", "text", n=0)
+
+
+def test_remove_dup_spans_accounting_and_text(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d u1 u2 e f u3 u4"),
+            (2, "a b x c d y e f"),
+            (3, "totally unique words only here"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_dup_spans(df, "doc_id", "text", n=2).collect()
+    }
+    assert out[1]["total_tokens"] == 10
+    assert out[1]["n_spans"] == 2
+    assert out[1]["dup_tokens"] == 6
+    assert out[1]["kept_tokens"] == 4
+    assert out[1]["clean_text"] == "u1 u2 u3 u4"
+    assert out[2]["clean_text"] == "x y"
+    # every input doc appears, clean docs untouched
+    assert out[3]["n_spans"] == 0
+    assert out[3]["clean_text"] == "totally unique words only here"
+    for r in out.values():
+        assert r["kept_tokens"] == r["total_tokens"] - r["dup_tokens"]
+
+
+def test_remove_dup_spans_fully_duplicated_doc(spark):
+    df = _docs(spark, [(1, "m n o p"), (2, "m n o p")])
+    out = {
+        r["doc_id"]: (r["kept_tokens"], r["clean_text"])
+        for r in remove_dup_spans(df, "doc_id", "text", n=2).collect()
+    }
+    # BOTH copies are cut (Lee et al. removes every occurrence)
+    assert out == {1: (0, ""), 2: (0, "")}
+
+
+def test_remove_dup_spans_null_text_zero_token_contract(spark):
+    df = _docs(spark, [(1, None), (2, "w x y z")])
+    r = {
+        row["doc_id"]: row.asDict()
+        for row in remove_dup_spans(df, "doc_id", "text", n=2).collect()
+    }
+    assert r[1]["total_tokens"] == 0
+    assert r[1]["n_spans"] == 0
+    assert r[1]["kept_tokens"] == 0
+    assert r[1]["clean_text"] == ""
+
+
+def test_remove_dup_spans_no_python_stage(spark):
+    # the cut is a higher-order filter over the token array — the plan
+    # must stay whole-stage-codegen-eligible with no Python evaluator
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    plan = remove_dup_spans(df, "doc_id", "text", n=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
