@@ -58,6 +58,11 @@ DEDUP_QUERIES = [
     # replication applies: 10x docs, disjoint cross-replica grams)
     "unigram_lm",
     "source_overlap",
+    # round-7 addition: Lee et al. span removal — inverted-gram occurrence
+    # count + per-doc island merge + HOF cut; per-replica word salting
+    # preserves each replica's internal duplicate spans while keeping
+    # cross-replica grams disjoint, so the TRUE dup structure scales 1:1
+    "substring_dedup",
 ]
 
 FACT_QUERIES = [
