@@ -322,3 +322,70 @@ def test_remove_dup_spans_no_python_stage(spark):
     ).executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_remove_dup_spans_matches_bruteforce_reference(spark):
+    """Seeded randomized cross-check: 40 docs over an 8-token alphabet
+    (dense gram collisions), spans + removal recomputed by a brute-force
+    Python reference and compared exactly — the randomized analogue of
+    the DuckDB oracle, pinning island-merge boundaries the example tests
+    can't exhaust."""
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = ["ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx"]
+    n = 3
+    docs = {
+        did: [rng.choice(alphabet) for _ in range(rng.randint(0, 30))]
+        for did in range(1, 41)
+    }
+
+    # reference: corpus gram counts -> dup gram starts -> island merge
+    from collections import Counter
+
+    counts = Counter()
+    starts = {}
+    for did, toks in docs.items():
+        gs = [tuple(toks[i:i + n]) for i in range(max(0, len(toks) - n + 1))]
+        starts[did] = gs
+        counts.update(gs)
+    exp = {}
+    for did, toks in docs.items():
+        dup = [i for i, g in enumerate(starts[did]) if counts[g] > 1]
+        spans = []
+        for p in dup:
+            if spans and p - spans[-1][2] <= n:
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+                spans[-1][2] = p
+            else:
+                spans.append([p, p + n - 1, p])
+        covered = set()
+        for s, e, _ in spans:
+            covered.update(range(s, e + 1))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        exp[did] = {
+            "total_tokens": len(toks),
+            "n_spans": len(spans),
+            "dup_tokens": sum(e - s + 1 for s, e, _ in spans),
+            "kept_tokens": len(kept),
+            "clean_text": " ".join(kept),
+            "spans": {(s, e) for s, e, _ in spans},
+        }
+
+    df = _docs(spark, [(d, " ".join(t)) for d, t in docs.items()])
+    got_spans = {}
+    for r in dup_span_rows(df, "doc_id", "text", n=n).collect():
+        got_spans.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_end"])
+        )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_dup_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert set(got) == set(exp)
+    for did, e in exp.items():
+        g = got[did]
+        assert got_spans.get(did, set()) == e["spans"], did
+        for k in ("total_tokens", "n_spans", "dup_tokens", "kept_tokens",
+                  "clean_text"):
+            assert g[k] == e[k], (did, k, g[k], e[k])
