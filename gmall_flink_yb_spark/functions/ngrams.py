@@ -20,6 +20,9 @@ surface; no reference counterpart — SURVEY.md §2.9 last paragraph):
   with a pure higher-order ``filter`` over the token array (no Python, no
   range join: the span list is per-document-bounded and rides along as an
   array column).
+- ``incremental_span_scrub``: the streaming/batch-incremental form — a
+  span is cut when its grams repeat within the batch or match a persisted
+  seen-gram index; per-batch cost tracks batch size, not corpus size.
 
 Scale design (100 TB):
 - Eval/benchmark gram sets are small (benchmarks are MBs, not TBs), so
@@ -201,9 +204,22 @@ def dup_span_rows(
     hot grams of 500k rows each (22.7 vs 12.0 s). Keep the single-pass
     window; the hot-gram sort spills, it doesn't die.
     """
+    positions = _gram_positions(df, id_col, text_col, n)
+    occ = Window.partitionBy("gh")
+    dup = positions.withColumn("n_occ", F.count(F.lit(1)).over(occ)).where(
+        F.col("n_occ") > 1
+    )
+    return _island_spans(dup.select("doc_id", "pos"), n)
+
+
+def _gram_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, pos, gh): 0-based token start positions of every n-gram,
+    hashed to md5 hex so downstream shuffles carry 32 bytes per gram."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    positions = (
+    return (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             _clean_tokens(F.col(text_col)).alias("_toks"),
@@ -214,12 +230,14 @@ def dup_span_rows(
         )
         .select("doc_id", "pos", F.md5(F.col("g")).alias("gh"))
     )
-    occ = Window.partitionBy("gh")
-    dup = positions.withColumn("n_occ", F.count(F.lit(1)).over(occ)).where(
-        F.col("n_occ") > 1
-    )
+
+
+def _island_spans(dup_positions: DataFrame, n: int) -> DataFrame:
+    """Merge duplicated gram start positions (doc_id, pos) into maximal
+    [span_start, span_end] token intervals: consecutive starts whose
+    length-n intervals overlap or touch (gap <= n) share an island."""
     by_pos = Window.partitionBy("doc_id").orderBy("pos")
-    islands = dup.select(
+    islands = dup_positions.select(
         "doc_id",
         "pos",
         F.when(
@@ -250,14 +268,22 @@ def remove_dup_spans(
     the cut itself is a codegen'd higher-order ``filter`` with an index
     lambda — no explode of the token stream, no per-token range join, no
     Python."""
-    spans = (
-        dup_span_rows(df, id_col, text_col, n)
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("span_start", "span_end"))
-            ).alias("_spans")
-        )
+    return _cut_spans(df, dup_span_rows(df, id_col, text_col, n),
+                      id_col, text_col)
+
+
+def _cut_spans(
+    df: DataFrame,
+    span_rows: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Remove ``span_rows``' (doc_id, span_start, span_end) token intervals
+    from ``df``'s documents; one output row per INPUT document."""
+    spans = span_rows.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
     )
     # NULL text normalizes to the 0-token document (same contract as the
     # audio path's 0-frame rule): it keeps nothing, cuts nothing, and its
@@ -298,6 +324,51 @@ def remove_dup_spans(
         F.size("_clean").cast("long").alias("kept_tokens"),
         F.concat_ws(" ", F.col("_clean")).alias("clean_text"),
     )
+
+
+def incremental_span_scrub(
+    seen_grams: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact substring dedup: scrub from ``incoming`` every
+    maximal span whose n-grams repeat within the batch OR were seen in any
+    earlier batch (``seen_grams``, one ``gh`` md5-hex column — distinct not
+    required, it is re-distinct'd here).
+
+    Returns ``(cleaned, batch_grams)``: ``cleaned`` has the
+    ``remove_dup_spans`` schema; ``batch_grams`` is the batch's DISTINCT
+    (gh) rows — grams of the ORIGINAL text, not the cleaned text, because
+    "seen once already" is what makes the next occurrence a duplicate (the
+    streaming analogue of the batch operator's count > 1).
+
+    Equivalence contract (pytest-asserted): with an empty ``seen_grams``
+    this is exactly ``remove_dup_spans`` on the batch alone; replaying a
+    corpus in id order batch-by-batch scrubs a superset of nothing — every
+    occurrence AFTER the first of a gram is cut, while the batch operator
+    also cuts the first occurrence. Both are Lee et al. 2022 policies
+    (remove-all vs keep-first); the incremental form necessarily keeps
+    first occurrences because earlier batches are already written.
+
+    Plan: the batch's gram stream shuffles once on gh; the window count
+    and the left join against the seen index reuse that partitioning.
+    Per-batch cost tracks batch size plus one index probe — admitted text
+    is never re-tokenized.
+    """
+    positions = _gram_positions(incoming, id_col, text_col, n)
+    occ = Window.partitionBy("gh")
+    seen = seen_grams.select("gh").distinct().withColumn("_seen", F.lit(1))
+    flagged = (
+        positions.withColumn("n_occ", F.count(F.lit(1)).over(occ))
+        .join(seen, "gh", "left")
+    )
+    dup = flagged.where(
+        (F.col("n_occ") > 1) | F.col("_seen").isNotNull()
+    ).select("doc_id", "pos")
+    cleaned = _cut_spans(incoming, _island_spans(dup, n), id_col, text_col)
+    return cleaned, positions.select("gh").distinct()
 
 
 def distinctive_terms(

@@ -91,6 +91,7 @@ from gmall_flink_yb_spark.functions.ngrams import (
     dup_span_rows,
     gram_rows,
     hashed_ngram_affinity,
+    incremental_span_scrub,
     remove_dup_spans,
     source_overlap,
     span_dup_stats,
@@ -4033,6 +4034,108 @@ LEFT JOIN kept_agg ka USING (doc_id)
 """
 
 
+def q_substring_scrub_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring scrub: the id-older half of the corpus plays
+    the already-ingested reference (its distinct gram hashes = the
+    persisted index), the id-newer half the incoming batch — every span of
+    the batch whose grams repeat within the batch or appear anywhere in
+    the reference is cut (streaming twin:
+    ``streaming.pipelines.start_incremental_span_scrub_stream``)."""
+    docs = read_table(spark, sf_dir, "documents")
+    half = docs.agg((F.max("doc_id") / 2).cast("long").alias("_half"))
+    seen_docs = (
+        docs.crossJoin(F.broadcast(half))
+        .filter(F.col("doc_id") <= F.col("_half"))
+        .drop("_half")
+    )
+    inc = (
+        docs.crossJoin(F.broadcast(half))
+        .filter(F.col("doc_id") > F.col("_half"))
+        .drop("_half")
+    )
+    seen_grams = gram_rows(seen_docs, "doc_id", "text", _DECONTAM_N).select(
+        F.md5(F.col("g")).alias("gh")
+    )
+    cleaned, _grams = incremental_span_scrub(
+        seen_grams, inc, "doc_id", "text", n=_DECONTAM_N
+    )
+    return cleaned.select(
+        "doc_id",
+        "total_tokens",
+        "n_spans",
+        "dup_tokens",
+        "kept_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+SQL_SUBSTRING_SCRUB_INCREMENTAL = f"""
+WITH toks AS ({_SQL_TOKS}
+), half AS (
+  -- floor, not bare CAST: DuckDB ROUNDS double->bigint casts while Spark
+  -- cast(double as long) truncates; an odd max(doc_id) would shift the
+  -- boundary doc across the seen/incoming split
+  SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS h FROM documents
+), seen AS (
+  SELECT DISTINCT md5(array_to_string(t[i:i+{_DECONTAM_N - 1}], ' ')) AS gh
+  FROM toks, half,
+       unnest(range(1, CAST(len(t) AS BIGINT) - {_DECONTAM_N} + 2)) AS u(i)
+  WHERE doc_id <= h
+), inc AS (
+  SELECT doc_id, t FROM toks, half WHERE doc_id > h
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{_DECONTAM_N - 1}], ' ')) AS gh
+  FROM inc, unnest(range(1, CAST(len(t) AS BIGINT) - {_DECONTAM_N} + 2)) AS u(i)
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT g.doc_id, g.pos,
+           count(*) OVER (PARTITION BY g.gh) AS n_occ,
+           s.gh IS NOT NULL AS in_seen
+    FROM grams g LEFT JOIN seen s USING (gh)
+  ) WHERE n_occ > 1 OR in_seen
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_DECONTAM_N} THEN 1 ELSE 0 END AS b
+  FROM dup
+), isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_DECONTAM_N - 1} AS e
+  FROM isl GROUP BY doc_id, island
+), toks_pos AS (
+  SELECT doc_id, t[i] AS tok, i - 1 AS p
+  FROM inc, unnest(range(1, CAST(len(t) AS BIGINT) + 1)) AS u(i)
+), kept AS (
+  SELECT tp.doc_id, tp.tok, tp.p
+  FROM toks_pos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.s AND s.e
+  )
+), kept_agg AS (
+  SELECT doc_id, count(*) AS kept,
+         string_agg(tok, ' ' ORDER BY p) AS txt
+  FROM kept GROUP BY doc_id
+), span_agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(len(t.t), 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sa.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(sa.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(ka.kept, 0) AS BIGINT) AS kept_tokens,
+       md5(coalesce(ka.txt, '')) AS clean_md5
+FROM inc t
+LEFT JOIN span_agg sa USING (doc_id)
+LEFT JOIN kept_agg ka USING (doc_id)
+"""
+
+
 _BPE_TOP_N = 50
 
 
@@ -5466,6 +5569,7 @@ QUERIES: dict[str, QueryFn] = {
     "span_dup": q_span_dup,
     "dup_spans": q_dup_spans,
     "substring_dedup": q_substring_dedup,
+    "substring_scrub_incremental": q_substring_scrub_incremental,
     "doc_chunks": q_doc_chunks,
     "domain_mix": q_domain_mix,
     "embed_quantize": q_embed_quantize,
@@ -5586,6 +5690,7 @@ ORACLES: dict[str, str] = {
     "span_dup": SQL_SPAN_DUP,
     "dup_spans": SQL_DUP_SPANS,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "substring_scrub_incremental": SQL_SUBSTRING_SCRUB_INCREMENTAL,
     "doc_chunks": SQL_DOC_CHUNKS,
     "domain_mix": SQL_DOMAIN_MIX,
     "embed_quantize": SQL_EMBED_QUANTIZE,
@@ -5664,20 +5769,21 @@ ORACLES: dict[str, str] = {
 # ~50 registry entries in insertion order, so entries further back only get
 # re-gated when rotated forward. Every registry entry has had a green
 # driver row in some round; rotation serves FRESHNESS: round 7 fronts the
-# two queries NEW this round (never gated), then 48 of the 50 queries
+# three queries NEW this round (never gated), then 47 of the 50 queries
 # whose last driver gate was CORRECTNESS_r05 (VERDICT r6 #6 asks >=45 of
-# them in-window; uv_daily and new_visitor_daily were independently
-# re-oracled by the r6 judge, so they yield the two window slots),
+# them in-window; uv_daily, new_visitor_daily and leakage_safe_split
+# yield the window slots — the first two carry the r6 judge's own vanilla
+# re-run, leakage_safe_split its r6 bench-plan read),
 # followed by the 11 queries _R06_FRONT carried at positions 51-61 (last
 # gated r03/r04 — front these in r8), then the 50 r6-gated queries.
 # Full-surface coverage evidence for whatever sits outside the ~50-query
 # gate window is the committed `tools/check_oracle.py --vanilla` run over
-# all 113 registry entries on this round's HEAD (ORACLE_FULL_r07.txt).
+# all 114 registry entries on this round's HEAD (ORACLE_FULL_r07.txt).
 # ---------------------------------------------------------------------------
 
 _R07_FRONT = [
     # new in r7, never gated:
-    "dup_spans", "substring_dedup",
+    "dup_spans", "substring_dedup", "substring_scrub_incremental",
     # last driver gate r05 (the 50-query block VERDICT r6 #6 names;
     # uv_daily/new_visitor_daily moved to the block tail — they carry the
     # r6 judge's own vanilla re-run, so they're the two that slip past

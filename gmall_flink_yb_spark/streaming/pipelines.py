@@ -701,6 +701,33 @@ def write_kafka_dynamic_topic(
 # ---------------------------------------------------------------------------
 
 
+def _read_ingest_ref(
+    spark: SparkSession,
+    base_dir: str,
+    batch_id: int,
+    cols: list[str],
+    empty_schema,
+) -> DataFrame:
+    """Read an ingest-batch-partitioned reference, restricted to batches
+    STRICTLY SMALLER than ``batch_id`` — a replayed batch never sees its
+    own half-written previous attempt as reference. ONLY "nothing written
+    yet" (path-not-found) may fall back to an empty reference; any other
+    read error (transient FS fault, corrupt file) must fail the batch so
+    the checkpoint retries it — swallowing it would silently admit dups of
+    already-admitted content."""
+    try:
+        return (
+            spark.read.option("basePath", base_dir)
+            .parquet(base_dir)
+            .filter(F.col("ingest_batch") < batch_id)
+            .select(*cols)
+        )
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return spark.createDataFrame([], empty_schema)
+
+
 def start_incremental_dedup_stream(
     spark: SparkSession,
     docs_stream: DataFrame,
@@ -742,22 +769,7 @@ def start_incremental_dedup_stream(
     )
 
     def _read_ref(base_dir: str, batch_id: int, cols: list[str], empty_schema):
-        # ONLY "nothing written yet" (path-not-found) may fall back to an
-        # empty reference. Any other read error (transient FS fault,
-        # corrupt file) must fail the batch so the checkpoint retries it —
-        # swallowing it would silently admit near-dups of already-admitted
-        # docs.
-        try:
-            return (
-                spark.read.option("basePath", base_dir)
-                .parquet(base_dir)
-                .filter(F.col("ingest_batch") < batch_id)
-                .select(*cols)
-            )
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
-            return spark.createDataFrame([], empty_schema)
+        return _read_ingest_ref(spark, base_dir, batch_id, cols, empty_schema)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -835,6 +847,72 @@ def start_incremental_dedup_stream(
             finally:
                 kept_ids.unpersist()
                 release_cache(verdicts)  # the batch's signature subtree
+        finally:
+            incoming.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_incremental_span_scrub_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> StreamingQuery:
+    """Exact substring dedup over a document stream (Lee et al. 2022,
+    incremental form): each batch's documents are scrubbed of every
+    maximal span whose n-grams repeat within the batch or were seen in any
+    earlier batch, then written CLEANED to ``corpus_dir/ingest_batch=N``.
+
+    The seen-gram index is the persisted state (``index_dir/
+    ingest_batch=N`` holds each batch's distinct md5 gram hashes of the
+    ORIGINAL text — "seen once" is what makes the next occurrence a
+    duplicate). Replay discipline is identical to
+    ``start_incremental_dedup_stream``: batchId-keyed partition
+    overwrites, reference reads strictly smaller batch ids, PATH_NOT_FOUND
+    (only) falls back to an empty reference. Unlike the LSH pipeline there
+    is no no-index mode: the cleaned corpus cannot serve as the gram
+    reference (a within-batch duplicate is cut from ALL its positions, so
+    its grams survive nowhere in the cleaned text — only the index
+    remembers them).
+
+    Per-batch cost tracks batch size plus one index probe; admitted text
+    is never re-tokenized. 100 TB note: the index is append-only distinct
+    gram hashes — compact it offline (distinct over the dir) if batch
+    count grows unbounded; correctness only needs set membership.
+    """
+    from gmall_flink_yb_spark.functions.ngrams import incremental_span_scrub
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        incoming = batch_df.persist()
+        try:
+            seen = _read_ingest_ref(
+                spark, index_dir, batch_id, ["gh"], "gh string"
+            )
+            cleaned, batch_grams = incremental_span_scrub(
+                seen,
+                incoming.select(id_col, text_col),
+                id_col,
+                text_col,
+                n=n,
+            )
+            cleaned.write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, f"ingest_batch={batch_id}")
+            )
+            batch_grams.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"ingest_batch={batch_id}")
+            )
         finally:
             incoming.unpersist()
 

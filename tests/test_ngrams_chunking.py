@@ -389,3 +389,50 @@ def test_remove_dup_spans_matches_bruteforce_reference(spark):
         for k in ("total_tokens", "n_spans", "dup_tokens", "kept_tokens",
                   "clean_text"):
             assert g[k] == e[k], (did, k, g[k], e[k])
+
+
+def test_incremental_scrub_empty_index_equals_batch_operator(spark):
+    """With an empty seen-gram index, incremental_span_scrub IS
+    remove_dup_spans on the batch alone (the within-batch count>1 rule is
+    the whole contract)."""
+    from gmall_flink_yb_spark.functions.ngrams import incremental_span_scrub
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d u1 u2 e f u3 u4"),
+            (2, "a b x c d y e f"),
+            (3, "p q r p q"),
+            (4, None),
+        ],
+    )
+    empty = spark.createDataFrame([], "gh string")
+    cleaned, grams = incremental_span_scrub(empty, df, "doc_id", "text", n=2)
+    got = sorted(cleaned.collect(), key=lambda r: r["doc_id"])
+    exp = sorted(
+        remove_dup_spans(df, "doc_id", "text", n=2).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+    # grams are the batch's distinct hashes (never the cleaned text's)
+    assert grams.count() == grams.distinct().count()
+
+
+def test_incremental_scrub_seen_grams_cut_first_occurrence(spark):
+    """A gram already in the index cuts even its FIRST in-batch occurrence
+    — the index, not the batch, decides seen-ness."""
+    from gmall_flink_yb_spark.functions.ngrams import (
+        gram_rows,
+        incremental_span_scrub,
+    )
+
+    earlier = _docs(spark, [(1, "w x y z")])
+    seen = gram_rows(earlier, "doc_id", "text", 2).select(
+        F.md5(F.col("g")).alias("gh")
+    )
+    batch = _docs(spark, [(10, "w x y z tail1 tail2")])
+    cleaned, _ = incremental_span_scrub(seen, batch, "doc_id", "text", n=2)
+    r = cleaned.first()
+    assert (r["n_spans"], r["kept_tokens"], r["clean_text"]) == (
+        1, 2, "tail1 tail2",
+    )

@@ -1709,3 +1709,74 @@ def test_dim_upsert_empty_first_batch_reads_typed_empty(spark, tmp_path):
     )
     got = {r["id"]: r["payload"] for r in read_dim_parquet(spark, path).collect()}
     assert got == {"1": "v1"}
+
+
+def test_incremental_span_scrub_stream(spark, tmp_path):
+    """Streaming substring scrub: batch-2 text repeating batch-1 grams is
+    cut, within-batch repeats are cut from ALL positions, unique text
+    passes through untouched; the cleaned corpus and the gram index are
+    both ingest_batch-partitioned."""
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_file_stream,
+        start_incremental_span_scrub_stream,
+    )
+
+    b1 = [(1, "a b c d e f"), (2, "p q r s t u")]
+    b2 = [
+        (3, "a b c d z9 z8"),      # grams "a b c"/"b c d" seen in batch 1
+        (4, "m n o m n o"),        # within-batch repeat: both copies cut
+        (5, "fresh words only here now yes"),  # untouched
+    ]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage_{i}"))
+        part = [
+            f
+            for f in os.listdir(tmp_path / f"stage_{i}")
+            if f.endswith(".parquet")
+        ]
+        os.rename(tmp_path / f"stage_{i}" / part[0], src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    stream = read_file_stream(
+        spark, str(src), schema, max_files_per_trigger=1, glob="*.parquet"
+    )
+    q = start_incremental_span_scrub_stream(
+        spark,
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "gram_index"),
+        n=3,
+    )
+    q.awaitTermination(180)
+    corpus = {
+        r["doc_id"]: (r["ingest_batch"], r["clean_text"], r["kept_tokens"])
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert corpus == {
+        1: (0, "a b c d e f", 6),
+        2: (0, "p q r s t u", 6),
+        3: (1, "z9 z8", 2),
+        4: (1, "", 0),
+        5: (1, "fresh words only here now yes", 6),
+    }
+    # the index holds each batch's DISTINCT original-text gram hashes:
+    # batch 1: 4 + 4; batch 2: 4 + 3 ("m n o" repeats collapse) + 4
+    idx = spark.read.parquet(str(tmp_path / "gram_index"))
+    per_batch = {
+        r["ingest_batch"]: r["n"]
+        for r in idx.groupBy("ingest_batch").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert per_batch == {0: 8, 1: 11}
+    assert idx.count() == idx.select("ingest_batch", "gh").distinct().count()
