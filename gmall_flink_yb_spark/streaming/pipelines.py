@@ -887,8 +887,9 @@ def start_incremental_span_scrub_stream(
 
     Per-batch cost tracks batch size plus one index probe; admitted text
     is never re-tokenized. 100 TB note: the index is append-only distinct
-    gram hashes — compact it offline (distinct over the dir) if batch
-    count grows unbounded; correctness only needs set membership.
+    gram hashes — fold old partitions with ``compact_ingest_index`` (only
+    up to the last COMMITTED batch id) when batch count grows unbounded;
+    correctness only needs set membership.
     """
     from gmall_flink_yb_spark.functions.ngrams import incremental_span_scrub
 
@@ -922,6 +923,67 @@ def start_incremental_span_scrub_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_ingest_index(
+    spark: SparkSession,
+    index_dir: str,
+    upto_batch: int,
+    cols: tuple[str, ...] = ("gh",),
+) -> int:
+    """Offline compaction for an ingest_batch-partitioned set index (the
+    span-scrub gram index): fold every partition with id <= ``upto_batch``
+    — including previous compaction bases — into ONE new base partition,
+    then delete the folded ones. Returns the base's row count (0 = nothing
+    to fold). Bases use successive NEGATIVE ids (-1, -2, ...), so the
+    ingest reader's ``ingest_batch < batch_id`` filter always includes
+    them.
+
+    Replay safety: ``upto_batch`` MUST be at most the stream's last
+    COMMITTED batch id. A checkpoint replay re-executes only the batch
+    AFTER the last commit; folding an uncommitted batch's grams into the
+    base would make the replayed batch see its own grams as "seen" and
+    scrub every document to nothing.
+
+    Crash safety by ordering, not transactions: (1) write the distinct
+    union to a staging dir, (2) rename staging to the next unused negative
+    base id, (3) delete the folded partitions. A crash anywhere leaves
+    every gram in at least one live partition — at worst DUPLICATED across
+    the new base and not-yet-deleted folds, which is harmless because the
+    index is a set (``incremental_span_scrub`` re-distincts it); a re-run
+    converges. Single-writer contract (same as the dim store): run only
+    while no scrub stream is writing this index.
+    """
+    parts = hadoop_child_dirs(spark, index_dir, "ingest_batch=")
+    ids = {p: int(p.split("=", 1)[1]) for p in parts}
+    fold = [p for p, i in ids.items() if i <= upto_batch]
+    # bases (negative ids) alone mean everything eligible is already
+    # compacted — rewriting the base buys nothing, skip
+    if not any(ids[p] >= 0 for p in fold):
+        return 0
+    next_base = min(min(ids.values()), 0) - 1
+    staging = os.path.join(index_dir, f"_compact_staging-{uuid.uuid4().hex}")
+    (
+        spark.read.parquet(*[os.path.join(index_dir, p) for p in fold])
+        .select(*cols)
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    n = spark.read.parquet(staging).count()
+    fs, staging_jp = _hadoop_fs(spark, staging)
+    _, base_jp = _hadoop_fs(
+        spark, os.path.join(index_dir, f"ingest_batch={next_base}")
+    )
+    if not fs.rename(staging_jp, base_jp):
+        raise RuntimeError(
+            f"compaction rename failed: {staging} -> {base_jp} (another "
+            "writer active? the index is single-writer during compaction)"
+        )
+    for p in fold:
+        _, jp = _hadoop_fs(spark, os.path.join(index_dir, p))
+        fs.delete(jp, True)
+    return n
 
 
 def start_incremental_ann_stream(

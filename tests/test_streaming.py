@@ -1780,3 +1780,92 @@ def test_incremental_span_scrub_stream(spark, tmp_path):
     }
     assert per_batch == {0: 8, 1: 11}
     assert idx.count() == idx.select("ingest_batch", "gh").distinct().count()
+
+
+def test_compact_ingest_index_folds_and_preserves_membership(spark, tmp_path):
+    """Compaction folds committed partitions (and prior bases) into one
+    negative-id base; gram-set membership — the only thing correctness
+    needs — is preserved, and later partitions are untouched."""
+    from gmall_flink_yb_spark.streaming.pipelines import compact_ingest_index
+
+    idx = str(tmp_path / "gram_index")
+    batches = {0: ["g1", "g2"], 1: ["g2", "g3"], 2: ["g4"]}
+    for b, ghs in batches.items():
+        spark.createDataFrame([(g,) for g in ghs], "gh string").write.parquet(
+            os.path.join(idx, f"ingest_batch={b}")
+        )
+    n = compact_ingest_index(spark, idx, upto_batch=1)
+    assert n == 3  # g1, g2, g3 distinct
+    parts = sorted(
+        d for d in os.listdir(idx) if d.startswith("ingest_batch=")
+    )
+    assert parts == ["ingest_batch=-1", "ingest_batch=2"]
+    whole = spark.read.option("basePath", idx).parquet(idx)
+    assert {r["gh"] for r in whole.collect()} == {"g1", "g2", "g3", "g4"}
+    # second compaction folds the old base too, onto the next negative id
+    n2 = compact_ingest_index(spark, idx, upto_batch=2)
+    assert n2 == 4
+    parts = sorted(d for d in os.listdir(idx) if d.startswith("ingest_batch="))
+    assert parts == ["ingest_batch=-2"]
+    # only the base remains eligible -> no-op, base untouched
+    assert compact_ingest_index(spark, idx, upto_batch=99) == 0
+    assert sorted(
+        d for d in os.listdir(idx) if d.startswith("ingest_batch=")
+    ) == ["ingest_batch=-2"]
+
+
+def test_compact_ingest_index_scrub_results_unchanged(spark, tmp_path):
+    """The scrub verdicts for a next batch are identical against the
+    compacted index, and also when a crash left folded partitions behind
+    as duplicates of the base (the index is a set)."""
+    from gmall_flink_yb_spark.functions.ngrams import (
+        gram_rows,
+        incremental_span_scrub,
+    )
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        _read_ingest_ref,
+        compact_ingest_index,
+    )
+    import shutil
+
+    idx = str(tmp_path / "gram_index")
+    earlier = spark.createDataFrame(
+        [(1, "w x y z"), (2, "k l m n")], "doc_id long, text string"
+    )
+    for b in (0, 1):
+        one = earlier.filter(F.col("doc_id") == b + 1)
+        gram_rows(one, "doc_id", "text", 2).select(
+            F.md5(F.col("g")).alias("gh")
+        ).distinct().write.parquet(os.path.join(idx, f"ingest_batch={b}"))
+    batch = spark.createDataFrame(
+        [(10, "w x y z t1 t2"), (11, "k l fresh stuff")],
+        "doc_id long, text string",
+    )
+
+    def scrub():
+        seen = _read_ingest_ref(spark, idx, 2, ["gh"], "gh string")
+        cleaned, _ = incremental_span_scrub(
+            seen, batch, "doc_id", "text", n=2
+        )
+        return sorted(
+            (r["doc_id"], r["clean_text"]) for r in cleaned.collect()
+        )
+
+    before = scrub()
+    # simulate the crash window: base written, folds not yet deleted
+    shutil.copytree(
+        os.path.join(idx, "ingest_batch=0"),
+        os.path.join(idx, "_keep_batch0"),
+    )
+    compact_ingest_index(spark, idx, upto_batch=1)
+    os.rename(
+        os.path.join(idx, "_keep_batch0"),
+        os.path.join(idx, "ingest_batch=0"),
+    )
+    with_duplicates = scrub()
+    # then the re-run converges and results still hold
+    compact_ingest_index(spark, idx, upto_batch=1)
+    after = scrub()
+    assert before == with_duplicates == after
+    assert before[0] == (10, "t1 t2")
+    assert before[1][1] == "fresh stuff"
