@@ -3,10 +3,14 @@ pipeline surface; no reference counterpart — SURVEY.md §2.9 last paragraph).
 
 Why not `df.sample()`: its output depends on partitioning and a session
 seed, so it is neither reproducible across engines nor stable under
-repartitioning — useless for auditable corpus curation. Both operators
-here key the decision on md5 of the row's business key, which is
+repartitioning — useless for auditable corpus curation. Every operator
+here keys the decision on md5 of the row's business key, which is
 bit-identical in Spark and DuckDB (oracle-checkable) and stable under any
-physical layout.
+physical layout: uniform keep (`hash_sample`), exact per-stratum k
+(`stratified_sample`), temperature mixing (`domain_mix_sample`), token
+budgets (`token_budget_cap`), weight-proportional without-replacement
+draws (`weighted_sample`, Efraimidis-Spirakis A-ES), and shard placement
+(`shard_assign`/`write_shards`).
 
 Scale design (100 TB):
 - `hash_sample` is a pure narrow filter — no shuffle, pushed next to the
@@ -164,6 +168,61 @@ def token_budget_cap(
             | (F.col("_cum_tokens") == F.col(tokens_col).cast("long"))
         )
         .drop("_cum_tokens")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-ES): keep the ``k`` rows (per stratum, or globally)
+    with the smallest exponential key ``-ln(u) / w`` — equivalent to
+    drawing rows one by one with probability proportional to ``weight_col``
+    and never replacing. The uniform ``u`` hashes from md5(key) shifted to
+    the BUCKET MIDPOINT, ``(h + 0.5) / 2^32`` — strictly inside (0, 1), so
+    ``ln`` never sees 0, and both the add and the power-of-two divide are
+    exact in a double (engine-portable).
+
+    Rows with NULL or non-positive weight are never sampled (a zero-weight
+    row has inclusion probability 0 by definition; negative weights are
+    meaningless here).
+
+    Determinism: same contract as every operator in this module — the
+    verdict depends only on the row's key and weight, never on
+    partitioning, session seeds, or what else is in the corpus (beyond the
+    rank-k cutoff A-ES defines). ``ln`` is faithfully-rounded in both
+    engines; an oracle divergence needs two scores within ~1 ulp AND
+    straddling the rank-k boundary (the ``domain_mix`` pow caveat, same
+    acceptance).
+
+    Scale design (100 TB): the score is a narrow per-row expression.
+    Stratified top-k is one shuffle on the stratum (row_number window);
+    the global form compiles to TakeOrdered — a per-partition top-k that
+    merges k-sized heaps on the driver, never a single-partition sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(_hash_bucket(F.col(key_col)), 16, 10).cast("long")
+    u_mid = (h.cast("double") + F.lit(0.5)) / F.lit(float(_SPACE))
+    w = F.col(weight_col).cast("double")
+    scored = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "_aes_score", -F.log(u_mid) / w
+    )
+    if stratum_col is None:
+        return (
+            scored.orderBy("_aes_score", key_col).limit(k).drop("_aes_score")
+        )
+    win = Window.partitionBy(stratum_col).orderBy(
+        "_aes_score", key_col
+    )
+    return (
+        scored.withColumn("_aes_rn", F.row_number().over(win))
+        .filter(F.col("_aes_rn") <= k)
+        .drop("_aes_score", "_aes_rn")
     )
 
 

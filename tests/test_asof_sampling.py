@@ -15,6 +15,7 @@ from gmall_flink_yb_spark.functions.sampling import (
     hash_sample,
     sample_threshold,
     stratified_sample,
+    weighted_sample,
 )
 from gmall_flink_yb_spark.operators.asof import asof_join
 
@@ -104,3 +105,72 @@ def test_stratified_sample_exact_k(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_weighted_sample_matches_python_aes_reference(spark):
+    """Exact agreement with an independent Python A-ES replay (same md5
+    midpoint uniform, same exponential key), stratified and global."""
+    import hashlib, math
+
+    rows = [(i, "s%d" % (i % 3), float(1 + (i * 7) % 50)) for i in range(60)]
+
+    def score(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return -math.log((h + 0.5) / 2**32) / w
+
+    exp = set()
+    for stratum in ("s0", "s1", "s2"):
+        member = [(score(i, w), i) for i, s_, w in rows if s_ == stratum]
+        exp.update(i for _, i in sorted(member)[:5])
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, w double")
+    got = {
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", "w", 5, "stratum").collect()
+    }
+    assert got == exp
+    g_exp = {i for _, i in sorted((score(i, w), i) for i, _, w in rows)[:7]}
+    g_got = {
+        r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 7).collect()
+    }
+    assert g_got == g_exp
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = sorted(
+        r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()
+    )
+    assert got == [1, 5]
+
+
+def test_weighted_sample_layout_independent(spark):
+    rows = [(i, float(1 + i % 9)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 12).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "doc_id", "w", 12).collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_heavy_weights_win_on_average(spark):
+    """Statistical sanity: with weights 100 vs 1 split half/half, the
+    heavy half must dominate a k=20-of-200 draw (binomial tail makes a
+    flipped majority astronomically unlikely under A-ES)."""
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 20).collect()]
+    heavy = sum(1 for i in got if i < 100)
+    assert heavy >= 15
+
+
+def test_weighted_sample_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "doc_id", "w", 0)
