@@ -55,6 +55,15 @@ def main() -> None:
         "text ingest; replicas are circular-shifted so cross-batch cosines "
         "stay below the dup threshold and the corpus grows per batch",
     )
+    ap.add_argument(
+        "--span", action="store_true",
+        help="measure the SPAN-SCRUB ingest "
+        "(start_incremental_span_scrub_stream; index mode only — the gram "
+        "index is mandatory there). Salted replicas make cross-batch grams "
+        "disjoint, so nothing is scrubbed and the index grows linearly — "
+        "the worst case for the per-batch index probe the pipeline claims "
+        "is flat-ish",
+    )
     args = ap.parse_args()
 
     spark = get_spark("bench-ingest")
@@ -63,6 +72,7 @@ def main() -> None:
         read_file_stream,
         start_incremental_ann_stream,
         start_incremental_dedup_stream,
+        start_incremental_span_scrub_stream,
     )
 
     shutil.rmtree(args.out, ignore_errors=True)
@@ -125,10 +135,15 @@ def main() -> None:
         if args.ann
         else "doc_id long, text string"
     )
-    for mode in ("indexed", "rebuild"):
+    modes = ("indexed",) if args.span else ("indexed", "rebuild")
+    for mode in modes:
         mdir = os.path.join(args.out, mode)
         corpus, ckpt = os.path.join(mdir, "corpus"), os.path.join(mdir, "ck")
-        index = os.path.join(mdir, "index") if mode == "indexed" else None
+        index = (
+            os.path.join(mdir, "index")
+            if (mode == "indexed" or args.span)
+            else None
+        )
         times = []
         for r in range(args.batches):
             src = files[r]
@@ -140,7 +155,11 @@ def main() -> None:
                 spark, stage_root, schema, max_files_per_trigger=1,
                 glob="*.parquet",
             )
-            if args.ann:
+            if args.span:
+                q = start_incremental_span_scrub_stream(
+                    spark, stream, corpus, ckpt, index,
+                )
+            elif args.ann:
                 q = start_incremental_ann_stream(
                     spark, stream, corpus, ckpt,
                     threshold=0.95, index_dir=index,

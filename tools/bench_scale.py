@@ -63,6 +63,8 @@ DEDUP_QUERIES = [
     # preserves each replica's internal duplicate spans while keeping
     # cross-replica grams disjoint, so the TRUE dup structure scales 1:1
     "substring_dedup",
+    # its incremental twin (id-older half = seen index, newer half = batch)
+    "substring_scrub_incremental",
 ]
 
 FACT_QUERIES = [
