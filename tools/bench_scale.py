@@ -65,6 +65,9 @@ DEDUP_QUERIES = [
     "substring_dedup",
     # its incremental twin (id-older half = seen index, newer half = batch)
     "substring_scrub_incremental",
+    # A-ES weighted sampling: narrow score + per-source window; replicas
+    # keep the source strata, so each stratum grows linearly
+    "weighted_sample_docs",
 ]
 
 FACT_QUERIES = [
