@@ -174,3 +174,15 @@ def test_weighted_sample_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
     with _pytest.raises(ValueError):
         weighted_sample(df, "doc_id", "w", 0)
+
+
+def test_weighted_sample_global_compiles_to_take_ordered(spark):
+    """The global form must be a distributed top-k (per-partition heaps
+    merged on the driver), never a single-partition global sort."""
+    df = spark.createDataFrame(
+        [(i, 1.0 + i) for i in range(50)], "doc_id long, w double"
+    )
+    plan = weighted_sample(df, "doc_id", "w", 5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
