@@ -359,6 +359,13 @@ def main() -> None:
         default=None,
         help="comma-separated query names: run just these from the suites",
     )
+    ap.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="override spark.sql.shuffle.partitions for the run — the "
+        "cluster sizing rule under test at large --replicas: partitions "
+        "must grow with the data or per-partition sorts spill (the box "
+        "default 32 is sized for 1x/10x)",
+    )
     args = ap.parse_args()
     global REPLICAS
     REPLICAS = args.replicas
@@ -367,7 +374,9 @@ def main() -> None:
         DEDUP_QUERIES[:] = [q for q in DEDUP_QUERIES if q in keep]
         FACT_QUERIES[:] = [q for q in FACT_QUERIES if q in keep]
 
-    spark = get_spark("bench-scale")
+    spark = get_spark(
+        "bench-scale", shuffle_partitions=args.shuffle_partitions
+    )
     spark.sparkContext.setLogLevel("ERROR")
     n1 = n10 = None
     docs_built = False
