@@ -1869,3 +1869,69 @@ def test_compact_ingest_index_scrub_results_unchanged(spark, tmp_path):
     assert before == with_duplicates == after
     assert before[0] == (10, "t1 t2")
     assert before[1][1] == "fresh stuff"
+
+
+def test_span_scrub_compaction_between_restarts(spark, tmp_path):
+    """Compaction under the real checkpoint discipline: stop the scrub
+    stream after batch 0, compact the index up to the last COMMITTED
+    batch, restart with a new file — the restarted batch must scrub
+    against the compacted base exactly as it would against the original
+    partitions."""
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        compact_ingest_index,
+        read_file_stream,
+        start_incremental_span_scrub_stream,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def _drop(i, rows):
+        stage = tmp_path / f"stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(stage / part[0], src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    index = str(tmp_path / "gram_index")
+
+    def _run():
+        q = start_incremental_span_scrub_stream(
+            spark,
+            read_file_stream(
+                spark, str(src), schema, max_files_per_trigger=1,
+                glob="*.parquet",
+            ),
+            corpus, ckpt, index, n=3,
+        )
+        q.awaitTermination(120)
+
+    _drop(0, [(1, "a b c d e f"), (2, "p q r s t u")])
+    _run()
+    # batch 0 committed -> its partition is compactable
+    assert compact_ingest_index(spark, index, upto_batch=0) == 8
+    assert sorted(
+        d for d in os.listdir(index) if d.startswith("ingest_batch=")
+    ) == ["ingest_batch=-1"]
+
+    _drop(1, [(3, "a b c d z9 z8"), (4, "fresh words only here now yes")])
+    _run()
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(corpus).collect()
+    }
+    assert got == {
+        1: "a b c d e f",
+        2: "p q r s t u",
+        3: "z9 z8",             # scrubbed against the compacted base
+        4: "fresh words only here now yes",
+    }
