@@ -332,11 +332,18 @@ def incremental_span_scrub(
     id_col: str,
     text_col: str,
     n: int = 8,
+    within_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact substring dedup: scrub from ``incoming`` every
     maximal span whose n-grams repeat within the batch OR were seen in any
     earlier batch (``seen_grams``, one ``gh`` md5-hex column — distinct not
     required, it is re-distinct'd here).
+
+    ``within_batch=False`` drops the repeat-within-batch rule: ONLY
+    index membership marks a gram — the surgical-decontamination mode
+    (cut every span matching a benchmark set's grams, keep the rest of
+    the document) — and the plan simplifies to a semi join with no
+    occurrence window at all.
 
     Returns ``(cleaned, batch_grams)``: ``cleaned`` has the
     ``remove_dup_spans`` schema; ``batch_grams`` is the batch's DISTINCT
@@ -358,15 +365,18 @@ def incremental_span_scrub(
     is never re-tokenized.
     """
     positions = _gram_positions(incoming, id_col, text_col, n)
-    occ = Window.partitionBy("gh")
-    seen = seen_grams.select("gh").distinct().withColumn("_seen", F.lit(1))
-    flagged = (
-        positions.withColumn("n_occ", F.count(F.lit(1)).over(occ))
-        .join(seen, "gh", "left")
-    )
-    dup = flagged.where(
-        (F.col("n_occ") > 1) | F.col("_seen").isNotNull()
-    ).select("doc_id", "pos")
+    seen = seen_grams.select("gh").distinct()
+    if within_batch:
+        occ = Window.partitionBy("gh")
+        flagged = (
+            positions.withColumn("n_occ", F.count(F.lit(1)).over(occ))
+            .join(seen.withColumn("_seen", F.lit(1)), "gh", "left")
+        )
+        dup = flagged.where(
+            (F.col("n_occ") > 1) | F.col("_seen").isNotNull()
+        ).select("doc_id", "pos")
+    else:
+        dup = positions.join(seen, "gh", "left_semi").select("doc_id", "pos")
     cleaned = _cut_spans(incoming, _island_spans(dup, n), id_col, text_col)
     return cleaned, positions.select("gh").distinct()
 

@@ -436,3 +436,33 @@ def test_incremental_scrub_seen_grams_cut_first_occurrence(spark):
     assert (r["n_spans"], r["kept_tokens"], r["clean_text"]) == (
         1, 2, "tail1 tail2",
     )
+
+
+def test_incremental_scrub_within_batch_off_is_surgical(spark):
+    """within_batch=False: only index membership cuts — within-batch
+    repeats survive (the surgical-decontamination contract), and the plan
+    carries no occurrence window at all."""
+    from gmall_flink_yb_spark.functions.ngrams import (
+        gram_rows,
+        incremental_span_scrub,
+    )
+
+    bench = _docs(spark, [(1, "w x y z")])
+    seen = gram_rows(bench, "doc_id", "text", 2).select(
+        F.md5(F.col("g")).alias("gh")
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, "w x y z tail1 tail2"),  # benchmark prefix: cut
+            (11, "m n o m n o"),          # pure within-batch repeat: KEPT
+        ],
+    )
+    cleaned, _ = incremental_span_scrub(
+        seen, batch, "doc_id", "text", n=2, within_batch=False
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in cleaned.collect()}
+    assert got == {10: "tail1 tail2", 11: "m n o m n o"}
+    # the occurrence-count window is gone; only the island lag/sum remain
+    plan = cleaned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("count(1) windowspecdefinition") == 0
