@@ -70,6 +70,7 @@ def interval_join(
     how: str = "inner",
     skew_guard: bool = False,
     salt_on: list[str] | None = None,
+    left_salt_on: list[str] | None = None,
 ) -> DataFrame:
     """J1 — equi-join + event-time range predicate
     (right.ts BETWEEN left.ts + lower AND left.ts + upper).
@@ -83,18 +84,33 @@ def interval_join(
     ``skew_guard`` (batch-BOTH-sides + inner only; a streaming side can't
     run the plan-time sample job — and a streaming LEFT must not be
     explode-replicated (ADVICE r6) — while outer sides would be
-    duplicated by replication): sample the RIGHT side's key shares and,
-    for every key above 1/shuffle_partitions, salt that key's right rows
-    and replicate ONLY the left rows carrying those keys over the
-    computed bucket count (VERDICT r6 #1 hot/cold split — replication
-    cost is #hot_left_rows x buckets, not left x buckets); the cold
-    remainder of both sides takes the plain join and the halves union.
-    Same range predicate on both branches. The fired route is exposed as
-    ``_skew_salt_buckets`` on the result (None = plain).
+    duplicated by replication): profile BOTH sides' key shares in ONE
+    sampled job (ADVICE r7 — the r6 form profiled only the right side, so
+    a hot key concentrated on the LEFT still made an unsplittable
+    straggler while reporting _skew_salt_buckets=None): the sides union
+    into a two-column frame where each row carries its own side's key and
+    NULL for the other, and ``hot_key_shares(null_in_total=False)`` keeps
+    each column's share denominator = its own side's rows. Keys hot on
+    the RIGHT salt the right rows and replicate ONLY the left rows
+    carrying them over the computed bucket count (VERDICT r6 #1 hot/cold
+    split); keys hot on the LEFT only take the mirror branch (left
+    salted, right hot rows replicated); the cold remainder of both sides
+    takes the plain join and the branches union — inner-only, so the
+    disjoint key routing is lossless. Same range predicate on every
+    branch. The fired route is exposed as ``_skew_salt_buckets`` on the
+    result (None = plain; the max across fired branches otherwise) plus
+    ``_skew_salted_sides`` ({'right': buckets, 'left': buckets} for the
+    branches that fired).
 
-    ``salt_on``: RIGHT-side columns giving each row an identity so its
-    salt is retry-deterministic (see ``skew.salt_expr``); omit for
-    keyless frames (rand fallback).
+    Share caveat: shares are per-side ROW shares, so a very small side
+    trivially exceeds 1/shuffle_partitions and fires its branch — a false
+    positive whose cost stays bounded (only the OTHER side's rows for
+    those keys replicate, buckets x #hot-key rows); a genuinely tiny side
+    belongs in a broadcast join upstream, not an interval shuffle join.
+
+    ``salt_on`` / ``left_salt_on``: RIGHT- / LEFT-side columns giving
+    each row an identity so its salt is retry-deterministic (see
+    ``skew.salt_expr``); omit for keyless frames (rand fallback).
     """
     # cast NTZ timestamps through TimestampType first (session TZ is UTC)
     lts = F.col(f"l.{left_ts}").cast("timestamp").cast("double")
@@ -114,51 +130,88 @@ def interval_join(
         parts = int(
             right.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        hot = _skew.hot_key_shares(right, [right_key], 1.0 / parts)[
-            right_key
-        ]
-        if hot:
-            buckets = _skew.salt_buckets_for(
-                max(s for _, s in hot), parts
+        combined = left.select(
+            F.col(left_key).cast("string").alias("_lk"),
+            F.lit(None).cast("string").alias("_rk"),
+        ).unionByName(
+            right.select(
+                F.lit(None).cast("string").alias("_lk"),
+                F.col(right_key).cast("string").alias("_rk"),
             )
-            hot_vals = [v for v, _ in hot]
-            r_hot = _skew._is_hot(right[right_key], hot_vals)
-            l_hot = _skew._is_hot(left[left_key], hot_vals)
-            r = right.filter(r_hot).withColumn(
-                "_salt_r", _skew.salt_expr(buckets, salt_on)
+        )
+        prof = _skew.hot_key_shares(
+            combined, ["_lk", "_rk"], 1.0 / parts, null_in_total=False
+        )
+        hot_r = prof["_rk"]
+        r_vals = {v for v, _ in hot_r}
+        # keys already routed by the right branch never re-route left
+        hot_l = [(v, s) for v, s in prof["_lk"] if v not in r_vals]
+
+        salt_cond = (
+            (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
+            & (F.col("l._salt_l") == F.col("r._salt_r"))
+            & range_cond
+        )
+
+        def _salted(l_sub: DataFrame, r_sub: DataFrame, buckets: int,
+                    salt_right: bool) -> DataFrame:
+            # salt the hot side's rows; replicate the other side's hot
+            # rows across every salt value (bounded: hot rows x buckets)
+            replicate = F.explode(
+                F.array(*[F.lit(i) for i in range(buckets)])
             )
-            lft = left.filter(l_hot).withColumn(
-                "_salt_l",
-                F.explode(F.array(*[F.lit(i) for i in range(buckets)])),
-            )
-            salt_cond = (
-                (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
-                & (F.col("l._salt_l") == F.col("r._salt_r"))
-                & range_cond
-            )
-            hot_out = (
-                lft.alias("l")
-                .join(r.alias("r"), salt_cond, how)
+            if salt_right:
+                r_s = r_sub.withColumn(
+                    "_salt_r", _skew.salt_expr(buckets, salt_on)
+                )
+                l_s = l_sub.withColumn("_salt_l", replicate)
+            else:
+                l_s = l_sub.withColumn(
+                    "_salt_l", _skew.salt_expr(buckets, left_salt_on)
+                )
+                r_s = r_sub.withColumn("_salt_r", replicate)
+            return (
+                l_s.alias("l")
+                .join(r_s.alias("r"), salt_cond, how)
                 .drop("_salt_l", "_salt_r")
             )
-            # inner-only branch: a hot-keyed row can never match a
-            # cold-keyed one, so both sides shed their hot rows cold-side
-            cold_out = (
-                left.filter(~F.coalesce(l_hot, F.lit(False)))
-                .alias("l")
-                .join(
-                    right.filter(~F.coalesce(r_hot, F.lit(False))).alias(
-                        "r"
-                    ),
-                    cond,
-                    how,
-                )
+
+        branches: list[DataFrame] = []
+        sides: dict[str, int] = {}
+        l_rest, r_rest = left, right
+        if hot_r:
+            buckets_r = _skew.salt_buckets_for(
+                max(s for _, s in hot_r), parts
             )
-            out = hot_out.unionByName(cold_out)
-            out._skew_salt_buckets = buckets
+            vals = [v for v, _ in hot_r]
+            l_hot, l_rest = _skew.hot_cold_split(l_rest, left_key, vals)
+            r_hot, r_rest = _skew.hot_cold_split(r_rest, right_key, vals)
+            branches.append(_salted(l_hot, r_hot, buckets_r, True))
+            sides["right"] = buckets_r
+        if hot_l:
+            buckets_l = _skew.salt_buckets_for(
+                max(s for _, s in hot_l), parts
+            )
+            vals = [v for v, _ in hot_l]
+            l_hot, l_rest = _skew.hot_cold_split(l_rest, left_key, vals)
+            r_hot, r_rest = _skew.hot_cold_split(r_rest, right_key, vals)
+            branches.append(_salted(l_hot, r_hot, buckets_l, False))
+            sides["left"] = buckets_l
+        if branches:
+            # inner-only: a hot-keyed row can never match a cold-keyed
+            # one, so both sides shed every hot key before the cold join
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionByName(b)
+            out = out.unionByName(
+                l_rest.alias("l").join(r_rest.alias("r"), cond, how)
+            )
+            out._skew_salt_buckets = max(sides.values())
+            out._skew_salted_sides = sides
             return out
     out = left.alias("l").join(right.alias("r"), cond, how)
     out._skew_salt_buckets = None
+    out._skew_salted_sides = {}
     return out
 
 

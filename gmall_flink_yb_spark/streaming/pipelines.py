@@ -953,7 +953,17 @@ def compact_ingest_index(
     index is a set (``incremental_span_scrub`` re-distincts it); a re-run
     converges. Single-writer contract (same as the dim store): run only
     while no scrub stream is writing this index.
+
+    A crash between the staging write and the rename leaves an orphaned
+    ``_compact_staging-*`` dir — invisible to readers (underscore prefix)
+    but accumulating disk across crashed compactions (ADVICE r7) — so the
+    first step here is to delete any leftover staging children, which the
+    single-writer contract makes safe (no concurrent compactor owns them).
     """
+    fs0, _ = _hadoop_fs(spark, index_dir)
+    for orphan in hadoop_child_dirs(spark, index_dir, "_compact_staging-"):
+        _, ojp = _hadoop_fs(spark, os.path.join(index_dir, orphan))
+        fs0.delete(ojp, True)
     parts = hadoop_child_dirs(spark, index_dir, "ingest_batch=")
     ids = {p: int(p.split("=", 1)[1]) for p in parts}
     fold = [p for p, i in ids.items() if i <= upto_batch]

@@ -1814,6 +1814,33 @@ def test_compact_ingest_index_folds_and_preserves_membership(spark, tmp_path):
     ) == ["ingest_batch=-2"]
 
 
+def test_compact_ingest_index_cleans_orphaned_staging(spark, tmp_path):
+    """ADVICE r7: a crash between the staging write and the rename leaves
+    an orphaned _compact_staging-* dir (invisible to readers, so it would
+    silently accumulate). The next compaction run deletes leftovers first
+    — and still folds correctly."""
+    from gmall_flink_yb_spark.streaming.pipelines import compact_ingest_index
+
+    idx = str(tmp_path / "gram_index")
+    for b, ghs in {0: ["g1", "g2"], 1: ["g2", "g3"]}.items():
+        spark.createDataFrame([(g,) for g in ghs], "gh string").write.parquet(
+            os.path.join(idx, f"ingest_batch={b}")
+        )
+    # simulate the crashed prior compaction's leftover staging dir
+    orphan = os.path.join(idx, "_compact_staging-deadbeef")
+    spark.createDataFrame([("junk",)], "gh string").write.parquet(orphan)
+    assert os.path.isdir(orphan)
+    n = compact_ingest_index(spark, idx, upto_batch=1)
+    assert n == 3
+    assert not os.path.isdir(orphan)
+    leftovers = [
+        d for d in os.listdir(idx) if d.startswith("_compact_staging-")
+    ]
+    assert leftovers == []
+    whole = spark.read.option("basePath", idx).parquet(idx)
+    assert {r["gh"] for r in whole.collect()} == {"g1", "g2", "g3"}
+
+
 def test_compact_ingest_index_scrub_results_unchanged(spark, tmp_path):
     """The scrub verdicts for a next batch are identical against the
     compacted index, and also when a crash left folded partitions behind
