@@ -490,6 +490,37 @@ def _srp_planes_bucket(vec: Column, plane_rows: list[list[float]]) -> Column:
     )
 
 
+def auto_n_planes(n_rows: int, margin: int = 3, floor: int = 8) -> int:
+    """SRP band width P derived from the corpus size:
+    ``max(floor, ceil(log2(n_rows)) + margin)`` (VERDICT r7 #4).
+
+    The sizing rule (``srp_band_buckets`` docstring, measured in
+    BASELINE.md): RANDOM near-orthogonal pairs collide in a P-plane band
+    with probability ~2^-P, so candidate volume has a floor of
+    B*n^2/2^P pairs even with zero true similarity — P >= log2(n) makes
+    that floor ~B*n (linear). The +3 margin divides the random floor a
+    further 8x and matches the measured pass point: at 1M vectors per
+    side (2M joined rows, log2 = 21) P=24 passes where P=16 dies on the
+    predicted ~1.2e8-pair vector-carrying shuffle. The floor of 8
+    preserves the small-corpus default exactly (any n <= 32 derives
+    P=8), where recall — not the random floor — is the binding concern.
+    """
+    import math
+
+    return max(floor, math.ceil(math.log2(max(n_rows, 2))) + margin)
+
+
+def _resolve_n_planes(n_planes: int | str, *frames: DataFrame) -> int:
+    """``"auto"`` -> :func:`auto_n_planes` over the frames' total row
+    count — one cheap count job per frame at PLAN-BUILD time (same eager
+    plan-time-measurement discipline as ``skew.hot_key_shares``; callers
+    passing derived frames pay their lineage once here). Ints pass
+    through untouched (the explicit override)."""
+    if n_planes == "auto":
+        return auto_n_planes(sum(f.count() for f in frames))
+    return int(n_planes)
+
+
 def _srp_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     """Sign-random-projection bucket id: one bit per pseudo-random hyperplane.
 
@@ -512,7 +543,10 @@ def _srp_band_bucket(vec: Column, band: int, n_planes: int, dim: int) -> Column:
 
 
 def srp_band_buckets(
-    vecs: DataFrame, n_bands: int = 4, n_planes: int = 8, dim: int = 64
+    vecs: DataFrame,
+    n_bands: int = 4,
+    n_planes: int | str = "auto",
+    dim: int = 64,
 ) -> DataFrame:
     """(id, vec, band, bucket) — one row per SRP band of a normalized
     (id, vec) frame; vectors sharing any (band, bucket) are near-dup
@@ -533,7 +567,15 @@ def srp_band_buckets(
     no second join against the corpus to fetch vectors; at 100 TB that
     trade buys verify-time shuffle-freedom for B-fold index storage,
     mirroring the sig-in-index layout of the MinHash band index
-    (dedup.band_buckets)."""
+    (dedup.band_buckets).
+
+    ``n_planes="auto"`` (the default — VERDICT r7 #4) derives P from the
+    corpus count via :func:`auto_n_planes`, so the rule above is enforced
+    by code at every scale instead of by the caller remembering it; pass
+    an int to pin (REQUIRED when building rows for a persisted index —
+    the index's P is part of its on-disk contract, see
+    ``incremental_cosine_dedup_indexed``)."""
+    n_planes = _resolve_n_planes(n_planes, vecs)
     return vecs.select(
         "id",
         "vec",
@@ -591,6 +633,13 @@ def incremental_cosine_dedup_indexed(
     repo-wide float convention) — banding only bounds which pairs get
     scored, so precision is exact and recall is the banded-SRP bound
     documented on ``srp_band_buckets``.
+
+    ``n_planes`` here is an INT by design (no "auto"): the persisted
+    index was hashed with a fixed P, incoming vectors must hash with the
+    same P or buckets never match — P is part of the index's on-disk
+    contract, like the band count. Auto-sizing belongs where both sides
+    hash inside one plan (``incremental_cosine_dedup``,
+    ``lsh_bucket_topk``, ``srp_band_buckets``).
     """
     vi = incoming.select(
         F.col(id_col).cast("long").alias("id"),
@@ -656,14 +705,20 @@ def incremental_cosine_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_bands: int = 4,
-    n_planes: int = 8,
+    n_planes: int | str = "auto",
     dim: int = 64,
     broadcast_incoming: bool = False,
 ) -> DataFrame:
     """Wrapper over ``incremental_cosine_dedup_indexed`` that REBUILDS the
     SRP band index from the raw corpus (same plan shape; callers holding
     the persisted index — the streaming ingest — use the indexed form so
-    per-batch cost tracks batch size, never corpus size)."""
+    per-batch cost tracks batch size, never corpus size).
+
+    ``n_planes="auto"`` sizes P from BOTH sides' total count (the join's
+    random-collision floor is set by the joined corpus size) and is safe
+    here precisely because this form hashes both sides inside one plan —
+    the INDEXED form pins P to the persisted index's width instead."""
+    n_planes = _resolve_n_planes(n_planes, existing, incoming)
     ve = existing.select(
         F.col(id_col).cast("long").alias("id"),
         _as_double(F.col(vec_col)).alias("vec"),
@@ -777,7 +832,7 @@ def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | str = "auto",
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -786,8 +841,11 @@ def lsh_bucket_topk(
 
     Scale path: both sides shuffle once on bucket_id; within-bucket scoring is
     the same exact cosine. Recall < 1.0 by design (approximate) — rows-only
-    correctness check, benched for speed.
+    correctness check, benched for speed. ``n_planes="auto"`` sizes P
+    from the CORPUS side's count (:func:`auto_n_planes`); queries hash
+    with the same resolved P inside this one plan.
     """
+    n_planes = _resolve_n_planes(n_planes, embeddings)
     c = (
         embeddings.select(
             F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")

@@ -225,3 +225,42 @@ def test_incremental_ann_stream_with_persisted_index(spark, tmp_path):
     assert broken and all(
         (not r["in_corpus"]) and r["in_index"] for r in broken
     )
+
+
+def test_auto_n_planes_rule_across_decades(spark):
+    """VERDICT r7 #4: the derived P satisfies n_planes >= log2(n) at
+    every scale (three+ decades), carries the documented +3 margin, and
+    floors at 8 so small corpora keep the historical default exactly."""
+    import math
+
+    from gmall_flink_yb_spark.functions.similarity import auto_n_planes
+
+    for n in (10_000, 1_000_000, 100_000_000, 10_000_000_000):
+        p = auto_n_planes(n)
+        assert p >= math.log2(n)          # the measured rule
+        assert p == math.ceil(math.log2(n)) + 3  # the documented margin
+    # the measured pass point: 2M joined rows -> P=24 (not 16)
+    assert auto_n_planes(2_000_000) == 24
+    # small corpora keep the historical default
+    for n in (0, 1, 2, 32):
+        assert auto_n_planes(n) == 8
+
+
+def test_auto_n_planes_default_matches_explicit_on_small_corpus(spark):
+    """n_planes='auto' (the new default) resolves to 8 below 33 rows, so
+    the default-call verdicts are bit-identical to explicit P=8."""
+    ex = spark.createDataFrame([(1, V1), (2, V2)], SCHEMA)
+    inc = spark.createDataFrame(
+        [(10, V1_DUP), (11, V3), (12, V3_DUP)], SCHEMA
+    )
+    auto = _verdicts(
+        incremental_cosine_dedup(ex, inc, threshold=0.95, dim=DIM)
+    )
+    pinned = _verdicts(
+        incremental_cosine_dedup(
+            ex, inc, threshold=0.95, n_planes=8, dim=DIM
+        )
+    )
+    assert {k: (v["keep"], v["dup_of"]) for k, v in auto.items()} == {
+        k: (v["keep"], v["dup_of"]) for k, v in pinned.items()
+    }

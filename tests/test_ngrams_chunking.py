@@ -15,6 +15,7 @@ from gmall_flink_yb_spark.functions.chunking import chunk_documents
 from gmall_flink_yb_spark.functions.ngrams import (
     decontaminate,
     dup_span_rows,
+    incremental_span_scrub,
     remove_dup_spans,
     span_dup_stats,
     token_ngrams,
@@ -466,3 +467,127 @@ def test_incremental_scrub_within_batch_off_is_surgical(spark):
     # the occurrence-count window is gone; only the island lag/sum remain
     plan = cleaned._jdf.queryExecution().executedPlan().toString()
     assert plan.count("count(1) windowspecdefinition") == 0
+
+
+# ---------------------------------------------------------------------------
+# Hot-gram escape hatch (VERDICT r7 #1): the gram-occurrence count's per-gh
+# partition is corpus-bounded; profiled-hot grams route through a two-phase
+# salted count + broadcast semi-join while cold grams keep the window.
+# ---------------------------------------------------------------------------
+
+def _boilerplate_corpus(spark, n_docs=120):
+    """Every doc opens with the same 8-token boilerplate gram (one
+    all-corpus hot gram) followed by unique text; one extra doc carries an
+    organic self-repeat that must stay on the cold/window path."""
+    boiler = "all rights reserved by the original author here"
+    rows = [
+        (i, f"{boiler} unique u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g")
+        for i in range(n_docs)
+    ]
+    rows.append((9_000, "organic repeat one two three four five six " * 2))
+    return _docs(spark, rows)
+
+
+def test_dup_spans_hot_gram_guard_equals_window(spark):
+    """Forced-hot profiling (sample=1.0, low threshold) must return
+    exactly the plain-window answer on a corpus with one all-corpus gram,
+    and the hybrid must actually fire (hot gh routed off the window)."""
+    df = _boilerplate_corpus(spark)
+    on = dup_span_rows(
+        df, "doc_id", "text", n=8, hot_gram_guard=True,
+        gram_sample_fraction=1.0, gram_share_threshold=0.01,
+    )
+    off = dup_span_rows(df, "doc_id", "text", n=8, hot_gram_guard=False)
+    assert sorted(map(tuple, on.collect())) == sorted(
+        map(tuple, off.collect())
+    )
+    # the hybrid plan actually split: a union of hot + cold branches
+    from gmall_flink_yb_spark.plans.inspect import _simple_plan
+    assert "Union" in _simple_plan(on)
+    assert "Union" not in _simple_plan(off)
+
+
+def test_dup_spans_no_hot_gram_plan_byte_identical(spark):
+    """Plan gate: when profiling finds nothing hot, guard-on returns the
+    EXACT pre-guard plan (modulo expression/plan ids, which differ between
+    any two plan instances) — the PPJoin mega-doc-cap discipline."""
+    import re
+
+    df = _docs(spark, [
+        (i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(20)))
+        for i in range(60)
+    ])
+    on = dup_span_rows(
+        df, "doc_id", "text", n=8, hot_gram_guard=True,
+        gram_sample_fraction=1.0,
+    )
+    off = dup_span_rows(df, "doc_id", "text", n=8, hot_gram_guard=False)
+
+    def norm(frame):
+        s = frame._jdf.queryExecution().executedPlan().toString()
+        s = re.sub(r"#\d+", "#", s)          # expression ids
+        s = re.sub(r"plan_id=\d+", "plan_id=", s)
+        return re.sub(r"x_\d+#", "x_#", s)   # lambda variable counters
+
+    assert norm(on) == norm(off)
+
+
+def test_dup_spans_hot_profile_false_positive_is_exact(spark):
+    """A gram profiled 'hot' off a small sample but occurring ONCE must
+    not be marked duplicated: hotness picks the counting plan (salted agg
+    instead of window), never the answer."""
+    df = _docs(spark, [
+        (1, "a b c d e f g h"),       # one gram, unique
+        (2, "p q r s t u v w"),       # one gram, unique
+        (3, "x y z q2 w2 e2 r2 t2"),  # one gram, unique
+    ])
+    out = dup_span_rows(
+        df, "doc_id", "text", n=8, hot_gram_guard=True,
+        gram_sample_fraction=1.0, gram_share_threshold=0.1,
+    )
+    assert out.count() == 0
+
+
+def test_remove_dup_spans_hot_guard_text_exact(spark):
+    """End-to-end removal through the hatch: cleaned text and accounting
+    byte-equal to the window path."""
+    df = _boilerplate_corpus(spark, n_docs=60)
+    kw = dict(n=8)
+    on = remove_dup_spans(
+        df, "doc_id", "text", hot_gram_guard=True,
+        gram_sample_fraction=1.0, gram_share_threshold=0.01, **kw
+    )
+    off = remove_dup_spans(df, "doc_id", "text", hot_gram_guard=False, **kw)
+    assert sorted(map(tuple, on.collect())) == sorted(
+        map(tuple, off.collect())
+    )
+
+
+def test_incremental_scrub_hot_guard_with_seen_index(spark):
+    """The within_batch hatch composes with the seen-gram index: a hot
+    gram already in the index is cut (membership via the tiny
+    seen-semi-join path), and results equal the guard-off plan."""
+    from gmall_flink_yb_spark.functions.ngrams import _gram_positions
+
+    df = _boilerplate_corpus(spark, n_docs=60)
+    # index = the boilerplate gram itself (as seen in an earlier batch)
+    seen = (
+        _gram_positions(
+            _docs(spark, [(0, "all rights reserved by the original "
+                              "author here")]),
+            "doc_id", "text", 8,
+        ).select("gh").distinct()
+    )
+    on, grams_on = incremental_span_scrub(
+        seen, df, "doc_id", "text", n=8, hot_gram_guard=True,
+        gram_sample_fraction=1.0, gram_share_threshold=0.01,
+    )
+    off, grams_off = incremental_span_scrub(
+        seen, df, "doc_id", "text", n=8, hot_gram_guard=False,
+    )
+    assert sorted(map(tuple, on.collect())) == sorted(
+        map(tuple, off.collect())
+    )
+    assert sorted(map(tuple, grams_on.collect())) == sorted(
+        map(tuple, grams_off.collect())
+    )

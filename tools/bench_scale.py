@@ -294,6 +294,11 @@ def _ann_stages(queries_df):
         # floor whose vector-carrying shuffle exceeds this box's disk —
         # P=24 is the honest banding for that tier
         ("ann_incremental_p24", lambda c: _ann_incremental_stage(c, 24)),
+        # VERDICT r7 #4: the rule enforced by code — n_planes="auto"
+        # derives P = ceil(log2(n)) + 3 from a plan-build count, so the
+        # 1000x tier needs NO hand-set P (at 1M vectors/side it derives
+        # the same P=24 the hand-tuned stage uses)
+        ("ann_incremental_auto", lambda c: _ann_incremental_stage(c, "auto")),
     ]
 
 
@@ -381,6 +386,31 @@ def main() -> None:
     n1 = n10 = None
     docs_built = False
     out: dict[str, dict[str, float]] = {}
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def repin_partitions(sf_dir: str) -> int:
+        """Size shuffle partitions for the corpus about to be timed
+        (VERDICT r7 #3: the 1000x run must restore at-linear growth with
+        NO hand-passed --shuffle-partitions). An explicit knob pins; the
+        default derives partitions from the corpus's scan bytes x the
+        gram-explosion expansion, floored at the session default."""
+        if args.shuffle_partitions is not None:
+            return args.shuffle_partitions
+        from gmall_flink_yb_spark.tuning import (
+            GRAM_EXPANSION,
+            estimate_parquet_bytes,
+            partitions_for_bytes,
+        )
+
+        p = partitions_for_bytes(
+            estimate_parquet_bytes(
+                spark, os.path.join(sf_dir, "documents.parquet")
+            ) * GRAM_EXPANSION,
+            lo=base_parts,
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        return p
+
     for name in [] if args.skip_dedup else DEDUP_QUERIES:
         if not docs_built:
             docs_built = True
@@ -391,7 +421,15 @@ def main() -> None:
             n10 = spark.read.parquet(
                 os.path.join(ten_dir, "documents.parquet")
             ).count()
+            print(
+                "# sized shuffle partitions: "
+                f"1x {repin_partitions(one_dir)} / "
+                f"{args.replicas}x {repin_partitions(ten_dir)}",
+                file=sys.stderr,
+            )
+        repin_partitions(one_dir)
         t1 = time_query(spark, name, one_dir, args.runs)
+        repin_partitions(ten_dir)
         t10 = time_query(spark, name, ten_dir, args.runs)
         out[name] = {
             "t1": round(t1, 2),
@@ -408,7 +446,7 @@ def main() -> None:
         stage_names = [
             "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
             "ann_incremental", "ann_incremental_p16",
-            "ann_incremental_p24",
+            "ann_incremental_p24", "ann_incremental_auto",
         ]
         if args.only:
             keep_ann = set(args.only.split(","))
