@@ -867,11 +867,19 @@ def start_incremental_span_scrub_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    hot_gram_guard: bool = False,
 ) -> StreamingQuery:
     """Exact substring dedup over a document stream (Lee et al. 2022,
     incremental form): each batch's documents are scrubbed of every
     maximal span whose n-grams repeat within the batch or were seen in any
     earlier batch, then written CLEANED to ``corpus_dir/ingest_batch=N``.
+
+    ``hot_gram_guard`` defaults OFF here, unlike the batch operator: the
+    occurrence window partitions by the BATCH's grams, so its worst
+    partition is micro-batch-bounded by construction and the per-batch
+    profile job would be pure overhead. Enable it for giant backfill
+    batches (one availableNow pass over a corpus-sized backlog), where a
+    batch IS a corpus.
 
     The seen-gram index is the persisted state (``index_dir/
     ingest_batch=N`` holds each batch's distinct md5 gram hashes of the
@@ -907,6 +915,7 @@ def start_incremental_span_scrub_stream(
                 id_col,
                 text_col,
                 n=n,
+                hot_gram_guard=hot_gram_guard,
             )
             cleaned.write.mode("overwrite").parquet(
                 os.path.join(corpus_dir, f"ingest_batch={batch_id}")
