@@ -899,6 +899,7 @@ def start_incremental_span_scrub_stream(
     up to the last COMMITTED batch id) when batch count grows unbounded;
     correctness only needs set membership.
     """
+    from gmall_flink_yb_spark.functions.cacheutil import release_cache
     from gmall_flink_yb_spark.functions.ngrams import incremental_span_scrub
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -923,6 +924,10 @@ def start_incremental_span_scrub_stream(
             batch_grams.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"ingest_batch={batch_id}")
             )
+            # the hatch (when enabled) persists the batch's gram stream;
+            # both consumers are materialized above, release per batch or
+            # a long-lived stream accumulates one cached stream per batch
+            release_cache(cleaned)
         finally:
             incoming.unpersist()
 

@@ -1962,3 +1962,63 @@ def test_span_scrub_compaction_between_restarts(spark, tmp_path):
         3: "z9 z8",             # scrubbed against the compacted base
         4: "fresh words only here now yes",
     }
+
+
+def test_span_scrub_stream_hot_gram_guard_same_answer(spark, tmp_path):
+    """hot_gram_guard=True on the stream (the giant-backfill knob): with
+    the guard forced to fire within each batch, the cleaned corpus is
+    byte-identical to the guard-off contract, and the per-batch persisted
+    gram stream is released (no cached-plan growth across batches)."""
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_file_stream,
+        start_incremental_span_scrub_stream,
+    )
+
+    b1 = [(1, "a b c d e f"), (2, "a b c s t u")]   # "a b c" hot in batch
+    b2 = [(3, "a b c d z9 z8"), (4, "m n o m n o")]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage_{i}"))
+        part = [
+            f for f in os.listdir(tmp_path / f"stage_{i}")
+            if f.endswith(".parquet")
+        ]
+        os.rename(tmp_path / f"stage_{i}" / part[0], src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    stream = read_file_stream(
+        spark, str(src), schema, max_files_per_trigger=1, glob="*.parquet"
+    )
+    q = start_incremental_span_scrub_stream(
+        spark,
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "gram_index"),
+        n=3,
+        hot_gram_guard=True,
+    )
+    q.awaitTermination(180)
+    corpus = {
+        r["doc_id"]: (r["clean_text"], r["kept_tokens"])
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    # batch 1: gram "a b c" repeats within the batch -> tokens [0,2] cut
+    # from BOTH docs; batch 2: doc 3's "a b c d" grams are all in the
+    # index, doc 4 is a within-batch repeat scrubbed to nothing
+    assert corpus == {
+        1: ("d e f", 3),
+        2: ("s t u", 3),
+        3: ("z9 z8", 2),
+        4: ("", 0),
+    }
+    # release happened: nothing left in the SQL cache manager
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
