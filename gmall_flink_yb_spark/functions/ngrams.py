@@ -281,17 +281,22 @@ def _dup_occurrence_positions(
 
     ``hot_gram_guard`` is the escape hatch:
 
-    - Profile gram shares on a DOCUMENT sample (cluster sampling: tokenize
-      ``sample_fraction`` of the docs, then ``skew.hot_key_shares`` with
-      no further row sampling). Sampling docs rather than gram rows keeps
-      the profile pass ~sample_fraction of one gram generation — the
-      naive form regenerated EVERY gram to sample 5% of them, and gram
-      generation (regex split + transform) dominates this operator's
-      cost. Doc sampling is an unbiased share estimator with higher
-      variance for grams concentrated in few documents — but a gram
-      concentrated in few documents is bounded by those documents' size,
-      i.e. exactly the kind the window sorts fine (the mega-doc exposure
-      is PPJoin-capped elsewhere).
+    - Profile gram shares on a DOCUMENT sample (cluster sampling:
+      tokenize ``sample_fraction`` of the docs), then let
+      ``skew.hot_key_shares`` row-sample the sampled gram stream by the
+      same fraction before its aggregate. The doc sample bounds the
+      TOKENIZE cost (the naive form regenerated EVERY gram to sample 5%
+      of them, and gram generation dominates this operator); the row
+      sample bounds the AGGREGATE/SHUFFLE cost (sampled organic grams
+      are nearly all distinct, so the profile's hash agg would otherwise
+      shuffle ~sample_fraction of the full gram stream). Net profile
+      cost ~ sample_fraction of a tokenize pass + sample_fraction^2 of
+      the gram shuffle. Both samplings are unbiased share estimators;
+      hotness noise only ever picks the counting PLAN, never the answer.
+      Grams concentrated in few documents have high doc-sample variance
+      — but those are bounded by their documents' size, exactly the kind
+      the window sorts fine (the mega-doc exposure is PPJoin-capped
+      elsewhere).
     - For ghs above ``share_threshold`` (default 1/shuffle_partitions —
       the share where one gram's rows exceed an average partition), count
       exactly via two-phase salted aggregation (``skew.salted_agg``; the
@@ -339,7 +344,7 @@ def _dup_occurrence_positions(
             _gram_positions(sampled_docs, id_col, text_col, n),
             ["gh"],
             thr,
-            sample_fraction=1.0,
+            sample_fraction=sample_fraction,
         )["gh"]
         if hot:
             hot_vals = [v for v, _ in hot]
