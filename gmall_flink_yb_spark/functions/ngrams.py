@@ -140,6 +140,9 @@ def span_dup_stats(
     id_col: str,
     text_col: str,
     n: int = 8,
+    hot_gram_guard: bool = True,
+    gram_sample_fraction: float = 0.05,
+    gram_share_threshold: float | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span metric: of the document's DISTINCT
     token n-grams, how many also occur in at least one other document.
@@ -149,13 +152,98 @@ def span_dup_stats(
 
     Grams shuffle as md5 hex digests (fixed 32 bytes; md5 so the DuckDB
     oracle hashes identically), not raw strings.
-    """
+
+    ``hot_gram_guard``: the same escape hatch as
+    :func:`_dup_occurrence_positions` for this operator's own
+    corpus-bounded window (here the per-gh partition holds one row per
+    DOCUMENT containing the gram — a boilerplate gram shared by every
+    document still sorts the whole corpus through one task). When
+    profiling finds hot ghs the plan switches to: exact salted count of
+    the hot grams' doc-distinct rows + broadcast semi-join flags for the
+    hot slice, window for the cold remainder, and a per-doc
+    totals-join-dup aggregate — answer-identical by construction
+    (pytest). No hot gram -> the single-window plan below,
+    byte-identical to the pre-guard form."""
     grams = (
         gram_rows(df, id_col, text_col, n)
         .select("doc_id", F.md5(F.col("g")).alias("gh"))
         .groupBy("doc_id", "gh")
         .agg(F.lit(1).alias("_one"))
     )
+    if hot_gram_guard:
+        from pyspark.storagelevel import StorageLevel
+
+        from gmall_flink_yb_spark.functions.cacheutil import owns_cache
+        from gmall_flink_yb_spark.operators import skew as _skew
+
+        spark = df.sparkSession
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        thr = (
+            gram_share_threshold
+            if gram_share_threshold is not None
+            else 1.0 / parts
+        )
+        sampled_docs = (
+            df if gram_sample_fraction >= 1.0
+            else df.sample(fraction=gram_sample_fraction, seed=42)
+        )
+        sampled_grams = (
+            gram_rows(sampled_docs, id_col, text_col, n)
+            .select("doc_id", F.md5(F.col("g")).alias("gh"))
+            .groupBy("doc_id", "gh")
+            .agg(F.lit(1).alias("_one"))
+        )
+        hot = _skew.hot_key_shares(
+            sampled_grams, ["gh"], thr,
+            sample_fraction=gram_sample_fraction,
+            min_sampled_count=8,  # tiny-sample guard, see hot_key_shares
+        )["gh"]
+        if hot:
+            cached = grams.persist(StorageLevel.MEMORY_AND_DISK)
+            hot_g, cold_g = _skew.hot_cold_split(
+                cached, "gh", [v for v, _ in hot]
+            )
+            buckets = _skew.salt_buckets_for(
+                max(s for _, s in hot), parts
+            )
+            counts = _skew.salted_agg(
+                hot_g.select("doc_id", "gh"),
+                ["gh"],
+                {"n_docs": F.count(F.lit(1))},
+                buckets=buckets,
+                salt_on=["doc_id", "gh"],
+            )
+            hot_dup = hot_g.join(
+                F.broadcast(
+                    counts.filter(F.col("n_docs") > 1).select("gh")
+                ),
+                "gh",
+                "left_semi",
+            ).select("doc_id")
+            occ = Window.partitionBy("gh")
+            cold_dup = (
+                cold_g.withColumn("n_docs", F.count(F.lit(1)).over(occ))
+                .where(F.col("n_docs") > 1)
+                .select("doc_id")
+            )
+            dup = hot_dup.unionByName(cold_dup).groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_dup_grams")
+            )
+            totals = cached.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_grams")
+            )
+            n_dup = F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long")
+            return owns_cache(
+                totals.join(dup, "doc_id", "left").select(
+                    "doc_id",
+                    "n_grams",
+                    n_dup.alias("n_dup_grams"),
+                    F.round(
+                        n_dup.cast("double") / F.col("n_grams"), 6
+                    ).alias("dup_frac"),
+                ),
+                cached,
+            )
     occ = Window.partitionBy("gh")
     flagged = grams.withColumn("n_docs", F.count(F.lit(1)).over(occ))
     return (
@@ -340,11 +428,16 @@ def _dup_occurrence_positions(
             df if sample_fraction >= 1.0
             else df.sample(fraction=sample_fraction, seed=42)
         )
+        # min_sampled_count=8: suppress firing off samples too small for
+        # share estimates to mean anything (a near-unique gh column's
+        # singletons all clear 1/parts in a tiny sample; at real scale a
+        # truly-hot gram samples thr x sampled_total >> 8 times)
         hot = _skew.hot_key_shares(
             _gram_positions(sampled_docs, id_col, text_col, n),
             ["gh"],
             thr,
             sample_fraction=sample_fraction,
+            min_sampled_count=8,
         )["gh"]
         if hot:
             hot_vals = [v for v, _ in hot]

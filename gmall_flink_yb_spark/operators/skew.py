@@ -257,6 +257,7 @@ def hot_key_shares(
     sample_fraction: float = 0.05,
     seed: int = 42,
     null_in_total: bool = True,
+    min_sampled_count: int = 1,
 ) -> dict[str, list[tuple[str, float]]]:
     """Per key column, every value whose sampled row share exceeds
     ``share_threshold`` — in ONE sampled job for ALL columns (VERDICT r6
@@ -295,7 +296,18 @@ def hot_key_shares(
     one job (ADVICE r7, interval_join): union the sides into one frame
     where each row carries its own side's key and NULL for the other —
     with NULLs excluded, each column's total counts exactly its own
-    side's sampled rows, so shares stay per-side row shares."""
+    side's sampled rows, so shares stay per-side row shares.
+
+    ``min_sampled_count``: a value is only reported hot if it was seen
+    at least this many times in the sample — the tiny-sample guard. A
+    share threshold alone is meaningless when few rows survive sampling
+    (in a 50-row sample EVERY singleton is a 2% share, so every value of
+    a near-unique key clears thresholds around 1/parts and a caller
+    mis-routes its whole input through the hot path). A value genuinely
+    over ``share_threshold`` is expected ``threshold x sampled_total``
+    times in the sample, so requiring ~8 costs detection power only
+    when the sample is too small for share estimates to mean anything —
+    exactly when firing should be suppressed."""
     s = df.select(*key_cols)
     if sample_fraction < 1.0:
         s = s.sample(fraction=sample_fraction, seed=seed)
@@ -325,6 +337,7 @@ def hot_key_shares(
                 F.col("_n")
                 > F.lit(float(share_threshold)) * F.col("_total")
             )
+            & (F.col("_n") >= F.lit(int(min_sampled_count)))
         )
         .select("c", "v", (F.col("_n") / F.col("_total")).alias("_share"))
         .collect()  # bounded: <= len(key_cols)/share_threshold rows

@@ -532,20 +532,50 @@ def test_dup_spans_no_hot_gram_plan_byte_identical(spark):
     assert norm(on) == norm(off)
 
 
-def test_dup_spans_hot_profile_false_positive_is_exact(spark):
-    """A gram profiled 'hot' off a small sample but occurring ONCE must
-    not be marked duplicated: hotness picks the counting plan (salted agg
-    instead of window), never the answer."""
+def test_dup_spans_tiny_sample_never_fires_or_misses(spark):
+    """The tiny-sample guard (min_sampled_count=8): on a tiny unique
+    corpus every gram clears any share threshold (3 grams -> 33% each),
+    but none reaches 8 sampled occurrences, so the hatch must NOT fire —
+    the plan stays the plain window and the answer is empty. A
+    single-occurrence gram can therefore never take the hot path at all:
+    sampled count >= 8 implies true count >= 8 > 1."""
+    import re
+
     df = _docs(spark, [
         (1, "a b c d e f g h"),       # one gram, unique
         (2, "p q r s t u v w"),       # one gram, unique
         (3, "x y z q2 w2 e2 r2 t2"),  # one gram, unique
     ])
-    out = dup_span_rows(
+    on = dup_span_rows(
         df, "doc_id", "text", n=8, hot_gram_guard=True,
         gram_sample_fraction=1.0, gram_share_threshold=0.1,
     )
-    assert out.count() == 0
+    off = dup_span_rows(df, "doc_id", "text", n=8, hot_gram_guard=False)
+
+    def norm(frame):
+        s = frame._jdf.queryExecution().executedPlan().toString()
+        s = re.sub(r"#\d+", "#", s)
+        s = re.sub(r"plan_id=\d+", "plan_id=", s)
+        return re.sub(r"x_\d+#", "x_#", s)
+
+    assert norm(on) == norm(off)
+    assert on.count() == 0
+
+
+def test_hot_key_shares_min_sampled_count(spark):
+    """skew.hot_key_shares(min_sampled_count=k): values under k sampled
+    occurrences are never reported hot, regardless of share."""
+    from gmall_flink_yb_spark.operators.skew import hot_key_shares
+
+    df = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 2, "k string"
+    )
+    full = hot_key_shares(df, ["k"], 0.05, sample_fraction=1.0)
+    assert {v for v, _ in full["k"]} == {"a", "b"}
+    guarded = hot_key_shares(
+        df, ["k"], 0.05, sample_fraction=1.0, min_sampled_count=8
+    )
+    assert {v for v, _ in guarded["k"]} == {"a"}  # b: share 17% but n=2
 
 
 def test_remove_dup_spans_hot_guard_text_exact(spark):
@@ -591,3 +621,43 @@ def test_incremental_scrub_hot_guard_with_seen_index(spark):
     assert sorted(map(tuple, grams_on.collect())) == sorted(
         map(tuple, grams_off.collect())
     )
+
+
+def test_span_dup_stats_hot_guard_equality_and_plan_gate(spark):
+    """span_dup_stats' hatch: forced-hot equals the window answer
+    bit-for-bit (schema included); with nothing hot the plan is
+    byte-identical to the pre-guard single-window form."""
+    import re
+
+    df = _boilerplate_corpus(spark, n_docs=80)
+    on = span_dup_stats(
+        df, "doc_id", "text", n=8, hot_gram_guard=True,
+        gram_sample_fraction=1.0, gram_share_threshold=0.01,
+    )
+    off = span_dup_stats(df, "doc_id", "text", n=8, hot_gram_guard=False)
+    # names + types identical (nullability may differ: coalesce vs sum)
+    assert on.schema.simpleString() == off.schema.simpleString()
+    assert sorted(map(tuple, on.collect())) == sorted(
+        map(tuple, off.collect())
+    )
+    from gmall_flink_yb_spark.plans.inspect import _simple_plan
+    assert "Union" in _simple_plan(on)  # the hybrid actually fired
+
+    uniq = _docs(spark, [
+        (i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(20)))
+        for i in range(60)
+    ])
+    g_on = span_dup_stats(
+        uniq, "doc_id", "text", n=8, hot_gram_guard=True,
+        gram_sample_fraction=1.0,
+    )
+    g_off = span_dup_stats(uniq, "doc_id", "text", n=8,
+                           hot_gram_guard=False)
+
+    def norm(frame):
+        s = frame._jdf.queryExecution().executedPlan().toString()
+        s = re.sub(r"#\d+", "#", s)
+        s = re.sub(r"plan_id=\d+", "plan_id=", s)
+        return re.sub(r"x_\d+#", "x_#", s)
+
+    assert norm(g_on) == norm(g_off)
