@@ -1966,16 +1966,20 @@ def test_span_scrub_compaction_between_restarts(spark, tmp_path):
 
 def test_span_scrub_stream_hot_gram_guard_same_answer(spark, tmp_path):
     """hot_gram_guard=True on the stream (the giant-backfill knob): with
-    the guard forced to fire within each batch, the cleaned corpus is
-    byte-identical to the guard-off contract, and the per-batch persisted
-    gram stream is released (no cached-plan growth across batches)."""
+    a batch-universal gram frequent enough to clear the tiny-sample guard
+    (min_sampled_count=8), the hatch fires inside the batch, the cleaned
+    corpus matches the guard-off contract byte-for-byte, and the
+    per-batch persisted gram stream is released (SQL cache ends empty)."""
     from gmall_flink_yb_spark.streaming.pipelines import (
         read_file_stream,
         start_incremental_span_scrub_stream,
     )
 
-    b1 = [(1, "a b c d e f"), (2, "a b c s t u")]   # "a b c" hot in batch
-    b2 = [(3, "a b c d z9 z8"), (4, "m n o m n o")]
+    spark.catalog.clearCache()  # isolate the end-state cache assertion
+    # batch 1: gram "a b c" opens all 8 docs (count 8 >= the sample
+    # floor, share 50% >> 1/parts) -> the hatch fires within the batch
+    b1 = [(i, f"a b c d{i}") for i in range(1, 9)]
+    b2 = [(11, "a b c z1 z2"), (12, "m n p q r")]
     src = tmp_path / "incoming"
     src.mkdir()
     schema = StructType(
@@ -2011,14 +2015,9 @@ def test_span_scrub_stream_hot_gram_guard_same_answer(spark, tmp_path):
         r["doc_id"]: (r["clean_text"], r["kept_tokens"])
         for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     }
-    # batch 1: gram "a b c" repeats within the batch -> tokens [0,2] cut
-    # from BOTH docs; batch 2: doc 3's "a b c d" grams are all in the
-    # index, doc 4 is a within-batch repeat scrubbed to nothing
-    assert corpus == {
-        1: ("d e f", 3),
-        2: ("s t u", 3),
-        3: ("z9 z8", 2),
-        4: ("", 0),
-    }
+    expected = {i: (f"d{i}", 1) for i in range(1, 9)}   # [0,2] span cut
+    expected[11] = ("z1 z2", 2)   # "a b c" is in the index from batch 1
+    expected[12] = ("m n p q r", 5)   # untouched
+    assert corpus == expected
     # release happened: nothing left in the SQL cache manager
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
