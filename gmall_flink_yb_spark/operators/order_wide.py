@@ -102,11 +102,14 @@ def interval_join(
     ``_skew_salted_sides`` ({'right': buckets, 'left': buckets} for the
     branches that fired).
 
-    Share caveat: shares are per-side ROW shares, so a very small side
-    trivially exceeds 1/shuffle_partitions and fires its branch — a false
-    positive whose cost stays bounded (only the OTHER side's rows for
-    those keys replicate, buckets x #hot-key rows); a genuinely tiny side
-    belongs in a broadcast join upstream, not an interval shuffle join.
+    Share caveat: shares are per-side ROW shares, so a very small side's
+    keys trivially exceed 1/shuffle_partitions — profiling therefore
+    requires a minimum sampled count (``min_sampled_count=8``) before a
+    key reports hot, so sides too small to estimate shares never fire;
+    should a borderline side still fire, the cost stays bounded (only
+    the OTHER side's rows for those keys replicate, buckets x #hot-key
+    rows). A genuinely tiny side belongs in a broadcast join upstream,
+    not an interval shuffle join.
 
     ``salt_on`` / ``left_salt_on``: RIGHT- / LEFT-side columns giving
     each row an identity so its salt is retry-deterministic (see
@@ -140,7 +143,10 @@ def interval_join(
             )
         )
         prof = _skew.hot_key_shares(
-            combined, ["_lk", "_rk"], 1.0 / parts, null_in_total=False
+            combined, ["_lk", "_rk"], 1.0 / parts, null_in_total=False,
+            min_sampled_count=8,  # tiny-sample guard: a small side's
+            # singletons all clear share thresholds; 8 sampled rows is
+            # the floor for a share estimate to mean anything
         )
         hot_r = prof["_rk"]
         r_vals = {v for v, _ in hot_r}
@@ -272,7 +278,10 @@ def enrich_dims(
             )
         )
         if candidates:  # ONE sampled job for every dim's key column
-            profile = _skew.hot_key_shares(facts, candidates, 1.0 / parts)
+            profile = _skew.hot_key_shares(
+                facts, candidates, 1.0 / parts,
+                min_sampled_count=8,  # tiny-sample guard
+            )
     fired: dict[str, int] = {}
     out = facts
     for dim_df, fact_key, dim_key, keep in dims:

@@ -384,7 +384,8 @@ def skew_aware_join(
     """
     parts = _shuffle_partitions(facts)
     hot = hot_key_shares(
-        facts, [fact_key], 1.0 / parts, sample_fraction
+        facts, [fact_key], 1.0 / parts, sample_fraction,
+        min_sampled_count=8,  # tiny-sample guard (see hot_key_shares)
     )[fact_key]
     if hot:
         buckets = salt_buckets_for(max(s for _, s in hot), parts)
