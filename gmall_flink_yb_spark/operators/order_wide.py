@@ -94,10 +94,13 @@ def interval_join(
     the RIGHT salt the right rows and replicate ONLY the left rows
     carrying them over the computed bucket count (VERDICT r6 #1 hot/cold
     split); keys hot on the LEFT only take the mirror branch (left
-    salted, right hot rows replicated); the cold remainder of both sides
-    takes the plain join and the branches union — inner-only, so the
-    disjoint key routing is lossless. Same range predicate on every
-    branch. The fired route is exposed as ``_skew_salt_buckets`` on the
+    salted, right hot rows replicated); a key hot on BOTH sides salts
+    whichever side carries more sampled rows and replicates the smaller
+    (ADVICE r8 — replication cost is #smaller-side-rows x buckets, the
+    minimum a salted plan can pay for that key); the cold remainder of
+    both sides takes the plain join and the branches union — inner-only,
+    so the disjoint key routing is lossless. Same range predicate on
+    every branch. The fired route is exposed as ``_skew_salt_buckets`` on the
     result (None = plain; the max across fired branches otherwise) plus
     ``_skew_salted_sides`` ({'right': buckets, 'left': buckets} for the
     branches that fired).
@@ -147,11 +150,25 @@ def interval_join(
             min_sampled_count=8,  # tiny-sample guard: a small side's
             # singletons all clear share thresholds; 8 sampled rows is
             # the floor for a share estimate to mean anything
+            include_counts=True,
         )
-        hot_r = prof["_rk"]
-        r_vals = {v for v, _ in hot_r}
-        # keys already routed by the right branch never re-route left
-        hot_l = [(v, s) for v, s in prof["_lk"] if v not in r_vals]
+        # A key hot on BOTH sides routes to the branch that salts its
+        # BIGGER side and replicates the smaller (ADVICE r8: routing every
+        # both-hot key right replicated ALL left rows carrying it across
+        # buckets — for a left-dominant key that is the larger cost, not
+        # the bounded one the docstring promises). Shares are per-side
+        # fractions and incomparable across sides; the raw sampled counts
+        # from the uniformly-sampled union are the comparable quantity.
+        n_l = {v: n for v, _, n in prof["_lk"]}
+        n_r = {v: n for v, _, n in prof["_rk"]}
+        hot_r = [
+            (v, s) for v, s, n in prof["_rk"]
+            if v not in n_l or n >= n_l[v]  # tie -> right (r7 behavior)
+        ]
+        hot_l = [
+            (v, s) for v, s, n in prof["_lk"]
+            if v not in n_r or n > n_r[v]
+        ]
 
         salt_cond = (
             (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))

@@ -258,6 +258,7 @@ def hot_key_shares(
     seed: int = 42,
     null_in_total: bool = True,
     min_sampled_count: int = 1,
+    include_counts: bool = False,
 ) -> dict[str, list[tuple[str, float]]]:
     """Per key column, every value whose sampled row share exceeds
     ``share_threshold`` — in ONE sampled job for ALL columns (VERDICT r6
@@ -307,7 +308,16 @@ def hot_key_shares(
     over ``share_threshold`` is expected ``threshold x sampled_total``
     times in the sample, so requiring ~8 costs detection power only
     when the sample is too small for share estimates to mean anything —
-    exactly when firing should be suppressed."""
+    exactly when firing should be suppressed.
+
+    ``include_counts``: return ``(value, share, sampled_n)`` triples
+    instead of pairs. The sampled count is the ``_n`` already present in
+    the collected rows — same single job. Shares are PER-COLUMN fractions
+    so they cannot be compared across columns when the columns represent
+    different frames (the two-frame union contract above); the raw
+    sampled counts CAN, because the union is sampled uniformly — that
+    absolute comparison is what lets ``interval_join`` pick which side to
+    salt for a key hot on BOTH sides (ADVICE r8)."""
     s = df.select(*key_cols)
     if sample_fraction < 1.0:
         s = s.sample(fraction=sample_fraction, seed=seed)
@@ -339,12 +349,17 @@ def hot_key_shares(
             )
             & (F.col("_n") >= F.lit(int(min_sampled_count)))
         )
-        .select("c", "v", (F.col("_n") / F.col("_total")).alias("_share"))
+        .select(
+            "c", "v", (F.col("_n") / F.col("_total")).alias("_share"), "_n"
+        )
         .collect()  # bounded: <= len(key_cols)/share_threshold rows
     )
     out: dict[str, list[tuple[str, float]]] = {k: [] for k in key_cols}
     for r in rows:
-        out[r["c"]].append((r["v"], float(r["_share"])))
+        if include_counts:
+            out[r["c"]].append((r["v"], float(r["_share"]), int(r["_n"])))
+        else:
+            out[r["c"]].append((r["v"], float(r["_share"])))
     return out
 
 

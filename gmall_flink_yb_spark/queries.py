@@ -3969,9 +3969,11 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     every corpus-duplicated n-gram occurrence, interval-merged per document
     into its maximal [span_start, span_end] token range."""
     docs = read_table(spark, sf_dir, "documents")
-    return dup_span_rows(docs, "doc_id", "text", n=_DECONTAM_N).orderBy(
-        "doc_id", "span_start"
-    )
+    spans = dup_span_rows(docs, "doc_id", "text", n=_DECONTAM_N)
+    # carry_cache: if the hot-gram guard fires organically the builder
+    # persists the gram stream and tags `spans`; .orderBy would drop the
+    # Python-side tag and the harness's release_cache would no-op (ADVICE r8)
+    return carry_cache(spans.orderBy("doc_id", "span_start"), spans)
 
 
 # Island merge mirrors the Spark window: a new span starts when the gap
@@ -4012,13 +4014,18 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving CONTENT, not just the counts."""
     docs = read_table(spark, sf_dir, "documents")
     out = remove_dup_spans(docs, "doc_id", "text", n=_DECONTAM_N)
-    return out.select(
-        "doc_id",
-        "total_tokens",
-        "n_spans",
-        "dup_tokens",
-        "kept_tokens",
-        F.md5("clean_text").alias("clean_md5"),
+    # carry_cache: organic hot-gram guard firing tags `out` with the
+    # persisted gram stream; .select drops Python attrs (ADVICE r8)
+    return carry_cache(
+        out.select(
+            "doc_id",
+            "total_tokens",
+            "n_spans",
+            "dup_tokens",
+            "kept_tokens",
+            F.md5("clean_text").alias("clean_md5"),
+        ),
+        out,
     )
 
 
@@ -4100,13 +4107,20 @@ def q_substring_dedup_hotgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=_DECONTAM_N,
         gram_sample_fraction=1.0, gram_share_threshold=0.005,
     )
-    return out.select(
-        "doc_id",
-        "total_tokens",
-        "n_spans",
-        "dup_tokens",
-        "kept_tokens",
-        F.md5("clean_text").alias("clean_md5"),
+    # The forced-hot hatch ALWAYS persists the gram stream and tags `out`;
+    # .select drops the Python-side tag, so without carry_cache the
+    # harness's release_cache(sdf) no-ops and the MEMORY_AND_DISK cache
+    # leaks for the session on every oracle/driver run (ADVICE r8).
+    return carry_cache(
+        out.select(
+            "doc_id",
+            "total_tokens",
+            "n_spans",
+            "dup_tokens",
+            "kept_tokens",
+            F.md5("clean_text").alias("clean_md5"),
+        ),
+        out,
     )
 
 

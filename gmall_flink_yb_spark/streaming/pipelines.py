@@ -906,6 +906,7 @@ def start_incremental_span_scrub_stream(
         if not batch_df.head(1):
             return
         incoming = batch_df.persist()
+        cleaned = None
         try:
             seen = _read_ingest_ref(
                 spark, index_dir, batch_id, ["gh"], "gh string"
@@ -924,11 +925,14 @@ def start_incremental_span_scrub_stream(
             batch_grams.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"ingest_batch={batch_id}")
             )
-            # the hatch (when enabled) persists the batch's gram stream;
-            # both consumers are materialized above, release per batch or
-            # a long-lived stream accumulates one cached stream per batch
-            release_cache(cleaned)
         finally:
+            # the hatch (when enabled) persists the batch's gram stream;
+            # release in finally (ADVICE r8): a failed/interrupted batch
+            # write would otherwise leak one cached stream per retry on a
+            # long-lived stream. release_cache is safe to call twice, and
+            # the retried batch rebuilds its own plan from scratch.
+            if cleaned is not None:
+                release_cache(cleaned)
             incoming.unpersist()
 
     return (

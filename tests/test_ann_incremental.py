@@ -264,3 +264,103 @@ def test_auto_n_planes_default_matches_explicit_on_small_corpus(spark):
     assert {k: (v["keep"], v["dup_of"]) for k, v in auto.items()} == {
         k: (v["keep"], v["dup_of"]) for k, v in pinned.items()
     }
+
+
+def test_auto_n_planes_file_backed_launches_no_job(spark, tmp_path):
+    """VERDICT r8 #4: resolving n_planes='auto' over a file-backed frame
+    must read parquet footer metadata, not run a count() — asserted by
+    action-count patch (the hot_keys test pattern) — and must derive the
+    SAME P as the exact count across four decades of corpus size (footer
+    row counts are exact for scan+projection plans)."""
+    import math
+
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from gmall_flink_yb_spark.functions.similarity import (
+        _file_backed_rows,
+        _resolve_n_planes,
+        auto_n_planes,
+    )
+
+    # four decades of file-backed counts: footer estimate == exact count
+    # (files written small so the test stays cheap; P follows log2(n))
+    for n in (10, 100, 1_000, 10_000):
+        path = str(tmp_path / f"emb_{n}")
+        spark.range(n).selectExpr(
+            "id AS vec_id", "array(cast(id as double)) AS embedding"
+        ).write.mode("overwrite").parquet(path)
+        frame = spark.read.parquet(path).select("vec_id", "embedding")
+        assert _file_backed_rows(frame) == n
+        assert _resolve_n_planes("auto", frame) == auto_n_planes(n)
+
+    # the no-job assertion: count is never called on a file-backed frame
+    frame = spark.read.parquet(str(tmp_path / "emb_10000"))
+    actions = []
+    orig_count = CDF.count
+
+    def counting_count(self):
+        actions.append("count")
+        return orig_count(self)
+
+    try:
+        CDF.count = counting_count
+        p = _resolve_n_planes("auto", frame)
+        assert actions == [], "auto-P ran a plan-build count on a file-backed frame"
+        # non-file frames still fall back to the exact count
+        local = spark.range(50).selectExpr("id AS vec_id")
+        assert _resolve_n_planes("auto", local) == auto_n_planes(50)
+        assert actions == ["count"]
+    finally:
+        CDF.count = orig_count
+    assert p == auto_n_planes(10_000) == math.ceil(math.log2(10_000)) + 3
+
+
+def test_file_backed_rows_guards_row_multiplying_plans(spark, tmp_path):
+    """Join/Generate plans can multiply rows past the leaf-file total, so
+    the footer estimator must refuse them (None -> exact-count fallback);
+    row-shrinking transforms (filter) keep the safe upper bound."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_yb_spark.functions.similarity import _file_backed_rows
+
+    path = str(tmp_path / "docs")
+    spark.range(100).selectExpr(
+        "id", "array(id, id+1, id+2) AS arr"
+    ).write.mode("overwrite").parquet(path)
+    base = spark.read.parquet(path)
+
+    assert _file_backed_rows(base.join(base.selectExpr("id AS id2"),
+                                       F.col("id") == F.col("id2"))) is None
+    assert _file_backed_rows(
+        base.select(F.explode("arr").alias("x"))
+    ) is None
+    # filter only shrinks: footer total stays a (safe) upper bound
+    assert _file_backed_rows(base.filter("id < 10")) == 100
+
+
+def test_srp_band_buckets_auto_warns_and_stamps_resolved_p(spark):
+    """ADVICE r8: a DIRECT srp_band_buckets(n_planes='auto') call — the
+    rows that may feed a persisted index — warns about the on-disk P
+    contract and stamps the resolved width as _srp_n_planes; explicit
+    ints stay silent (and stamp too, for index writers to record)."""
+    import warnings as _w
+
+    from gmall_flink_yb_spark.functions.similarity import (
+        auto_n_planes,
+        srp_band_buckets,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, vec array<double>"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = srp_band_buckets(vecs, n_bands=2, n_planes="auto", dim=2)
+    assert any("persisted" in str(c.message).lower() for c in caught)
+    assert out._srp_n_planes == auto_n_planes(2)
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        pinned = srp_band_buckets(vecs, n_bands=2, n_planes=8, dim=2)
+    assert not caught
+    assert pinned._srp_n_planes == 8

@@ -26,7 +26,11 @@ def _persistent_ids(spark) -> set[int]:
     "name",
     ["dedup_clusters", "dedup_canonical", "leakage_safe_split",
      "ann_incremental", "dedup_jaccard_prefix", "dedup_incremental",
-     "unigram_lm", "source_overlap", "basket_pairs"],
+     "unigram_lm", "source_overlap", "basket_pairs",
+     # ADVICE r8: these three dropped the hot-gram hatch's cache tag on
+     # their final .select/.orderBy; hotgram force-fires the hatch so it
+     # ALWAYS persists — the live regression for the carry_cache fix
+     "substring_dedup_hotgram", "dup_spans", "substring_dedup"],
 )
 def test_no_cached_rdds_survive_release(spark, name):
     # Measure ONLY this query's pins: snapshot the registry and assert no

@@ -694,3 +694,49 @@ def test_interval_join_left_side_skew_guard(spark):
     )
     assert j.count() == plain.count()
     assert "_salt_l" not in j.columns and "_salt_r" not in j.columns
+
+
+def test_interval_join_both_sides_hot_salts_bigger_side(spark):
+    """ADVICE r8: a key hot on BOTH sides routes to the branch that salts
+    the side carrying MORE rows (replication = #smaller-side-rows x
+    buckets, the minimum a salted plan can pay). Left-dominant 'hot' must
+    fire the LEFT branch — the pre-fix routing sent every both-hot key
+    right, replicating the dominant left side. Mirror case symmetric, and
+    both equal the plain answer."""
+    from gmall_flink_yb_spark.operators.order_wide import interval_join
+
+    big = _hot_key_events(spark, n=40_000, hot_share=0.4).select(
+        F.col("mid").alias("bk"), F.col("ts").alias("bts"),
+        F.col("event_id"),
+    )
+    small = _hot_key_events(spark, n=4_000, hot_share=0.4).select(
+        F.col("mid").alias("sk"), F.col("ts").alias("sts"),
+        F.col("event_id").alias("s_event_id"),
+    )
+
+    j = interval_join(
+        big, small, "bk", "sk", "bts", "sts",
+        lower_seconds=0.0, upper_seconds=30.0, skew_guard=True,
+        left_salt_on=["event_id"], salt_on=["s_event_id"],
+    )
+    assert "left" in j._skew_salted_sides, j._skew_salted_sides
+    assert "right" not in j._skew_salted_sides
+
+    m = interval_join(
+        small, big, "sk", "bk", "sts", "bts",
+        lower_seconds=0.0, upper_seconds=30.0, skew_guard=True,
+        left_salt_on=["s_event_id"], salt_on=["event_id"],
+    )
+    assert "right" in m._skew_salted_sides, m._skew_salted_sides
+    assert "left" not in m._skew_salted_sides
+
+    plain = interval_join(
+        big, small, "bk", "sk", "bts", "sts",
+        lower_seconds=0.0, upper_seconds=30.0,
+    )
+    assert j.count() == plain.count()
+    plain_m = interval_join(
+        small, big, "sk", "bk", "sts", "bts",
+        lower_seconds=0.0, upper_seconds=30.0,
+    )
+    assert m.count() == plain_m.count()

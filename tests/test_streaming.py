@@ -2021,3 +2021,62 @@ def test_span_scrub_stream_hot_gram_guard_same_answer(spark, tmp_path):
     assert corpus == expected
     # release happened: nothing left in the SQL cache manager
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_span_scrub_stream_failed_batch_releases_cache(spark, tmp_path):
+    """ADVICE r8: with hot_gram_guard=True, a batch whose WRITE fails must
+    still release the batch's persisted gram stream — release_cache moved
+    into the finally block — or a long-lived stream leaks one cache per
+    retried batch. Fail the corpus write, let the query die, assert the
+    SQL cache manager ends empty."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        read_file_stream,
+        start_incremental_span_scrub_stream,
+    )
+
+    spark.catalog.clearCache()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    rows = [(i, f"a b c d{i}") for i in range(1, 9)]  # hatch fires
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stage_0"))
+    part = [
+        f for f in os.listdir(tmp_path / "stage_0") if f.endswith(".parquet")
+    ]
+    os.rename(tmp_path / "stage_0" / part[0], src / "00.parquet")
+
+    orig_parquet = DataFrameWriter.parquet
+
+    def failing_parquet(self, path, *a, **kw):
+        if "corpus" in path:
+            raise RuntimeError("injected corpus-write failure")
+        return orig_parquet(self, path, *a, **kw)
+
+    DataFrameWriter.parquet = failing_parquet
+    try:
+        stream = read_file_stream(
+            spark, str(src), schema, max_files_per_trigger=1,
+            glob="*.parquet",
+        )
+        q = start_incremental_span_scrub_stream(
+            spark,
+            stream,
+            str(tmp_path / "corpus"),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "gram_index"),
+            n=3,
+            hot_gram_guard=True,
+        )
+        with pytest.raises(Exception, match="injected corpus-write failure"):
+            q.awaitTermination(180)
+            raise AssertionError("query should have failed")
+    finally:
+        DataFrameWriter.parquet = orig_parquet
+    # the failed batch's persisted gram stream was still released
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
