@@ -142,12 +142,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _auto_size_shingle(df: DataFrame, auto_partitions: bool | int) -> None:
+    """Operator-entry shuffle sizing for the shingle/MinHash family
+    (VERDICT r8 #1): raise the session's shuffle partitions to
+    scan_bytes x SHINGLE_EXPANSION / 64 MB when ``df`` is file-backed
+    (floor = current setting; AQE coalesces overshoot). int = explicit
+    target for non-file inputs; False = leave the session alone."""
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    _tuning.auto_shuffle_partitions(
+        df, _tuning.SHINGLE_EXPANSION, auto_partitions
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
     n: int = 3,
+    auto_partitions: bool | int = True,
 ) -> DataFrame:
     """Word n-gram (shingle) Jaccard near-dup pairs via inverted index.
 
@@ -163,6 +177,7 @@ def ngram_jaccard_pairs(
     switch to minhash_lsh_pairs. This exact variant is the correctness
     oracle.
     """
+    _auto_size_shingle(df, auto_partitions)
     # persisted: read 3x (sizes + both join sides); at production scale this
     # inverted index would be checkpointed to a table
     toks = shingle_rows(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
@@ -293,6 +308,7 @@ def jaccard_prefix_pairs(
     threshold: float = 0.5,
     n: int = 3,
     verify_array_cap: int = 250_000,
+    auto_partitions: bool | int = True,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard pairs (SSJoin/PPJoin prefix filter).
 
@@ -314,6 +330,7 @@ def jaccard_prefix_pairs(
     global df (window over token). Verified equal to the exact variant by
     test and by the driver's DuckDB oracle (same SQL as dedup_jaccard).
     """
+    _auto_size_shingle(df, auto_partitions)
     toks = shingle_rows(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -620,6 +637,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     portable: bool = False,
+    auto_partitions: bool | int = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
 
@@ -629,6 +647,7 @@ def minhash_lsh_pairs(
     (band_id, band_hash, doc_id) tuples and candidate pairs are ~linear in
     true-dup count instead of O(n^2).
     """
+    _auto_size_shingle(df, auto_partitions)
     rows_per_band = num_hashes // bands
     # persisted: the band join reads the signatures on BOTH sides — without
     # this the whole shingle+hash subtree executes twice. At production scale
@@ -685,6 +704,7 @@ def incremental_lsh_dedup(
     threshold: float = 0.5,
     portable: bool = False,
     broadcast_incoming: bool = False,
+    auto_partitions: bool | int = True,
 ) -> DataFrame:
     """Incremental MinHash+LSH dedup: audit a NEW batch against an
     already-curated corpus plus itself — the operator a production pipeline
@@ -709,6 +729,12 @@ def incremental_lsh_dedup(
     and incoming ids greater than existing ones for the greedy order to
     mean "earlier wins".
     """
+    # both sides re-shingle here, so both size the session (max wins)
+    _auto_size_shingle(existing, auto_partitions)
+    _auto_size_shingle(
+        incoming,
+        auto_partitions if isinstance(auto_partitions, bool) else True,
+    )
     rows_per_band = num_hashes // bands
     sx = minhash_signatures(
         existing, id_col, text_col, num_hashes, shingle_n, portable=portable
@@ -1277,6 +1303,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     portable: bool = False,
+    auto_partitions: bool | int = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= max_hamming.
 
@@ -1285,6 +1312,7 @@ def simhash_pairs(
     generated by joining on (chunk_idx, chunk_value) — never all pairs.
     Returns (id_a, id_b, hamming).
     """
+    _auto_size_shingle(df, auto_partitions)
     # persisted: the chunk join reads the hashes on both sides (see
     # minhash_lsh_pairs for the scale rationale)
     hashed = simhash_table(df, id_col, text_col, portable=portable).persist(

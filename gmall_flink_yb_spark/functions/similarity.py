@@ -794,6 +794,7 @@ def incremental_cosine_dedup(
     n_planes: int | str = "auto",
     dim: int = 64,
     broadcast_incoming: bool = False,
+    auto_partitions: bool | int = True,
 ) -> DataFrame:
     """Wrapper over ``incremental_cosine_dedup_indexed`` that REBUILDS the
     SRP band index from the raw corpus (same plan shape; callers holding
@@ -804,6 +805,12 @@ def incremental_cosine_dedup(
     random-collision floor is set by the joined corpus size) and is safe
     here precisely because this form hashes both sides inside one plan —
     the INDEXED form pins P to the persisted index's width instead."""
+    # both sides hash and band-shuffle here, so both size the session
+    _auto_size_vectors(existing, auto_partitions)
+    _auto_size_vectors(
+        incoming,
+        auto_partitions if isinstance(auto_partitions, bool) else True,
+    )
     n_planes = _resolve_n_planes(n_planes, existing, incoming)
     ve = existing.select(
         F.col(id_col).cast("long").alias("id"),
@@ -832,6 +839,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_partitions: bool | int = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path beside
     SRP-LSH, with a tunable recall/cost knob (n_probe).
@@ -853,6 +861,7 @@ def ivf_topk(
     unit: the shuffle moves each corpus row once and each query n_probe
     times — queries are the small side.
     """
+    _auto_size_vectors(embeddings, auto_partitions)
     e = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         _as_double(F.col(vec_col)).alias("vec"),
@@ -914,6 +923,18 @@ def ivf_topk(
     return _global_topk(scored, k)
 
 
+def _auto_size_vectors(df: DataFrame, auto_partitions: bool | int) -> None:
+    """Operator-entry shuffle sizing for the vector/ANN family (VERDICT
+    r8 #1): scan_bytes x VECTOR_EXPANSION / 64 MB when ``df`` is
+    file-backed (floor = current; AQE coalesces overshoot); int =
+    explicit target for non-file inputs; False = off."""
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    _tuning.auto_shuffle_partitions(
+        df, _tuning.VECTOR_EXPANSION, auto_partitions
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -922,6 +943,7 @@ def lsh_bucket_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_partitions: bool | int = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's SRP bucket.
 
@@ -929,8 +951,11 @@ def lsh_bucket_topk(
     the same exact cosine. Recall < 1.0 by design (approximate) — rows-only
     correctness check, benched for speed. ``n_planes="auto"`` sizes P
     from the CORPUS side's count (:func:`auto_n_planes`); queries hash
-    with the same resolved P inside this one plan.
+    with the same resolved P inside this one plan. ``auto_partitions``
+    sizes the bucket-join shuffle from the corpus side's scan bytes
+    (:func:`_auto_size_vectors`).
     """
+    _auto_size_vectors(embeddings, auto_partitions)
     n_planes = _resolve_n_planes(n_planes, embeddings)
     c = (
         embeddings.select(

@@ -37,7 +37,7 @@ already outgrew memory mid-task.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 # post-expansion bytes one shuffle partition should hold: sorts/hash maps
 # of this size fit comfortably in task memory at default executor sizing
@@ -50,6 +50,36 @@ PARTITIONS_MAX = 20_000
 # parquet (decompression ~3x, then ~44 B/token gram rows vs ~6 B/token
 # raw text); see module docstring for the 1000x calibration point
 GRAM_EXPANSION = 20.0
+
+# Per-family shuffle-expansion constants (VERDICT r8 #3: GRAM_EXPANSION is
+# gram-calibrated but was applied to the dedup stages too). Each is
+# measured as TOTAL SHUFFLE WRITE BYTES of the family's representative
+# operator divided by its corpus's parquet scan bytes, via the Spark UI
+# stage metrics (tools/calibrate_expansion.py, sf0.1 x 100 replicas =
+# 84 MB salted corpus / 78 MB salted embeddings; ratios stable vs the 5x
+# smoke point within ~7%); calibration rows live in BASELINE.md.
+# Constants round UP from the measured point — overshoot is
+# AQE-coalesced, undershoot is the memory cliff this module prevents.
+# Cross-check: the gram family measured 12.5 here; GRAM_EXPANSION keeps
+# its 20.0 partition-crossover calibration (the binding constraint was
+# the 1000x window-sort regime, not total write volume).
+#
+# shingle/MinHash stream: tokenize -> distinct shingles -> 32-hash
+# signatures -> banded buckets + persisted-signature band join; measured
+# 30.1x at 100x / 32.0x at 5x (heavier per scanned byte than grams: the
+# md5-hex shingle stream shuffles once for df-ranks and again under the
+# candidate join, each row carrying the signature array).
+SHINGLE_EXPANSION = 32.0
+# ANN band rows: B bands x (64-double vector + band/bucket) per vector,
+# both sides of the incremental join; measured 6.9x at 100x / 6.8x at 5x.
+VECTOR_EXPANSION = 8.0
+# persisted md5-hex gram / band index rows probed by the incremental
+# operators: no explode — parquet decompression (~2-3x for hex strings)
+# plus shuffle row overhead
+HASH_INDEX_EXPANSION = 4.0
+# above-file-count threshold where per-file size stats switch to
+# parent-directory content summaries (bounds driver metadata RPCs)
+_MAX_FILE_STATS = 1024
 
 
 def estimate_parquet_bytes(spark: SparkSession, *paths: str) -> int:
@@ -97,4 +127,85 @@ def size_shuffle_partitions(
         lo=current,
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts
+
+
+def input_file_bytes(df: DataFrame) -> int | None:
+    """On-disk bytes of the files backing ``df``'s plan — driver-side
+    metadata only, no Spark job. ``None`` when the frame has no file
+    sources (local relations, pure streams), which callers treat as
+    "cannot size, leave the session alone".
+
+    Up to ``_MAX_FILE_STATS`` files this stats each file exactly; beyond
+    that it takes one ``getContentSummary`` per DISTINCT PARENT DIRECTORY
+    (a handful of RPCs however many files a 100 TB table holds). The
+    directory form can overcount when partition pruning kept only some of
+    a directory's files — the safe direction: overcounting derives more
+    partitions, and AQE coalesces the overshoot at runtime, while an
+    undercount is the memory cliff the sizing exists to prevent."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    if len(files) <= _MAX_FILE_STATS:
+        for f in files:
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            fs = jpath.getFileSystem(conf)
+            if fs.exists(jpath):
+                total += int(fs.getFileStatus(jpath).getLen())
+        return total
+    dirs = sorted({f.rsplit("/", 1)[0] for f in files})
+    return estimate_parquet_bytes(spark, *dirs)
+
+
+def auto_shuffle_partitions(
+    df: DataFrame,
+    expansion: float,
+    auto_partitions: bool | int = True,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+) -> int | None:
+    """The OPERATOR-ENTRY sizing hook (VERDICT r8 #1): derive the shuffle
+    partition count an operator over ``df`` needs and raise the session
+    setting to it, from inside the operator — so a user calling
+    ``dup_span_rows`` / ``minhash_lsh_pairs`` on a 100 TB corpus gets the
+    at-linear partition count automatically instead of rediscovering the
+    superlinear session-default regime the 1000x benches measured
+    (248 s -> 130 s at the same plan; BASELINE.md).
+
+    ``auto_partitions`` is the operator's knob, passed through verbatim:
+
+    - ``True`` — derive from ``df``'s backing files x ``expansion``
+      (:func:`input_file_bytes`); frames with no file sources are left
+      alone (returns None) — the explicit-int form is the path for those.
+    - an ``int`` — explicit target for non-file inputs (or to override
+      the estimate); still floored at the session's current setting.
+    - ``False`` — do nothing (returns None).
+
+    Only ever scales UP (floor = current session value): overshoot on
+    later small queries is AQE-coalesced, and scaling down could starve a
+    concurrent plan that sized itself higher. The raised value persists
+    on the session — by design, since the operator's own lazily-returned
+    plan must still see it when the caller finally executes it (there is
+    no "on first action" hook to scope a conf to one plan)."""
+    if auto_partitions is False:
+        return None
+    spark = df.sparkSession
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if auto_partitions is True:
+        n_bytes = input_file_bytes(df)
+        if n_bytes is None:
+            return None
+        parts = partitions_for_bytes(
+            n_bytes * expansion, target_bytes=target_bytes, lo=current
+        )
+    else:
+        parts = max(int(auto_partitions), current)
+    if parts > current:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     return parts

@@ -60,3 +60,101 @@ def test_gram_expansion_reproduces_measured_1000x_point():
     must land in the same regime — hundreds, not tens or thousands."""
     parts = partitions_for_bytes(0.7e9 * GRAM_EXPANSION, lo=32)
     assert 128 <= parts <= 512
+
+
+def test_input_file_bytes_and_fallbacks(spark, tmp_path):
+    from gmall_flink_yb_spark.tuning import input_file_bytes
+
+    p = str(tmp_path / "t2.parquet")
+    spark.range(10_000).selectExpr(
+        "id", "repeat('y', 50) as pad"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    n = input_file_bytes(df)
+    assert n == estimate_parquet_bytes(spark, p)
+    # transforms keep the leaf files
+    assert input_file_bytes(df.selectExpr("id")) == n
+    # no file sources -> None (caller leaves the session alone)
+    assert input_file_bytes(spark.range(5)) is None
+
+
+def test_operator_entry_auto_partitions(spark, tmp_path):
+    """VERDICT r8 #1 done-criterion: a FILE-BACKED operator call raises
+    the session's shuffle partitions to scan_bytes x family expansion /
+    target (no harness-side sizing), a non-file call doesn't crash (and
+    leaves the setting alone), an explicit int overrides, and False
+    opts out."""
+    from gmall_flink_yb_spark import tuning
+    from gmall_flink_yb_spark.functions.dedup import minhash_lsh_pairs
+    from gmall_flink_yb_spark.functions.ngrams import dup_span_rows
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(2_000).selectExpr(
+        "id AS doc_id",
+        "concat('tok', id, ' lorem ipsum dolor sit amet consectetur "
+        "adipiscing elit sed do eiusmod tempor') AS text",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    scan = tuning.input_file_bytes(docs)
+
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # shrink the target so even this tiny file derives > session
+        target = max(1, int(scan * tuning.GRAM_EXPANSION // (before + 5)))
+        want = tuning.partitions_for_bytes(
+            scan * tuning.GRAM_EXPANSION, target_bytes=target, lo=before
+        )
+        assert want > before  # the test corpus must actually force a raise
+        got = tuning.auto_shuffle_partitions(
+            docs, tuning.GRAM_EXPANSION, True, target_bytes=target
+        )
+        assert got == want
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == want
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+        # the real operator path at the real 64 MB target: tiny corpus
+        # floors at the session setting (sf0.1 bench plans unchanged)
+        dup_span_rows(docs, "doc_id", "text", n=3)
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
+        minhash_lsh_pairs(docs, "doc_id", "text")
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
+
+        # non-file input: no crash, no change
+        local_docs = spark.range(100).selectExpr(
+            "id AS doc_id", "concat('w', id) AS text"
+        )
+        dup_span_rows(local_docs, "doc_id", "text", n=2)
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
+
+        # explicit int override (the non-file-input path); floor = current
+        dup_span_rows(
+            local_docs, "doc_id", "text", n=2, auto_partitions=before + 11
+        )
+        assert int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ) == before + 11
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+        # False opts out entirely
+        assert tuning.auto_shuffle_partitions(
+            docs, tuning.GRAM_EXPANSION, False, target_bytes=1
+        ) is None
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+
+def test_family_expansion_constants_exist():
+    """VERDICT r8 #3: one measured constant per family (calibration rows
+    in BASELINE.md via tools/calibrate_expansion.py). Shingle must be >=
+    gram (the signature+band stream measured HEAVIER per scanned byte
+    than the gram stream); vector is band-multiplied but explode-free."""
+    from gmall_flink_yb_spark.tuning import (
+        HASH_INDEX_EXPANSION,
+        SHINGLE_EXPANSION,
+        VECTOR_EXPANSION,
+    )
+
+    assert SHINGLE_EXPANSION >= GRAM_EXPANSION
+    assert 1.0 <= VECTOR_EXPANSION <= SHINGLE_EXPANSION
+    assert 1.0 <= HASH_INDEX_EXPANSION <= 10.0

@@ -70,6 +70,17 @@ DEDUP_QUERIES = [
     "weighted_sample_docs",
 ]
 
+# queries whose dominant shuffle is the shingle/MinHash stream (their
+# harness repin uses SHINGLE_EXPANSION; everything else documents-shaped
+# uses GRAM_EXPANSION — VERDICT r8 #3)
+SHINGLE_FAMILY = {
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_canonical",
+    "dedup_incremental",
+}
+
 FACT_QUERIES = [
     "q1_pricing_summary",
     "q18_large_orders",
@@ -388,24 +399,31 @@ def main() -> None:
     out: dict[str, dict[str, float]] = {}
     base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def repin_partitions(sf_dir: str) -> int:
+    def repin_partitions(sf_dir: str, query: str | None = None) -> int:
         """Size shuffle partitions for the corpus about to be timed
         (VERDICT r7 #3: the 1000x run must restore at-linear growth with
         NO hand-passed --shuffle-partitions). An explicit knob pins; the
         default derives partitions from the corpus's scan bytes x the
-        gram-explosion expansion, floored at the session default."""
+        QUERY'S family expansion (VERDICT r8 #3 — GRAM_EXPANSION was
+        being applied to the shingle stages too; the shingle stream
+        measured HEAVIER, tools/calibrate_expansion.py), floored at the
+        session default. Note the operators now size themselves at entry
+        (tuning.auto_shuffle_partitions) but only ever UP — this harness
+        repin is what resets DOWN when timing drops back to the 1x
+        corpus."""
         if args.shuffle_partitions is not None:
             return args.shuffle_partitions
-        from gmall_flink_yb_spark.tuning import (
-            GRAM_EXPANSION,
-            estimate_parquet_bytes,
-            partitions_for_bytes,
-        )
+        from gmall_flink_yb_spark import tuning
 
-        p = partitions_for_bytes(
-            estimate_parquet_bytes(
+        expansion = (
+            tuning.SHINGLE_EXPANSION
+            if query in SHINGLE_FAMILY
+            else tuning.GRAM_EXPANSION
+        )
+        p = tuning.partitions_for_bytes(
+            tuning.estimate_parquet_bytes(
                 spark, os.path.join(sf_dir, "documents.parquet")
-            ) * GRAM_EXPANSION,
+            ) * expansion,
             lo=base_parts,
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(p))
@@ -427,9 +445,9 @@ def main() -> None:
                 f"{args.replicas}x {repin_partitions(ten_dir)}",
                 file=sys.stderr,
             )
-        repin_partitions(one_dir)
+        repin_partitions(one_dir, name)
         t1 = time_query(spark, name, one_dir, args.runs)
-        repin_partitions(ten_dir)
+        repin_partitions(ten_dir, name)
         t10 = time_query(spark, name, ten_dir, args.runs)
         out[name] = {
             "t1": round(t1, 2),
