@@ -5966,51 +5966,46 @@ ORACLES: dict[str, str] = {
 # Driver-gate rotation. The per-round CORRECTNESS harness samples the FIRST
 # ~50 registry entries in insertion order, so entries further back only get
 # re-gated when rotated forward. Every registry entry has had a green
-# driver row in some round; rotation serves FRESHNESS (VERDICT r7 #2):
-# round 8 fronts the query NEW this round (substring_dedup_hotgram, never
-# gated), then the 16 named stale queries — the 11 whose last driver gate
-# was r03/r04 (q17_small_quantity_revenue .. ann_incremental) and the 5
-# r05-block queries that yielded their r7 window slots (uv_daily,
-# new_visitor_daily, leakage_safe_split, basket_pairs,
-# returning_users_daily) — then fills to 50 with the stalest 33 of the 50
-# r6-gated block in their standing order. The 50 r05-block queries gated
-# in r7 and the 5 queries new in r7 are the freshest and sit behind.
-# Full-surface coverage evidence for whatever sits outside the ~50-query
-# gate window is the committed `tools/check_oracle.py --vanilla` run over
-# all 117 registry entries on this round's HEAD (ORACLE_FULL_r08.txt).
+# driver row in some round; rotation serves FRESHNESS (VERDICT r8 #2):
+# round 9 fronts the 17 r6-gated queries NOT re-gated in r8 (the complement
+# of _R08_FRONT's 33-of-50 take from that block — audio_metadata ..
+# q15_top_supplier, the stalest surface in the registry), then fills to 50
+# with the 33 OLDEST r7-gated queries in their r7 gate order (dup_spans ..
+# multimodal_decode). The r8-gated block (r03/r04 backlog + the hotgram
+# stress query + 33 r6 re-gates) is the freshest and sits behind, as do
+# the 17 youngest r7-gated queries. Full-surface coverage evidence for
+# whatever sits outside the ~50-query gate window is the committed
+# `tools/check_oracle.py --vanilla` run over all 117 registry entries on
+# this round's HEAD (ORACLE_FULL_r09.txt).
 # ---------------------------------------------------------------------------
 
-_R08_FRONT = [
-    # new in r8, never gated (forces the hot-gram escape hatch under the
-    # full-content oracle):
-    "substring_dedup_hotgram",
-    # last driver gate r03/r04 (VERDICT r7 #2's named block):
-    "q17_small_quantity_revenue", "q19_discount_revenue",
-    "q20_excess_shipments_suppliers", "q21_waiting_suppliers",
-    "q2_min_cost_supplier", "q11_important_parts",
-    "q12_late_priority_lines", "q16_supplier_part_distribution",
-    "multimodal_header_scan", "revenue_trailing_7d", "ann_incremental",
-    # the 5 r05-block queries that yielded their r7 gate slots:
-    "uv_daily", "new_visitor_daily", "leakage_safe_split",
-    "basket_pairs", "returning_users_daily",
-    # stalest 33 of the r6-gated block, standing order:
-    "multimodal_feature_dedup", "decontam_overlap", "span_dup",
-    "doc_chunks", "domain_mix", "embed_quantize", "similarity_topk_int8",
-    "distinctive_terms", "dedup_incremental", "semantic_dedup",
-    "chunk_dedup", "quality_classifier", "funnel_conversion",
-    "retention_cohorts", "seq_pack", "source_token_caps", "dsir_affinity",
-    "cm_heavy_hitters", "profile_documents", "bloom_semi_join",
-    "zorder_cells", "kmeans_clusters", "shard_manifest", "events_pivot",
-    "value_percentiles_approx", "q3_shipping_priority", "q5_local_supplier",
-    "q18_large_orders", "dedup_canonical", "value_histogram",
-    "revenue_cube", "running_revenue", "top_orders_per_nation",
+_R09_FRONT = [
+    # last driver gate r6 (the 17 of that 50-query block _R08_FRONT did
+    # not re-gate; standing r6 gate order):
+    "audio_metadata", "customers_without_orders", "uv_daily_approx",
+    "q4_late_orders", "winnow_overlap", "bpe_pair_counts", "bpe_merges",
+    "bpe_encode", "q14_promo_revenue", "keyword_hourly",
+    "q6_forecast_revenue", "q7_volume_shipping", "q10_returned_items",
+    "q13_order_distribution", "q8_market_share", "q9_product_profit",
+    "q15_top_supplier",
+    # oldest 33 of the r7-gated block, r7 gate order:
+    "dup_spans", "substring_dedup", "substring_scrub_incremental",
+    "decontam_scrub", "weighted_sample_docs", "bounce_daily",
+    "events_split_counts", "events_json_extract", "tumbling_hourly",
+    "q1_pricing_summary", "order_wide", "payment_wide", "session_stats",
+    "sliding_hourly", "value_percentiles", "revenue_rollup",
+    "revenue_by_nation", "top_brands", "interval_join_shipments",
+    "cdc_route_kafka", "cdc_route_hbase", "keyword_top100",
+    "keyword_top100_zh", "text_quality", "text_repetition", "pii_scrub",
+    "lang_id", "dedup_exact", "dedup_jaccard", "dedup_jaccard_prefix",
+    "similarity_topk", "embedding_near_dup", "multimodal_decode",
 ]
 
 QUERIES = {
-    **{k: QUERIES[k] for k in _R08_FRONT if k in QUERIES},
-    **{k: v for k, v in QUERIES.items() if k not in _R08_FRONT},
+    **{k: QUERIES[k] for k in _R09_FRONT if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in _R09_FRONT},
 }
 ORACLES = {
-    **{k: ORACLES[k] for k in _R08_FRONT if k in ORACLES},
-    **{k: v for k, v in ORACLES.items() if k not in _R08_FRONT},
+    **{k: ORACLES[k] for k in _R09_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in _R09_FRONT},
 }

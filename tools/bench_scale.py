@@ -382,6 +382,14 @@ def main() -> None:
         "must grow with the data or per-partition sorts spill (the box "
         "default 32 is sized for 1x/10x)",
     )
+    ap.add_argument(
+        "--no-repin", action="store_true",
+        help="harness does NO sizing: before every timed sample the "
+        "session is RESET to its base partition count and the OPERATOR's "
+        "own entry sizing (tuning.auto_shuffle_partitions, VERDICT r8 #1) "
+        "is what must restore the at-linear regime — the wiring's "
+        "end-to-end proof mode",
+    )
     args = ap.parse_args()
     global REPLICAS
     REPLICAS = args.replicas
@@ -411,6 +419,12 @@ def main() -> None:
         (tuning.auto_shuffle_partitions) but only ever UP — this harness
         repin is what resets DOWN when timing drops back to the 1x
         corpus."""
+        if args.no_repin:
+            # reset DOWN to base so the operator's entry sizing is the
+            # only thing standing between the query and the superlinear
+            # session-default regime
+            spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
+            return base_parts
         if args.shuffle_partitions is not None:
             return args.shuffle_partitions
         from gmall_flink_yb_spark import tuning
