@@ -62,8 +62,10 @@ from gmall_flink_yb_spark.session import get_spark  # noqa: E402
 
 _DIM = 64
 # perturbation amplitudes -> planted cosines spanning ~0.90 .. 0.999
-_EPSILONS = (0.45, 0.30, 0.15, 0.05)
-_COS_BANDS = ((0.90, 0.95), (0.95, 0.99), (0.99, 1.0))
+# (hash noise is ~U[-1,1] per dim, |g| ~ sqrt(64/3) ~ 4.6 x the unit-ish
+# embedding norms; eps ~ tan(theta)/4.6 for a target cosine)
+_EPSILONS = (0.10, 0.07, 0.03, 0.015)
+_COS_BANDS = ((0.90, 0.95), (0.95, 0.99), (0.99, 1.0000001))
 
 
 def _pairs(df, qc="q_id", nc="n_id"):
@@ -87,14 +89,15 @@ def _plant(corpus, plant_mod: int, max_id: int):
     (deterministic, no RNG state): g_i ~ U[-1,1] from xxhash64(id, eps
     slot, i)."""
     base = corpus.filter(F.col("vec_id") % plant_mod == 0)
-    variants = []
-    for slot, eps in enumerate(_EPSILONS):
-        noise = F.transform(
+
+    def _noise(slot: int, eps: float):
+        # two-arg lambda only (pyspark counts parameters; defaults break it)
+        return F.transform(
             "embedding",
-            lambda x, i, s=slot: x + F.lit(eps) * (
+            lambda x, i: x + F.lit(eps) * (
                 (
                     F.pmod(
-                        F.xxhash64(F.col("vec_id"), F.lit(s), i),
+                        F.xxhash64(F.col("vec_id"), F.lit(slot), i),
                         F.lit(10_000),
                     ).cast("double")
                     / F.lit(4999.5)
@@ -102,6 +105,10 @@ def _plant(corpus, plant_mod: int, max_id: int):
                 - F.lit(1.0)
             ),
         )
+
+    variants = []
+    for slot, eps in enumerate(_EPSILONS):
+        noise = _noise(slot, eps)
         variants.append(
             base.select(
                 (

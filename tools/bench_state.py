@@ -136,42 +136,63 @@ def main() -> None:
     ap.add_argument("--ops", default="isnew,bounce")
     ap.add_argument("--out", default="/tmp/spark_graft_state")
     ap.add_argument("--state-store", default="hdfs",
-                    choices=("hdfs", "rocksdb"))
+                    choices=("hdfs", "rocksdb", "ab"),
+                    help="'ab' interleaves hdfs/rocksdb runs in ONE "
+                    "session (VERDICT r8 #6: the r6 HDFS numbers were "
+                    "taken on a loaded box; interleaving settles the "
+                    "wall comparison under one load regime) — "
+                    "providerClass is a runtime conf read at stream "
+                    "start, each run gets a fresh checkpoint")
+    ap.add_argument("--ab-rounds", type=int, default=2,
+                    help="A/B pairs per (op, key-count); adjudicate "
+                    "min-of-N per backend")
     args = ap.parse_args()
     key_counts = [int(k) for k in args.keys.split(",")]
     ops = args.ops.split(",")
+    from gmall_flink_yb_spark.session import STATE_STORE_PROVIDERS
 
+    if args.state_store == "ab":
+        backends = ["hdfs", "rocksdb"] * args.ab_rounds
+    else:
+        backends = [args.state_store]
     spark = get_spark(
         "bench-state",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
-        state_store=args.state_store,
+        state_store=backends[0],
     )
     spark.sparkContext.setLogLevel("ERROR")
     results = []
     for n in key_counts:
         src = _gen_batches(spark, args.out, n)
         for op in ops:
-            ckpt = os.path.join(args.out, f"ckpt_{op}_{n}")
-            shutil.rmtree(ckpt, ignore_errors=True)
-            t0 = time.time()
-            rows = _drive(spark, op, src, ckpt)
-            wall = round(time.time() - t0, 1)
-            for r in rows:
-                bpk = (
-                    round(1e6 * r["state_mb"] / r["state_rows"], 1)
-                    if r["state_rows"]
-                    else None
+            for run_i, backend in enumerate(backends):
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    STATE_STORE_PROVIDERS[backend],
                 )
-                rec = {"op": op, "store": args.state_store,
-                       "n_keys": n, **r, "bytes_per_key": bpk}
-                results.append(rec)
-                print(json.dumps(rec), flush=True)
-            print(
-                json.dumps({"op": op, "store": args.state_store,
-                            "n_keys": n, "wall_s": wall}),
-                flush=True,
-            )
-            shutil.rmtree(ckpt, ignore_errors=True)
+                ckpt = os.path.join(
+                    args.out, f"ckpt_{op}_{n}_{backend}_{run_i}"
+                )
+                shutil.rmtree(ckpt, ignore_errors=True)
+                t0 = time.time()
+                rows = _drive(spark, op, src, ckpt)
+                wall = round(time.time() - t0, 1)
+                for r in rows:
+                    bpk = (
+                        round(1e6 * r["state_mb"] / r["state_rows"], 1)
+                        if r["state_rows"]
+                        else None
+                    )
+                    rec = {"op": op, "store": backend, "run": run_i,
+                           "n_keys": n, **r, "bytes_per_key": bpk}
+                    results.append(rec)
+                    print(json.dumps(rec), flush=True)
+                print(
+                    json.dumps({"op": op, "store": backend, "run": run_i,
+                                "n_keys": n, "wall_s": wall}),
+                    flush=True,
+                )
+                shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
     with open(os.path.join(args.out, "bench_state.json"), "w") as f:
         json.dump(results, f, indent=1)
