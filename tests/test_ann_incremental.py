@@ -364,3 +364,31 @@ def test_srp_band_buckets_auto_warns_and_stamps_resolved_p(spark):
         pinned = srp_band_buckets(vecs, n_bands=2, n_planes=8, dim=2)
     assert not caught
     assert pinned._srp_n_planes == 8
+
+
+def test_recommended_n_bands_matches_geometry():
+    """The floor-remedy helper (VERDICT r8 #5): B = ceil(ln(1-R)/ln(1-p^P))
+    with p = 1 - theta/pi. Checked against the analytic recall it must
+    restore, and against the measured reference points (BASELINE.md r9:
+    the bench_ann_recall measurements sit on this curve within ~2 pts)."""
+    import math
+
+    from gmall_flink_yb_spark.functions.similarity import recommended_n_bands
+
+    def recall(P, B, cos):
+        p = 1 - math.acos(cos) / math.pi
+        return 1 - (1 - p**P) ** B
+
+    for P in (8, 12, 16, 21, 24):
+        for cos_level in (0.95, 0.99):
+            for target in (0.9, 0.95):
+                B = recommended_n_bands(P, cos_level, target)
+                assert recall(P, B, cos_level) >= target
+                if B > 1:  # minimal: one band fewer must miss the target
+                    assert recall(P, B - 1, cos_level) < target
+    # the production anchor: at the 100x-measured derived P=21, holding
+    # 0.9 recall at cos 0.95 costs 21 bands — linear index growth vs the
+    # quadratic random-pair floor lowering P would re-open
+    assert recommended_n_bands(21, 0.95, 0.9) == 21
+    # near-identical pairs stay cheap: 0.95 recall at cos 0.99 under P=21
+    assert recommended_n_bands(21, 0.99, 0.95) == 7
