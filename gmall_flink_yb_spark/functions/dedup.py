@@ -122,13 +122,31 @@ def _exit_loop_session(result: DataFrame, caller: SparkSession) -> DataFrame:
     return rebound
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    auto_partitions: bool | int = True,
+) -> DataFrame:
     """Exact dedup: keep the lowest id per normalized-text fingerprint.
 
     Returns (fingerprint, keep_id, dup_count). One hash shuffle on the
     16-byte fingerprint — at 100 TB this is the cheapest possible exact dedup
     (shuffles hashes, not documents).
+
+    ``auto_partitions``: the shuffle here is NARROW (one ~48 B
+    fingerprint row per document, independent of document size), so it
+    sizes from the ROW COUNT — parquet footer metadata, no job
+    (``tuning.auto_shuffle_partitions_for_rows``) — not from scan bytes.
+    A 10^9-document corpus needs ~700 partitions however many TB the
+    documents themselves weigh; the session default would funnel those
+    fingerprints through 32.
     """
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    _tuning.auto_shuffle_partitions_for_rows(
+        df, _tuning.FINGERPRINT_ROW_BYTES, auto_partitions
+    )
     return (
         df.select(
             doc_fingerprint(F.col(text_col)).alias("fingerprint"),

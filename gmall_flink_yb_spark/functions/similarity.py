@@ -26,7 +26,6 @@ every score stays executor-side — no collect, no driver loop.
 
 from __future__ import annotations
 
-import urllib.parse
 import warnings
 
 import numpy as np
@@ -513,9 +512,6 @@ def auto_n_planes(n_rows: int, margin: int = 3, floor: int = 8) -> int:
     return max(floor, math.ceil(math.log2(max(n_rows, 2))) + margin)
 
 
-_MAX_FOOTERS = 64
-
-
 def _file_backed_rows(df: DataFrame) -> int | None:
     """Row count for a parquet-file-backed frame from footer metadata —
     driver-side, NO Spark job (VERDICT r8 #4: the exact ``count()`` this
@@ -534,39 +530,14 @@ def _file_backed_rows(df: DataFrame) -> int | None:
     error unless the filter drops decades of data, in which case the
     caller should pass an int.
 
-    Footer reads are capped at ``_MAX_FOOTERS`` files; beyond that a
-    stride sample extrapolates by file count (files in one dataset are
-    written at a common target size, and P tolerates 2x count error by
-    construction)."""
-    try:
-        files = df.inputFiles()
-        plan = df._jdf.queryExecution().analyzed().toString()
-    except Exception:
-        return None
-    if not files or any(not f.endswith(".parquet") for f in files):
-        return None
-    if any(op in plan for op in ("Join", "Generate", "Expand")):
-        return None
-    paths = []
-    for f in files:
-        if f.startswith("file:"):
-            paths.append(urllib.parse.unquote(urllib.parse.urlparse(f).path))
-        elif "://" in f:
-            return None  # remote FS — footer reads need that FS's client
-        else:
-            paths.append(f)
-    import pyarrow.parquet as pq
+    Footer reads are capped (stride-sample + extrapolate past the cap;
+    files in one dataset are written at a common target size, and P
+    tolerates 2x count error by construction). Implementation lives in
+    ``tuning.file_backed_rows`` — shared with the narrow-row partition
+    sizing (``tuning.auto_shuffle_partitions_for_rows``)."""
+    from gmall_flink_yb_spark.tuning import file_backed_rows
 
-    if len(paths) <= _MAX_FOOTERS:
-        sample = paths
-    else:
-        stride = len(paths) / _MAX_FOOTERS
-        sample = [paths[int(i * stride)] for i in range(_MAX_FOOTERS)]
-    try:
-        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in sample)
-    except Exception:
-        return None
-    return int(rows * (len(paths) / len(sample)))
+    return file_backed_rows(df)
 
 
 def recommended_n_bands(

@@ -164,6 +164,88 @@ def input_file_bytes(df: DataFrame) -> int | None:
     return estimate_parquet_bytes(spark, *dirs)
 
 
+def file_backed_rows(df: DataFrame) -> int | None:
+    """Row count for a parquet-file-backed frame from footer metadata —
+    driver-side, no Spark job. Exact for scan + row-preserving plans;
+    ``None`` when the frame isn't local-parquet-backed or its plan can
+    MULTIPLY rows (Join/Generate/Expand — leaf counts then bound
+    nothing). Row-SHRINKING nodes (Filter/Sample/Aggregate) only make it
+    an upper bound — the safe direction for partition sizing and for
+    SRP plane derivation (similarity._file_backed_rows delegates here).
+    Footer reads cap at ``_MAX_FILE_STATS`` files, then stride-sample and
+    extrapolate by file count."""
+    import urllib.parse
+
+    try:
+        files = df.inputFiles()
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    if not files or any(not f.endswith(".parquet") for f in files):
+        return None
+    if any(op in plan for op in ("Join", "Generate", "Expand")):
+        return None
+    paths = []
+    for f in files:
+        if f.startswith("file:"):
+            paths.append(
+                urllib.parse.unquote(urllib.parse.urlparse(f).path)
+            )
+        elif "://" in f:
+            return None  # remote FS — footer reads need that FS's client
+        else:
+            paths.append(f)
+    import pyarrow.parquet as pq
+
+    if len(paths) <= _MAX_FILE_STATS:
+        sample = paths
+    else:
+        stride = len(paths) / _MAX_FILE_STATS
+        sample = [paths[int(i * stride)] for i in range(_MAX_FILE_STATS)]
+    try:
+        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in sample)
+    except Exception:
+        return None
+    return int(rows * (len(paths) / len(sample)))
+
+
+def auto_shuffle_partitions_for_rows(
+    df: DataFrame,
+    bytes_per_row: float,
+    auto_partitions: bool | int = True,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+) -> int | None:
+    """Row-count-based twin of :func:`auto_shuffle_partitions`, for
+    NARROW-ROW shuffles whose volume tracks row COUNT, not scan bytes
+    (exact_dedup's fingerprint aggregate: ~48 B of md5+id+overhead per
+    document regardless of document size — a scan-bytes expansion would
+    be corpus-shape-dependent, a per-row constant is not). Rows come
+    from parquet footer metadata (:func:`file_backed_rows`, no job);
+    non-file frames are left alone under ``True``. Same knob contract:
+    int = explicit partition target, False = off; only ever scales up."""
+    if auto_partitions is False:
+        return None
+    spark = df.sparkSession
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if auto_partitions is True:
+        rows = file_backed_rows(df)
+        if rows is None:
+            return None
+        parts = partitions_for_bytes(
+            rows * bytes_per_row, target_bytes=target_bytes, lo=current
+        )
+    else:
+        parts = max(int(auto_partitions), current)
+    if parts > current:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts
+
+
+# narrow hash-row width for fingerprint-style aggregates: 16 B md5 +
+# 8 B id + UnsafeRow/agg-map overhead
+FINGERPRINT_ROW_BYTES = 48.0
+
+
 def auto_shuffle_partitions(
     df: DataFrame,
     expansion: float,

@@ -158,3 +158,42 @@ def test_family_expansion_constants_exist():
     assert SHINGLE_EXPANSION >= GRAM_EXPANSION
     assert 1.0 <= VECTOR_EXPANSION <= SHINGLE_EXPANSION
     assert 1.0 <= HASH_INDEX_EXPANSION <= 10.0
+
+
+def test_row_based_sizing_for_narrow_shuffles(spark, tmp_path):
+    """exact_dedup's fingerprint shuffle tracks row COUNT, not scan
+    bytes: auto_shuffle_partitions_for_rows derives from footer row
+    metadata (no job), floors at the session value for small inputs,
+    and leaves non-file frames alone."""
+    from gmall_flink_yb_spark import tuning
+    from gmall_flink_yb_spark.functions.dedup import exact_dedup
+
+    p = str(tmp_path / "narrow.parquet")
+    spark.range(50_000).selectExpr(
+        "id AS doc_id", "concat('text', id) AS text"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # forced tiny target: 50k rows x 48 B / 2048 B -> >> session floor
+        got = tuning.auto_shuffle_partitions_for_rows(
+            docs, tuning.FINGERPRINT_ROW_BYTES, True, target_bytes=2048
+        )
+        assert got == tuning.partitions_for_bytes(
+            50_000 * tuning.FINGERPRINT_ROW_BYTES,
+            target_bytes=2048, lo=before,
+        ) > before
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+        # operator path at the real target: small corpus floors
+        exact_dedup(docs, "doc_id", "text")
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
+        # non-file frame: no crash, no change
+        exact_dedup(
+            spark.range(10).selectExpr("id AS doc_id", "'t' AS text"),
+            "doc_id", "text",
+        )
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
