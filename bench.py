@@ -125,8 +125,9 @@ def main() -> None:
     # full-name line first (recoverable from full stdout / logs) ...
     print(json.dumps(full))
     # ... then the final, tail-sized line the driver parses: same contract
-    # keys, queries keyed short (legend in BENCH_KEYS.json / line above),
-    # 2-decimal values
+    # keys, queries keyed short (legend in BENCH_KEYS.json / line above;
+    # no in-line legend pointer — at 118 queries the tail budget needs
+    # those bytes for the values themselves), 2-decimal values
     print(
         json.dumps(
             {
@@ -135,7 +136,6 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "queries": {legend[k]: round(v, 2) for k, v in timings.items()},
-                "legend": "BENCH_KEYS.json",
             },
             separators=(",", ":"),
         )

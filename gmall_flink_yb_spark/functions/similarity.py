@@ -574,6 +574,41 @@ def recommended_n_bands(
     )
 
 
+def _resolve_n_bands(
+    n_bands: int | str,
+    n_planes: int,
+    cos_level: float,
+    target_recall: float,
+) -> int:
+    """``"auto"`` -> :func:`recommended_n_bands` under the RESOLVED plane
+    count — the operator-path form of the r9 recall remedy (BASELINE.md
+    round-9: when the corpus-derived P rises and banded recall at the
+    caller's cosine level sags, raise bands, never lower P). Ints pass
+    through untouched, so the long-standing default B=4 is unchanged for
+    every existing caller — auto-banding is an explicit opt-in (the
+    ADVICE r8 lesson from flipping n_planes' default: silent default
+    changes are persisted-index hazards).
+
+    Warns when the derived B exceeds 32: band rows carry the vector, so
+    index storage and the band shuffle grow linearly in B — a B that
+    large usually means the caller wants high recall at a LOOSE cosine
+    level, where a candidate-generation scheme with a flatter curve
+    (``ivf_topk``'s probe knob) is the cheaper tool."""
+    if n_bands != "auto":
+        return int(n_bands)
+    b = recommended_n_bands(n_planes, cos_level, target_recall)
+    if b > 32:
+        warnings.warn(
+            f"n_bands='auto' derived {b} bands (P={n_planes}, "
+            f"cos_level={cos_level}, target_recall={target_recall}) — "
+            "index storage and band shuffle scale linearly in B; at "
+            "loose cosine levels ivf_topk's probe knob is usually the "
+            "cheaper recall lever.",
+            stacklevel=3,
+        )
+    return b
+
+
 def _resolve_n_planes(n_planes: int | str, *frames: DataFrame) -> int:
     """``"auto"`` -> :func:`auto_n_planes` over the frames' total row
     count. File-backed frames are counted from parquet footer metadata
@@ -615,9 +650,11 @@ def _srp_band_bucket(vec: Column, band: int, n_planes: int, dim: int) -> Column:
 
 def srp_band_buckets(
     vecs: DataFrame,
-    n_bands: int = 4,
+    n_bands: int | str = 4,
     n_planes: int | str = "auto",
     dim: int = 64,
+    cos_level: float = 0.95,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """(id, vec, band, bucket) — one row per SRP band of a normalized
     (id, vec) frame; vectors sharing any (band, bucket) are near-dup
@@ -653,7 +690,18 @@ def srp_band_buckets(
     ``_srp_n_planes`` so index writers can record it next to the data.
     The in-plan wrappers (``incremental_cosine_dedup``,
     ``lsh_bucket_topk``) resolve P themselves and pass ints, so they
-    never trigger the warning."""
+    never trigger the warning.
+
+    ``n_bands="auto"`` (opt-in; the default stays 4) derives the band
+    count from the RESOLVED P via :func:`recommended_n_bands` so recall
+    at ``cos_level`` holds ``target_recall`` even as the corpus-derived
+    P rises with n — the BASELINE.md round-9 remedy, enforced in the
+    operator instead of by the caller re-reading the bench notes.
+    ``cos_level``/``target_recall`` only matter under auto-banding. Like
+    P, the band count is part of a persisted index's on-disk contract
+    (the candidate join requires band equality; bands past min(B) never
+    match) — the resolved count is stamped as ``_srp_n_bands`` and the
+    same pin-an-int rule applies to index writers."""
     if n_planes == "auto":
         warnings.warn(
             "srp_band_buckets(n_planes='auto'): the derived plane count "
@@ -665,6 +713,7 @@ def srp_band_buckets(
             stacklevel=2,
         )
     n_planes = _resolve_n_planes(n_planes, vecs)
+    n_bands = _resolve_n_bands(n_bands, n_planes, cos_level, target_recall)
     out = vecs.select(
         "id",
         "vec",
@@ -686,6 +735,7 @@ def srp_band_buckets(
         F.col("bb.bucket").alias("bucket"),
     )
     out._srp_n_planes = n_planes  # index writers: persist this with the rows
+    out._srp_n_bands = n_bands  # same on-disk-contract rule as P
     return out
 
 
@@ -795,11 +845,12 @@ def incremental_cosine_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_bands: int = 4,
+    n_bands: int | str = 4,
     n_planes: int | str = "auto",
     dim: int = 64,
     broadcast_incoming: bool = False,
     auto_partitions: bool | int = True,
+    band_recall: float = 0.9,
 ) -> DataFrame:
     """Wrapper over ``incremental_cosine_dedup_indexed`` that REBUILDS the
     SRP band index from the raw corpus (same plan shape; callers holding
@@ -809,7 +860,15 @@ def incremental_cosine_dedup(
     ``n_planes="auto"`` sizes P from BOTH sides' total count (the join's
     random-collision floor is set by the joined corpus size) and is safe
     here precisely because this form hashes both sides inside one plan —
-    the INDEXED form pins P to the persisted index's width instead."""
+    the INDEXED form pins P to the persisted index's width instead.
+
+    ``n_bands="auto"`` (opt-in; default stays 4) derives B from the
+    resolved P so banded recall for pairs AT the dedup ``threshold``
+    holds ``band_recall`` as the corpus-derived P rises — the threshold
+    is exactly the cosine level where recall matters for this operator,
+    so it doubles as auto-banding's cos_level (see
+    :func:`recommended_n_bands` and BASELINE.md round-9). Precision is
+    unaffected either way (exact-cosine verification)."""
     # both sides hash and band-shuffle here, so both size the session
     _auto_size_vectors(existing, auto_partitions)
     _auto_size_vectors(
@@ -817,6 +876,7 @@ def incremental_cosine_dedup(
         auto_partitions if isinstance(auto_partitions, bool) else True,
     )
     n_planes = _resolve_n_planes(n_planes, existing, incoming)
+    n_bands = _resolve_n_bands(n_bands, n_planes, threshold, band_recall)
     ve = existing.select(
         F.col(id_col).cast("long").alias("id"),
         _as_double(F.col(vec_col)).alias("vec"),

@@ -42,6 +42,7 @@ from gmall_flink_yb_spark.functions.similarity import (
     ivf_topk,
     label_centroid_outliers,
     lsh_bucket_topk,
+    recommended_n_bands,
     semantic_dedup,
 )
 from gmall_flink_yb_spark.functions.multimodal import (
@@ -3436,21 +3437,32 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_srp_band_rows(src: str) -> str:
+def _sql_srp_band_rows(
+    src: str,
+    n_bands: int | None = None,
+    n_planes: int | None = None,
+) -> str:
     """UNION ALL of one SELECT per band over ``src`` (an (id, v) relation),
     each computing that band's bucket with its own plane family — mirrors
     similarity.srp_band_buckets."""
+    n_bands = _ANN_INC_BANDS if n_bands is None else n_bands
+    n_planes = _ANN_INC_PLANES if n_planes is None else n_planes
     return "\n  UNION ALL ".join(
         f"SELECT id, v, {b} AS band, "
         + _sql_srp_bucket(
-            "v", _ANN_INC_PLANES, _LSH_DIM, plane_offset=b * _ANN_INC_PLANES
+            "v", n_planes, _LSH_DIM, plane_offset=b * n_planes
         )
         + f" AS bucket FROM {src}"
-        for b in range(_ANN_INC_BANDS)
+        for b in range(n_bands)
     )
 
 
-SQL_ANN_INCREMENTAL = f"""
+def _sql_ann_incremental(n_bands: int, n_planes: int) -> str:
+    """Full incremental-admission oracle under an explicit (B, P) banding
+    — shared by the fixed-banding query and the auto-banding query (whose
+    B the Python side derives with the SAME pure function the operator
+    uses, so the driver hash-checks the derived geometry bit-for-bit)."""
+    return f"""
 WITH e AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), half AS (
@@ -3460,9 +3472,9 @@ WITH e AS (
 ), inc AS (
   SELECT id, v FROM e, half WHERE id > h
 ), bx AS (
-  {_sql_srp_band_rows('ex')}
+  {_sql_srp_band_rows('ex', n_bands, n_planes)}
 ), bi AS (
-  {_sql_srp_band_rows('inc')}
+  {_sql_srp_band_rows('inc', n_bands, n_planes)}
 ), cand AS (
   SELECT DISTINCT a.id AS id, b.id AS m_id, a.v AS va, b.v AS vb
   FROM bi a
@@ -3484,6 +3496,61 @@ SELECT i.id AS vec_id,
        b.m_id AS dup_of, b.cos AS cos_sim
 FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (id)
 """
+
+
+SQL_ANN_INCREMENTAL = _sql_ann_incremental(_ANN_INC_BANDS, _ANN_INC_PLANES)
+
+# Auto-banding operating point: a deliberately narrow P (4 planes) so the
+# recall formula demands MORE than the default 4 bands at the registered
+# threshold — the derived B is a pure function of (P, threshold, recall),
+# computable here at import time and mirrored band-for-band in the oracle.
+_ANN_AB_PLANES = 4
+_ANN_AB_RECALL = 0.9
+_ANN_AB_BANDS = recommended_n_bands(
+    _ANN_AB_PLANES, _ANN_INC_THRESHOLD, _ANN_AB_RECALL
+)
+
+SQL_ANN_AUTO_BANDS = _sql_ann_incremental(_ANN_AB_BANDS, _ANN_AB_PLANES)
+
+
+def q_ann_auto_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_ann_incremental` under RECALL-TARGETED auto-banding
+    (n_bands="auto", the round-9 operator wiring of BASELINE.md's
+    raise-bands remedy): P is pinned narrow (4 planes) so holding 0.9
+    candidate recall at the 0.35 threshold forces the operator to derive
+    B = recommended_n_bands(4, 0.35, 0.9) > 4 inside the plan. The oracle
+    reproduces that exact B (same pure function at module import), so the
+    driver hash-checks the derived banding geometry itself — a wrong B on
+    either side shifts candidate sets and the value hash."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    half = emb.agg((F.max("vec_id") / 2).cast("long").alias("_half"))
+    ex = (
+        emb.crossJoin(F.broadcast(half))
+        .filter(F.col("vec_id") <= F.col("_half"))
+        .drop("_half")
+    )
+    inc = (
+        emb.crossJoin(F.broadcast(half))
+        .filter(F.col("vec_id") > F.col("_half"))
+        .drop("_half")
+    )
+    verdicts = incremental_cosine_dedup(
+        ex,
+        inc,
+        "vec_id",
+        "embedding",
+        threshold=_ANN_INC_THRESHOLD,
+        n_bands="auto",
+        n_planes=_ANN_AB_PLANES,
+        dim=_LSH_DIM,
+        band_recall=_ANN_AB_RECALL,
+    )
+    return carry_cache(
+        verdicts.select(
+            F.col("id").alias("vec_id"), "keep", "dup_of", "cos_sim"
+        ),
+        verdicts,
+    )
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5823,6 +5890,7 @@ QUERIES: dict[str, QueryFn] = {
     "audio_metadata": q_audio_metadata,
     "revenue_trailing_7d": q_revenue_trailing_7d,
     "ann_incremental": q_ann_incremental,
+    "ann_auto_bands": q_ann_auto_bands,
     "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
     "unigram_lm": q_unigram_lm,
     "source_overlap": q_source_overlap,
@@ -5949,6 +6017,7 @@ ORACLES: dict[str, str] = {
     "audio_metadata": SQL_AUDIO_METADATA,
     "revenue_trailing_7d": SQL_REVENUE_TRAILING_7D,
     "ann_incremental": SQL_ANN_INCREMENTAL,
+    "ann_auto_bands": SQL_ANN_AUTO_BANDS,
     "q22_global_sales_opportunity": SQL_Q22_GLOBAL_SALES_OPPORTUNITY,
     "unigram_lm": SQL_UNIGRAM_LM,
     "source_overlap": SQL_SOURCE_OVERLAP,
@@ -5967,11 +6036,13 @@ ORACLES: dict[str, str] = {
 # ~50 registry entries in insertion order, so entries further back only get
 # re-gated when rotated forward. Every registry entry has had a green
 # driver row in some round; rotation serves FRESHNESS (VERDICT r8 #2):
-# round 9 fronts the 17 r6-gated queries NOT re-gated in r8 (the complement
-# of _R08_FRONT's 33-of-50 take from that block — audio_metadata ..
-# q15_top_supplier, the stalest surface in the registry), then fills to 50
-# with the 33 OLDEST r7-gated queries in their r7 gate order (dup_spans ..
-# multimodal_decode). The r8-gated block (r03/r04 backlog + the hotgram
+# round 9 fronts this round's NEW query (ann_auto_bands — the derived-B
+# recall wiring, never driver-gated before), then the 17 r6-gated queries
+# NOT re-gated in r8 (the complement of _R08_FRONT's 33-of-50 take from
+# that block — audio_metadata .. q15_top_supplier, the stalest surface in
+# the registry), then fills to ~50 with the 33 OLDEST r7-gated queries in
+# their r7 gate order (dup_spans .. multimodal_decode; the last slides to
+# position 51 — it stays covered by the full-registry oracle run). The r8-gated block (r03/r04 backlog + the hotgram
 # stress query + 33 r6 re-gates) is the freshest and sits behind, as do
 # the 17 youngest r7-gated queries. Full-surface coverage evidence for
 # whatever sits outside the ~50-query gate window is the committed
@@ -5980,6 +6051,8 @@ ORACLES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 _R09_FRONT = [
+    # new this round (auto-banding derived-B geometry, hash-checked):
+    "ann_auto_bands",
     # last driver gate r6 (the 17 of that 50-query block _R08_FRONT did
     # not re-gate; standing r6 gate order):
     "audio_metadata", "customers_without_orders", "uv_daily_approx",

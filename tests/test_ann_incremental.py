@@ -392,3 +392,100 @@ def test_recommended_n_bands_matches_geometry():
     assert recommended_n_bands(21, 0.95, 0.9) == 21
     # near-identical pairs stay cheap: 0.95 recall at cos 0.99 under P=21
     assert recommended_n_bands(21, 0.99, 0.95) == 7
+
+
+def test_auto_n_bands_resolves_and_stamps(spark):
+    """n_bands="auto" (opt-in) derives B from the RESOLVED P via
+    recommended_n_bands, stamps it as _srp_n_bands, and emits exactly B
+    distinct bands; the default stays 4 (no silent default flip — the
+    ADVICE r8 lesson); an auto-derived B > 32 warns (linear index-storage
+    cost — ivf_topk's probe knob is the cheaper lever at loose cosine)."""
+    import warnings as _w
+
+    from gmall_flink_yb_spark.functions.similarity import recommended_n_bands
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "id long, vec array<double>",
+    )
+    want = recommended_n_bands(8, 0.95, 0.9)
+    out = srp_band_buckets(vecs, n_bands="auto", n_planes=8, dim=2)
+    assert out._srp_n_bands == want
+    got_bands = sorted(
+        r["band"] for r in out.select("band").distinct().collect()
+    )
+    assert got_bands == list(range(want))
+
+    # the default is untouched: B=4 unless the caller opts in
+    assert srp_band_buckets(vecs, n_planes=8, dim=2)._srp_n_bands == 4
+
+    # a loose cos_level drives B past 32 -> warn, still resolves
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        big = srp_band_buckets(
+            vecs, n_bands="auto", n_planes=24, dim=2, cos_level=0.9
+        )
+    assert big._srp_n_bands == recommended_n_bands(24, 0.9, 0.9) > 32
+    assert any("ivf_topk" in str(c.message) for c in caught)
+
+
+def test_incremental_cosine_dedup_auto_bands_matches_explicit(spark):
+    """n_bands="auto" on the in-plan dedup wrapper = explicit B resolved
+    at the same (threshold, band_recall) point: identical verdicts, and
+    near-dups at the threshold are still caught (precision is exact
+    either way; auto only moves the candidate-recall floor)."""
+    from gmall_flink_yb_spark.functions.similarity import (
+        auto_n_planes,
+        recommended_n_bands,
+    )
+
+    ex = spark.createDataFrame([(1, V1), (2, V2)], SCHEMA)
+    inc = spark.createDataFrame(
+        [(10, V1_DUP), (11, V3), (12, V3_DUP)], SCHEMA
+    )
+    p = auto_n_planes(5)  # both sides' total count, as the wrapper derives
+    b = recommended_n_bands(p, 0.95, 0.9)
+    auto = _verdicts(
+        incremental_cosine_dedup(ex, inc, threshold=0.95, dim=DIM,
+                                 n_bands="auto")
+    )
+    explicit = _verdicts(
+        incremental_cosine_dedup(ex, inc, threshold=0.95, dim=DIM,
+                                 n_bands=b)
+    )
+    assert {k: (v["keep"], v["dup_of"]) for k, v in auto.items()} == {
+        k: (v["keep"], v["dup_of"]) for k, v in explicit.items()
+    }
+    assert auto[10]["keep"] == 0 and auto[10]["dup_of"] == 1
+    assert auto[12]["keep"] == 0 and auto[12]["dup_of"] == 11
+
+
+def test_registered_auto_bands_query_mirrors_derived_geometry():
+    """The gated ann_auto_bands query and its DuckDB oracle must agree on
+    the DERIVED band count through the same pure function — a drift here
+    (operator formula vs oracle constant) would shift candidate sets and
+    fail the driver's value hash, so pin it structurally too."""
+    from gmall_flink_yb_spark.functions.similarity import (
+        _resolve_n_bands,
+        recommended_n_bands,
+    )
+    from gmall_flink_yb_spark.queries import (
+        _ANN_AB_BANDS,
+        _ANN_AB_PLANES,
+        _ANN_AB_RECALL,
+        _ANN_INC_THRESHOLD,
+        SQL_ANN_AUTO_BANDS,
+    )
+
+    assert _ANN_AB_BANDS == recommended_n_bands(
+        _ANN_AB_PLANES, _ANN_INC_THRESHOLD, _ANN_AB_RECALL
+    )
+    assert _ANN_AB_BANDS > 4  # the point: auto must BEAT the default here
+    assert (
+        _resolve_n_bands(
+            "auto", _ANN_AB_PLANES, _ANN_INC_THRESHOLD, _ANN_AB_RECALL
+        )
+        == _ANN_AB_BANDS
+    )
+    # the oracle carries exactly B band branches per side (bx and bi)
+    assert SQL_ANN_AUTO_BANDS.count("AS band") == 2 * _ANN_AB_BANDS

@@ -35,7 +35,6 @@ def test_final_bench_line_fits_driver_tail():
             "unit": "sec",
             "sf": 0.1,
             "queries": {legend[k]: 123.45 for k in QUERIES},
-            "legend": "BENCH_KEYS.json",
         },
         separators=(",", ":"),
     )
