@@ -41,9 +41,12 @@ def short_keys(names: list[str]) -> dict[str, str]:
 
     Per underscore-token: tokens containing a digit are kept whole (q22,
     7d, int8 stay recognizable), others truncate to their first 2 chars;
-    tokens are joined without separators. Collisions (none in the current
-    registry) gain ``x`` suffixes in registry order, so the map is stable
-    under appends. The inverse legend ships in BENCH_KEYS.json.
+    tokens are joined without separators and the joined key is capped at
+    5 chars (r9: at 119 queries the un-capped worst-case line outgrew the
+    driver's 2000-char tail; cross-round per-query comparison goes through
+    the full names in each round's BENCH_KEYS.json legend, not the short
+    keys). Collisions gain ``x`` suffixes in registry order, so the map is
+    stable under appends. The inverse legend ships in BENCH_KEYS.json.
     """
     out: dict[str, str] = {}
     used: set[str] = set()
@@ -51,7 +54,7 @@ def short_keys(names: list[str]) -> dict[str, str]:
         s = "".join(
             t if any(c.isdigit() for c in t) else t[:2]
             for t in name.split("_")
-        )
+        )[:5]
         while s in used:
             s += "x"
         used.add(s)

@@ -556,6 +556,54 @@ def _portable_mix(i: int) -> Column:
     return F.col("h1").bitwiseXOR(rot)
 
 
+def recommended_minhash_bands(
+    num_hashes: int,
+    jaccard_level: float = 0.5,
+    target_recall: float = 0.9,
+) -> int:
+    """Smallest divisor b of ``num_hashes`` whose banded recall for pairs
+    at ``jaccard_level`` reaches ``target_recall`` — the MinHash twin of
+    ``similarity.recommended_n_bands`` (BASELINE.md round-9's raise-bands
+    remedy, applied to the Jaccard family).
+
+    Geometry: a pair at Jaccard s agrees on one signature slot with
+    probability s, so it collides in an r-slot band with probability s^r
+    (r = num_hashes / b) and banded recall is 1 - (1 - s^r)^b. Recall is
+    strictly increasing in b (shorter rows AND more bands) — and so is
+    candidate volume — so the smallest qualifying divisor meets the
+    recall floor at minimal band-join cost. Raises ValueError when even
+    b = num_hashes (r = 1, recall 1-(1-s)^n) misses the target: no
+    banding of this signature can hold that recall — raise num_hashes.
+    """
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    s = min(max(jaccard_level, 0.0), 1.0)
+    for b in sorted(d for d in range(1, num_hashes + 1) if num_hashes % d == 0):
+        r = num_hashes // b
+        if 1.0 - (1.0 - s**r) ** b >= target_recall:
+            return b
+    raise ValueError(
+        f"no divisor of num_hashes={num_hashes} holds recall "
+        f"{target_recall} at jaccard {jaccard_level}; raise num_hashes"
+    )
+
+
+def _resolve_minhash_bands(
+    bands: int | str,
+    num_hashes: int,
+    jaccard_level: float,
+    target_recall: float,
+) -> int:
+    """``"auto"`` -> :func:`recommended_minhash_bands`; ints pass through
+    (the default stays 8 everywhere — auto-banding is an explicit opt-in,
+    and the INDEXED incremental form stays int-only because the persisted
+    band index's (bands, rows_per_band) split is part of its on-disk
+    contract, exactly like SRP's plane count)."""
+    if bands != "auto":
+        return int(bands)
+    return recommended_minhash_bands(num_hashes, jaccard_level, target_recall)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -651,11 +699,12 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | str = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
     portable: bool = False,
     auto_partitions: bool | int = True,
+    band_recall: float = 0.9,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
 
@@ -664,8 +713,15 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard). At 100 TB the band join only shuffles
     (band_id, band_hash, doc_id) tuples and candidate pairs are ~linear in
     true-dup count instead of O(n^2).
+
+    ``bands="auto"`` (opt-in; the default stays 8) picks the smallest
+    divisor of ``num_hashes`` holding ``band_recall`` candidate recall for
+    pairs AT the ``threshold`` — the operator's own cutoff is exactly the
+    Jaccard level recall must hold at (:func:`recommended_minhash_bands`;
+    the Jaccard twin of the SRP family's derived banding).
     """
     _auto_size_shingle(df, auto_partitions)
+    bands = _resolve_minhash_bands(bands, num_hashes, threshold, band_recall)
     rows_per_band = num_hashes // bands
     # persisted: the band join reads the signatures on BOTH sides — without
     # this the whole shingle+hash subtree executes twice. At production scale
@@ -717,12 +773,13 @@ def incremental_lsh_dedup(
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | str = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
     portable: bool = False,
     broadcast_incoming: bool = False,
     auto_partitions: bool | int = True,
+    band_recall: float = 0.9,
 ) -> DataFrame:
     """Incremental MinHash+LSH dedup: audit a NEW batch against an
     already-curated corpus plus itself — the operator a production pipeline
@@ -753,6 +810,10 @@ def incremental_lsh_dedup(
         incoming,
         auto_partitions if isinstance(auto_partitions, bool) else True,
     )
+    # "auto" holds band_recall at the dedup threshold (safe here because
+    # both sides band inside one plan; the INDEXED form stays int-only —
+    # the persisted index's banding is an on-disk contract)
+    bands = _resolve_minhash_bands(bands, num_hashes, threshold, band_recall)
     rows_per_band = num_hashes // bands
     sx = minhash_signatures(
         existing, id_col, text_col, num_hashes, shingle_n, portable=portable

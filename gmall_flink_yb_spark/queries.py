@@ -31,6 +31,7 @@ from gmall_flink_yb_spark.functions.dedup import (
     jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    recommended_minhash_bands,
     select_canonical,
     simhash_pairs,
 )
@@ -3251,10 +3252,16 @@ def _sql_md5_long(expr: str) -> str:
 
 _MINHASH_R = _MINHASH_N // _MINHASH_BANDS
 
-# Faithful SQL re-implementation of the portable MinHash+LSH pipeline:
-# signatures (min over shingles per family member), md5 band buckets,
-# distinct same-bucket candidates, slot-agreement estimate.
-SQL_DEDUP_MINHASH_LSH = f"""
+
+def _sql_dedup_minhash_lsh(bands: int) -> str:
+    """Faithful SQL re-implementation of the portable MinHash+LSH pipeline
+    under an explicit band count: signatures (min over shingles per family
+    member), md5 band buckets, distinct same-bucket candidates,
+    slot-agreement estimate. Shared by the fixed-banding query and the
+    auto-banding query (whose band count the Python side derives with the
+    SAME pure function the operator uses)."""
+    r = _MINHASH_N // bands
+    return f"""
 WITH toks_f AS (
 {_SHINGLES_SQL}
 ), members AS (
@@ -3275,9 +3282,9 @@ WITH toks_f AS (
   ) CROSS JOIN members
   GROUP BY doc_id, i
 ), bands AS (
-  SELECT doc_id, i // {_MINHASH_R} AS band,
+  SELECT doc_id, i // {r} AS band,
          md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bucket
-  FROM hashes GROUP BY doc_id, i // {_MINHASH_R}
+  FROM hashes GROUP BY doc_id, i // {r}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a
@@ -3296,6 +3303,43 @@ SELECT id_a, id_b,
 FROM agree
 WHERE round(CAST(n_agree AS DOUBLE) / {_MINHASH_N}, 6) >= {_MINHASH_THRESHOLD}
 """
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_dedup_minhash_lsh(_MINHASH_BANDS)
+
+# Auto-banding operating point for the Jaccard family: at the registered
+# (num_hashes=32, threshold=0.5) the smallest divisor holding 0.9
+# candidate recall is 16 bands (recall at b=8 is only ~0.40) — derived at
+# import by the SAME pure function the operator resolves "auto" with, and
+# mirrored band-for-band in the oracle.
+_MINHASH_AB_RECALL = 0.9
+_MINHASH_AB_BANDS = recommended_minhash_bands(
+    _MINHASH_N, _MINHASH_THRESHOLD, _MINHASH_AB_RECALL
+)
+
+SQL_DEDUP_MINHASH_AUTO = _sql_dedup_minhash_lsh(_MINHASH_AB_BANDS)
+
+
+def q_dedup_minhash_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_dedup_minhash_lsh` under RECALL-TARGETED auto-banding
+    (bands="auto"): the operator derives the smallest num_hashes divisor
+    holding 0.9 candidate recall for pairs at the 0.5 threshold —
+    dedup.recommended_minhash_bands, the Jaccard twin of the SRP family's
+    derived banding. The oracle hard-codes the same derived count through
+    the same pure function, so the driver hash-checks the derived banding
+    geometry (a drift in the divisor search shifts candidate sets and the
+    value hash)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASH_N,
+        bands="auto",
+        threshold=_MINHASH_THRESHOLD,
+        portable=True,
+        band_recall=_MINHASH_AB_RECALL,
+    )
 
 # SimHash oracle: recompute every 60-bit simhash, then BRUTE-FORCE the
 # hamming join over all pairs — verifying that the engine's pigeonhole
@@ -5819,6 +5863,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_stratified_docs": q_sample_stratified_docs,
     "corpus_curation": q_corpus_curation,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_auto": q_dedup_minhash_auto,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -5940,6 +5985,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified_docs": SQL_SAMPLE_STRATIFIED_DOCS,
     "corpus_curation": SQL_CORPUS_CURATION,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_minhash_auto": SQL_DEDUP_MINHASH_AUTO,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # the SRP bucketing is md5-derived → the oracle reproduces the
@@ -6051,8 +6097,9 @@ ORACLES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 _R09_FRONT = [
-    # new this round (auto-banding derived-B geometry, hash-checked):
-    "ann_auto_bands",
+    # new this round (auto-banding derived-B geometry, hash-checked, one
+    # per LSH family):
+    "ann_auto_bands", "dedup_minhash_auto",
     # last driver gate r6 (the 17 of that 50-query block _R08_FRONT did
     # not re-gate; standing r6 gate order):
     "audio_metadata", "customers_without_orders", "uv_daily_approx",

@@ -610,3 +610,69 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     assert splits == {"train", "valid"}
     valid_frac = sum(1 for r in rows if r["split"] == "valid") / len(rows)
     assert 0.02 < valid_frac < 0.3  # ~10% target, cluster-granular
+
+
+def test_recommended_minhash_bands_geometry():
+    """The Jaccard twin of recommended_n_bands: smallest divisor of
+    num_hashes holding the target banded recall 1-(1-s^(n/b))^b; one
+    divisor step fewer must miss it; unreachable targets raise."""
+    import pytest as _pt
+
+    from gmall_flink_yb_spark.functions.dedup import recommended_minhash_bands
+
+    def recall(n, b, s):
+        return 1.0 - (1.0 - s ** (n // b)) ** b
+
+    for n in (16, 32, 64):
+        for s in (0.5, 0.8):
+            for target in (0.9, 0.95):
+                b = recommended_minhash_bands(n, s, target)
+                assert n % b == 0 and recall(n, b, s) >= target
+                smaller = [d for d in range(1, b) if n % d == 0]
+                if smaller:
+                    assert recall(n, smaller[-1], s) < target
+    # the registered operating point: 32 hashes at threshold 0.5 needs 16
+    # bands (8 bands — the long-standing default — holds only ~0.40)
+    assert recommended_minhash_bands(32, 0.5, 0.9) == 16
+    # unreachable: even r=1 recall 1-(1-s)^n misses the target
+    with _pt.raises(ValueError):
+        recommended_minhash_bands(4, 0.01, 0.99)
+
+
+def test_minhash_auto_bands_matches_explicit(docs):
+    """bands="auto" = the explicit derived divisor: identical pair sets and
+    estimates; and the derived banding still catches the fixture's
+    near-dup (recall floor holds where the default-8 banding already
+    did)."""
+    from gmall_flink_yb_spark.functions.dedup import recommended_minhash_bands
+
+    b = recommended_minhash_bands(32, 0.3, 0.9)
+    auto = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(docs, "doc_id", "text",
+                                       threshold=0.3, bands="auto").collect()}
+    explicit = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+                for r in minhash_lsh_pairs(docs, "doc_id", "text",
+                                           threshold=0.3, bands=b).collect()}
+    assert auto == explicit
+    assert auto[(0, 1)] == 1.0 and (0, 2) in auto and (0, 3) not in auto
+
+
+def test_registered_minhash_auto_query_mirrors_derived_geometry():
+    """The gated dedup_minhash_auto query and its oracle agree on the
+    derived band count through the same pure function, and the oracle
+    carries exactly that many band groups (i // r with r = n/b)."""
+    from gmall_flink_yb_spark.functions.dedup import recommended_minhash_bands
+    from gmall_flink_yb_spark.queries import (
+        _MINHASH_AB_BANDS,
+        _MINHASH_AB_RECALL,
+        _MINHASH_N,
+        _MINHASH_THRESHOLD,
+        SQL_DEDUP_MINHASH_AUTO,
+    )
+
+    assert _MINHASH_AB_BANDS == recommended_minhash_bands(
+        _MINHASH_N, _MINHASH_THRESHOLD, _MINHASH_AB_RECALL
+    )
+    assert _MINHASH_AB_BANDS > 8  # the point: auto must beat the default
+    r = _MINHASH_N // _MINHASH_AB_BANDS
+    assert f"i // {r} AS band" in SQL_DEDUP_MINHASH_AUTO
