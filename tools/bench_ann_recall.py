@@ -34,6 +34,12 @@ P — that re-opens the random-pair floor the derived banding exists to
 close. ``similarity.recommended_n_bands`` computes the B that restores a
 target recall at a given P and cosine level.
 
+Round-9 addition: each tier also runs the REMEDY arm — the same planted
+admission under ``n_bands="auto"`` at threshold 0.95, where the operator
+derives B = recommended_n_bands(P, 0.95, 0.9) inside the plan — so the
+raise-bands advice is MEASURED through the wired operator path, not just
+computed (``autoB_*`` keys).
+
 Usage: python tools/bench_ann_recall.py [--replicas 100] [--k 5]
        [--queries 1000] [--plant-frac 0.02]
 Prints one JSON line per tier.
@@ -126,7 +132,16 @@ def _plant(corpus, plant_mod: int, max_id: int):
     return out
 
 
-def planted_recall(spark, corpus, plant_mod, n_corpus, threshold=0.90) -> dict:
+def planted_recall(
+    spark,
+    corpus,
+    plant_mod,
+    n_corpus,
+    threshold=0.90,
+    n_bands=4,
+    band_recall=0.9,
+    prefix="",
+) -> dict:
     max_id = corpus.agg(F.max("vec_id")).first()[0]
     planted = _plant(corpus, plant_mod, int(max_id)).persist()
     n_planted = planted.count()
@@ -161,7 +176,8 @@ def planted_recall(spark, corpus, plant_mod, n_corpus, threshold=0.90) -> dict:
 
     verdicts = incremental_cosine_dedup(
         corpus, planted, "vec_id", "embedding", threshold=threshold,
-        n_planes=p_used, dim=_DIM,
+        n_bands=n_bands, n_planes=p_used, dim=_DIM,
+        band_recall=band_recall,
     )
     flagged = {
         r["id"] for r in verdicts.filter(F.col("keep") == 0).collect()
@@ -173,11 +189,20 @@ def planted_recall(spark, corpus, plant_mod, n_corpus, threshold=0.90) -> dict:
     for lo, hi in _COS_BANDS:
         ids = [i for i, c in truth.items() if lo <= c < hi and c >= threshold]
         hit = sum(1 for i in ids if i in flagged)
-        bands[f"recall_cos_{lo}_{hi}"] = (
+        bands[f"{prefix}recall_cos_{lo}_{hi}"] = (
             round(hit / len(ids), 4) if ids else None
         )
-        bands[f"n_cos_{lo}_{hi}"] = len(ids)
-    return {"planted": n_planted, "verdict_p": p_used, **bands}
+        bands[f"{prefix}n_cos_{lo}_{hi}"] = len(ids)
+    from gmall_flink_yb_spark.functions.similarity import _resolve_n_bands
+
+    b_used = _resolve_n_bands(n_bands, p_used, threshold, band_recall)
+    return {
+        f"{prefix}planted": n_planted,
+        f"{prefix}verdict_p": p_used,
+        f"{prefix}verdict_b": b_used,
+        f"{prefix}threshold": threshold,
+        **bands,
+    }
 
 
 def main() -> None:
@@ -211,6 +236,15 @@ def main() -> None:
             "derived_p": auto_n_planes(n),
             **topk_recall(spark, corpus, queries, args.k),
             **planted_recall(spark, corpus, plant_mod, n),
+            # the REMEDY arm (round-9 operator wiring): n_bands="auto"
+            # derives B = recommended_n_bands(P, threshold, 0.9) inside
+            # the operator; measured at threshold 0.95 where the fixed
+            # B=4 recall sags under the derived P — the analytic curve
+            # says auto-B restores >= 0.9 in the >= 0.95 cosine bands
+            **planted_recall(
+                spark, corpus, plant_mod, n,
+                threshold=0.95, n_bands="auto", prefix="autoB_",
+            ),
         }
         print(json.dumps(row))
     spark.stop()

@@ -76,6 +76,21 @@ def build_backfill(spark, sf_dir: str, out: str, replicas: int) -> str:
     return d
 
 
+def run_arm_safe(spark, src: str, out: str, guard: bool, tag: str) -> dict:
+    """An arm that dies (e.g. guard-off OOMing on a batch-universal gram
+    sort at the giant tier) is itself a measurement — record it as a row
+    instead of killing the other arm's run."""
+    try:
+        return run_arm(spark, src, out, guard, tag)
+    except Exception as e:  # noqa: BLE001 — report-and-continue harness
+        return {
+            "arm": tag,
+            "hot_gram_guard": guard,
+            "wall_s": None,
+            "failed": f"{type(e).__name__}: {str(e)[:200]}",
+        }
+
+
 def run_arm(spark, src: str, out: str, guard: bool, tag: str) -> dict:
     work = os.path.join(out, f"arm_{tag}")
     shutil.rmtree(work, ignore_errors=True)
@@ -114,18 +129,31 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--out", default="/tmp/scrub_backfill")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--arms", default="off,on",
+                    help="comma-set of arms to run in THIS process. At "
+                    "the giant tier guard-off dies with a JVM heap OOM "
+                    "(the measured result) — in local mode that is the "
+                    "DRIVER's JVM, so run the arms in separate processes "
+                    "(--arms off, then --arms on with --keep so the "
+                    "shared backfill corpus survives) to keep one arm's "
+                    "OOM from wedging the other's session.")
     args = ap.parse_args()
+    arm_sel = {a.strip() for a in args.arms.split(",")}
 
     spark = get_spark("bench-scrub-backfill")
     spark.sparkContext.setLogLevel("ERROR")
-    src = build_backfill(spark, args.sf_dir, args.out, args.replicas)
+    src = os.path.join(args.out, "backfill")
+    if not os.path.isdir(src):  # reuse across per-arm processes
+        src = build_backfill(spark, args.sf_dir, args.out, args.replicas)
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
     for r in range(args.rounds):
         for guard in (False, True):
+            if ("on" if guard else "off") not in arm_sel:
+                continue
             # the operator raises partitions only UP; reset per arm so
             # both arms start identical
             spark.conf.set("spark.sql.shuffle.partitions", base_parts)
-            row = run_arm(
+            row = run_arm_safe(
                 spark, src, args.out, guard,
                 f"{'on' if guard else 'off'}_{r}",
             )
