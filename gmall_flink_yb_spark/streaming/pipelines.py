@@ -737,9 +737,19 @@ def start_incremental_dedup_stream(
     text_col: str = "text",
     threshold: float = 0.5,
     index_dir: str | None = None,
+    auto_partitions: bool | int = True,
 ) -> StreamingQuery:
     """Admit new documents into a curated corpus, rejecting near-dups of
     anything already admitted (or of a smaller-id doc in the same batch).
+
+    ``auto_partitions`` sizes the shingle shuffle PER BATCH from the
+    batch's payload (``tuning.auto_shuffle_partitions_for_batch``,
+    SHINGLE_EXPANSION): micro-batch frames are not file-backed, so the
+    batch operator's entry hook no-ops inside foreachBatch and a giant
+    availableNow backfill batch would otherwise run at the session
+    default — the OOM regime the span-scrub stream measured at the
+    5M-doc tier (BASELINE.md round-9). Ordinary micro-batches derive
+    at-or-below the session floor and no-op.
 
     The corpus IS the output: ``corpus_dir/ingest_batch=N`` holds batch N's
     admitted docs. Replay safety without a transaction log:
@@ -776,6 +786,14 @@ def start_incremental_dedup_stream(
             return
         incoming = batch_df.persist()
         try:
+            from gmall_flink_yb_spark import tuning as _tuning
+
+            _tuning.auto_shuffle_partitions_for_batch(
+                incoming,
+                _tuning.SHINGLE_EXPANSION,
+                text_col,
+                auto_partitions=auto_partitions,
+            )
             if index_dir is not None:
                 idx = _read_ref(
                     index_dir,
@@ -868,6 +886,7 @@ def start_incremental_span_scrub_stream(
     text_col: str = "text",
     n: int = 8,
     hot_gram_guard: bool = False,
+    auto_partitions: bool | int = True,
 ) -> StreamingQuery:
     """Exact substring dedup over a document stream (Lee et al. 2022,
     incremental form): each batch's documents are scrubbed of every
@@ -880,6 +899,15 @@ def start_incremental_span_scrub_stream(
     profile job would be pure overhead. Enable it for giant backfill
     batches (one availableNow pass over a corpus-sized backlog), where a
     batch IS a corpus.
+
+    ``auto_partitions`` sizes the gram shuffle PER BATCH from the batch's
+    payload (``tuning.auto_shuffle_partitions_for_batch``): a micro-batch
+    frame is not file-backed, so the batch operator's entry hook no-ops
+    inside foreachBatch — and a giant availableNow backfill then runs the
+    occurrence window at the session default, which at the 5M-doc tier is
+    a JVM heap OOM, not a slowdown (BASELINE.md round-9: both guard arms
+    died at 32 partitions; sized, the guard-on arm completes). Ordinary
+    micro-batches derive at-or-below the session floor and no-op.
 
     The seen-gram index is the persisted state (``index_dir/
     ingest_batch=N`` holds each batch's distinct md5 gram hashes of the
@@ -908,6 +936,14 @@ def start_incremental_span_scrub_stream(
         incoming = batch_df.persist()
         cleaned = None
         try:
+            from gmall_flink_yb_spark import tuning as _tuning
+
+            _tuning.auto_shuffle_partitions_for_batch(
+                incoming,
+                _tuning.GRAM_EXPANSION,
+                text_col,
+                auto_partitions=auto_partitions,
+            )
             seen = _read_ingest_ref(
                 spark, index_dir, batch_id, ["gh"], "gh string"
             )
@@ -1026,6 +1062,7 @@ def start_incremental_ann_stream(
     n_bands: int = 4,
     n_planes: int = 8,
     dim: int = 64,
+    auto_partitions: bool | int = True,
 ) -> StreamingQuery:
     """Admit new embedding vectors into a curated corpus, rejecting
     near-dups (exact cosine >= ``threshold``) of anything already admitted
@@ -1039,7 +1076,14 @@ def start_incremental_ann_stream(
     bucket — ``similarity.srp_band_buckets`` rows) is persisted and
     appended per batch, so admitted vectors are never re-hashed and
     per-batch cost tracks batch size, not corpus size. Without it the
-    index is rebuilt from the stored corpus vectors each batch."""
+    index is rebuilt from the stored corpus vectors each batch.
+
+    ``auto_partitions`` sizes the band shuffle PER BATCH from the batch's
+    payload (``tuning.auto_shuffle_partitions_for_batch``,
+    VECTOR_EXPANSION; vectors aren't strings, so the payload probe casts
+    to string — a ~2x over-count of the binary width, the AQE-coalesced
+    safe side) for the giant availableNow backfill case; ordinary
+    micro-batches derive at-or-below the session floor and no-op."""
     from gmall_flink_yb_spark.functions.cacheutil import release_cache
     from gmall_flink_yb_spark.functions.similarity import (
         incremental_cosine_dedup,
@@ -1066,6 +1110,14 @@ def start_incremental_ann_stream(
             return
         incoming = batch_df.persist()
         try:
+            from gmall_flink_yb_spark import tuning as _tuning
+
+            _tuning.auto_shuffle_partitions_for_batch(
+                incoming,
+                _tuning.VECTOR_EXPANSION,
+                vec_col,
+                auto_partitions=auto_partitions,
+            )
             if index_dir is not None:
                 idx = _read_ref(
                     index_dir,

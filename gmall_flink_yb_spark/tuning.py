@@ -38,6 +38,7 @@ already outgrew memory mid-task.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # post-expansion bytes one shuffle partition should hold: sorts/hash maps
 # of this size fit comfortably in task memory at default executor sizing
@@ -281,6 +282,70 @@ def auto_shuffle_partitions(
     current = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if auto_partitions is True:
         n_bytes = input_file_bytes(df)
+        if n_bytes is None:
+            return None
+        parts = partitions_for_bytes(
+            n_bytes * expansion, target_bytes=target_bytes, lo=current
+        )
+    else:
+        parts = max(int(auto_partitions), current)
+    if parts > current:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts
+
+
+# parquet's string compression on the calibration corpora is ~2-3x, so
+# in-memory text bytes need a smaller multiplier than the scan-bytes-
+# calibrated expansion constants; erring high is AQE-coalesced. Measured
+# on the sf0.1 documents table: scan 0.59 MB vs sum(octet_length(text))
+# 1.49 MB = 2.5x — a discount of 2 keeps the raw-bytes path's derived
+# target within ~25% ABOVE the file-backed path's (the safe side).
+RAW_TEXT_DISCOUNT = 2.0
+
+
+def auto_shuffle_partitions_for_batch(
+    df: DataFrame,
+    expansion: float,
+    *payload_cols: str,
+    auto_partitions: bool | int = True,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+) -> int | None:
+    """Per-micro-batch twin of :func:`auto_shuffle_partitions` for
+    foreachBatch bodies (the streaming edition of VERDICT r8 #1's wiring):
+    a micro-batch DataFrame is not file-backed, so the batch operators'
+    entry hooks no-op inside the batch function — and a giant availableNow
+    backfill batch (one batch IS a corpus) then runs its gram/shingle
+    shuffle at the session default, the superlinear regime the 1000x
+    benches measured; at the 5M-doc backfill tier it is a JVM heap OOM,
+    not a slowdown (BASELINE.md round-9).
+
+    Sizing source, in order: ``input_file_bytes`` when the micro-batch
+    plan IS file-backed (FileStreamSource batches usually are — exact and
+    job-free), else ONE aggregate job summing ``octet_length`` over
+    ``payload_cols`` on the (caller-persisted) batch, discounted by
+    ``RAW_TEXT_DISCOUNT`` since the expansion constants are calibrated
+    against compressed scan bytes. Same knob contract as the other hooks:
+    True = derive, int = explicit, False = off; only ever scales UP, AQE
+    coalesces overshoot."""
+    if auto_partitions is False:
+        return None
+    spark = df.sparkSession
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if auto_partitions is True:
+        n_bytes = input_file_bytes(df)
+        if n_bytes is None and payload_cols:
+            n_raw = (
+                df.select(
+                    sum(
+                        (F.octet_length(F.col(c).cast("string"))
+                         for c in payload_cols),
+                        F.lit(0),
+                    ).alias("_b")
+                )
+                .agg(F.sum("_b"))
+                .first()[0]
+            )
+            n_bytes = (n_raw or 0) / RAW_TEXT_DISCOUNT
         if n_bytes is None:
             return None
         parts = partitions_for_bytes(

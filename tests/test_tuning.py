@@ -197,3 +197,83 @@ def test_row_based_sizing_for_narrow_shuffles(spark, tmp_path):
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+
+def test_auto_partitions_for_batch_payload_path(spark):
+    """The foreachBatch sizing hook (streaming edition of the r8 #1
+    wiring): a NON-file-backed frame derives partitions from ONE
+    octet_length aggregate over the payload cols discounted by
+    RAW_TEXT_DISCOUNT; False and explicit-int honor the shared knob
+    contract; no-payload non-file frames no-op."""
+    import math
+
+    from gmall_flink_yb_spark import tuning
+
+    rows = [(i, "x" * 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = 200 * 1000
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # derive: raw payload / discount x expansion / target, floored at
+        # the session current — force a raise with a tiny target
+        target = 1000
+        want = max(
+            before,
+            math.ceil(
+                raw / tuning.RAW_TEXT_DISCOUNT * 2.0 / target
+            ),
+        )
+        got = tuning.auto_shuffle_partitions_for_batch(
+            df, 2.0, "text", target_bytes=target
+        )
+        assert got == want
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == want
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+        # off: untouched
+        assert (
+            tuning.auto_shuffle_partitions_for_batch(
+                df, 2.0, "text", auto_partitions=False, target_bytes=target
+            )
+            is None
+        )
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
+
+        # explicit int: floored at current, set verbatim above it
+        got = tuning.auto_shuffle_partitions_for_batch(
+            df, 2.0, "text", auto_partitions=before + 7
+        )
+        assert got == before + 7
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+        # no payload cols on a non-file frame: nothing to size from
+        assert (
+            tuning.auto_shuffle_partitions_for_batch(df, 2.0) is None
+        )
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+
+def test_auto_partitions_for_batch_prefers_file_bytes(spark, tmp_path):
+    """A file-backed frame (FileStreamSource batches usually are) sizes
+    from scan bytes — exact and job-free — not the raw-payload probe."""
+    from gmall_flink_yb_spark import tuning
+
+    p = str(tmp_path / "batch.parquet")
+    spark.range(1000).selectExpr(
+        "id as doc_id", "repeat('y', 200) as text"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    scan = tuning.estimate_parquet_bytes(spark, p)
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        target = 100  # force a raise
+        got = tuning.auto_shuffle_partitions_for_batch(
+            df, 1.0, "text", target_bytes=target
+        )
+        import math
+
+        assert got == max(before, math.ceil(scan / target))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
