@@ -896,9 +896,18 @@ def start_incremental_span_scrub_stream(
     ``hot_gram_guard`` defaults OFF here, unlike the batch operator: the
     occurrence window partitions by the BATCH's grams, so its worst
     partition is micro-batch-bounded by construction and the per-batch
-    profile job would be pure overhead. Enable it for giant backfill
-    batches (one availableNow pass over a corpus-sized backlog), where a
-    batch IS a corpus.
+    profile job would be pure overhead (measured parity at 500k-doc
+    batches). Backfill guidance, measured at the 5M-doc tier
+    (BASELINE.md round-9): do NOT drain a corpus-sized backlog as ONE
+    availableNow batch — the batch persist + gram stream + window sort
+    stack in one JVM and OOM the default heap under EITHER guard setting
+    (partition sizing can't fix heap residency); rate-limit the drain
+    with ``maxFilesPerTrigger`` instead (chunk-boundary semantics are
+    this stream's normal incremental semantics — a dup pair split across
+    chunks keeps the first copy). At large-chunk scale with
+    batch-universal boilerplate the guard is cheap insurance that trends
+    positive (775 vs 798 s at 8 x 625k-doc chunks); its value grows with
+    chunk size.
 
     ``auto_partitions`` sizes the gram shuffle PER BATCH from the batch's
     payload (``tuning.auto_shuffle_partitions_for_batch``): a micro-batch

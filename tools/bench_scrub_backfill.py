@@ -76,12 +76,15 @@ def build_backfill(spark, sf_dir: str, out: str, replicas: int) -> str:
     return d
 
 
-def run_arm_safe(spark, src: str, out: str, guard: bool, tag: str) -> dict:
+def run_arm_safe(
+    spark, src: str, out: str, guard: bool, tag: str,
+    max_files: int | None = None,
+) -> dict:
     """An arm that dies (e.g. guard-off OOMing on a batch-universal gram
     sort at the giant tier) is itself a measurement — record it as a row
     instead of killing the other arm's run."""
     try:
-        return run_arm(spark, src, out, guard, tag)
+        return run_arm(spark, src, out, guard, tag, max_files)
     except Exception as e:  # noqa: BLE001 — report-and-continue harness
         return {
             "arm": tag,
@@ -91,11 +94,21 @@ def run_arm_safe(spark, src: str, out: str, guard: bool, tag: str) -> dict:
         }
 
 
-def run_arm(spark, src: str, out: str, guard: bool, tag: str) -> dict:
+def run_arm(
+    spark, src: str, out: str, guard: bool, tag: str,
+    max_files: int | None = None,
+) -> dict:
     work = os.path.join(out, f"arm_{tag}")
     shutil.rmtree(work, ignore_errors=True)
-    stream = read_file_stream(spark, src, _SCHEMA)  # no maxFilesPerTrigger:
-    # availableNow takes the whole backlog as ONE batch — the giant-backfill case
+    # no maxFilesPerTrigger: availableNow takes the whole backlog as ONE
+    # batch — the giant-backfill stress case. With --max-files N the same
+    # backlog drains as ceil(32/N) batch-bounded chunks — the SUPPORTED
+    # giant-backfill path (rate-limited availableNow; chunk-boundary
+    # semantics are the stream's normal incremental semantics: a dup pair
+    # split across chunks keeps the first copy).
+    stream = read_file_stream(
+        spark, src, _SCHEMA, max_files_per_trigger=max_files
+    )
     t0 = time.time()
     q = start_incremental_span_scrub_stream(
         spark,
@@ -137,6 +150,11 @@ def main() -> None:
                     "(--arms off, then --arms on with --keep so the "
                     "shared backfill corpus survives) to keep one arm's "
                     "OOM from wedging the other's session.")
+    ap.add_argument("--max-files", type=int, default=None,
+                    help="maxFilesPerTrigger for the backfill drain — "
+                    "None = the one-giant-batch stress case; N = the "
+                    "supported rate-limited availableNow path (the "
+                    "backlog's 32 files drain as ceil(32/N) chunks)")
     args = ap.parse_args()
     arm_sel = {a.strip() for a in args.arms.split(",")}
 
@@ -156,8 +174,10 @@ def main() -> None:
             row = run_arm_safe(
                 spark, src, args.out, guard,
                 f"{'on' if guard else 'off'}_{r}",
+                args.max_files,
             )
             row["replicas"] = args.replicas
+            row["max_files"] = args.max_files
             print(json.dumps(row), flush=True)
     spark.stop()
     if not args.keep:
