@@ -906,8 +906,11 @@ def start_incremental_span_scrub_stream(
     this stream's normal incremental semantics — a dup pair split across
     chunks keeps the first copy). At large-chunk scale with
     batch-universal boilerplate the guard is cheap insurance that trends
-    positive (775 vs 798 s at 8 x 625k-doc chunks); its value grows with
-    chunk size.
+    positive (775 vs 798 s at 8 x 625k-doc chunks); on a node with the
+    heap for the one-batch drain it is the difference that matters —
+    343.5 vs 589.1 s at 5M docs / 32g, a 1.71x win, the strongest in the
+    hatch family — so: enable for giant single-batch drains, leave off
+    for ordinary micro-batches.
 
     ``auto_partitions`` sizes the gram shuffle PER BATCH from the batch's
     payload (``tuning.auto_shuffle_partitions_for_batch``): a micro-batch
