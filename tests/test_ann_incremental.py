@@ -489,3 +489,62 @@ def test_registered_auto_bands_query_mirrors_derived_geometry():
     )
     # the oracle carries exactly B band branches per side (bx and bi)
     assert SQL_ANN_AUTO_BANDS.count("AS band") == 2 * _ANN_AB_BANDS
+
+
+def test_srp_plan_size_constant_in_geometry(spark):
+    """VERDICT r9 #1: the SRP hyperplanes ship as ONE broadcast data row
+    (_srp_planes_frame), not as inline plan literals — so the plan string
+    is constant-size in (B, P, dim). The literal era grew O(B*P*dim):
+    10^5-10^6 double literals per query at production shape (dim 768+,
+    P 24-30, B ~20), a parse/compile blowup independent of data volume."""
+    vecs = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [-0.2] * 8)], "id long, vec array<double>"
+    )
+    small = srp_band_buckets(vecs, n_bands=2, n_planes=4, dim=8)
+    # 96x the plane payload of `small` (16*24*512 vs 2*4*8 doubles)
+    big = srp_band_buckets(vecs, n_bands=16, n_planes=24, dim=512)
+    p_small = small._jdf.queryExecution().optimizedPlan().toString()
+    p_big = big._jdf.queryExecution().optimizedPlan().toString()
+    # plan text differs only in a couple of numeric tokens (band count,
+    # shift array width) — nothing anywhere near the 780k-char nested
+    # literal the old form would have inlined for `big`
+    assert len(p_big) < len(p_small) + 2_000
+    assert "0.001" not in p_big  # no plane coefficient leaked as literal
+
+
+def test_build_srp_index_returns_geometry_as_value(spark):
+    """ADVICE r9: the _srp_n_planes/_srp_n_bands stamps are Python-object
+    attributes that silently vanish on any further transformation
+    (.filter/.select returns a new object) — an index writer that
+    post-processes the frame loses the on-disk-contract values. The
+    explicit builder returns them AS A VALUE, so writers can persist the
+    geometry next to the rows no matter what they do to the frame."""
+    from gmall_flink_yb_spark.functions.similarity import (
+        auto_n_planes,
+        build_srp_index,
+        recommended_n_bands,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "id long, vec array<double>",
+    )
+    rows, geo = build_srp_index(
+        vecs, n_bands="auto", n_planes="auto", dim=2
+    )
+    assert geo == {
+        "n_planes": auto_n_planes(3),
+        "n_bands": recommended_n_bands(auto_n_planes(3), 0.95, 0.9),
+        "dim": 2,
+    }
+    # geometry survives transformations that would strip the stamps
+    filtered = rows.filter(F.col("band") == 0)
+    assert not hasattr(filtered, "_srp_n_planes")  # the hazard, live
+    assert geo["n_planes"] > 0  # ...and the value-form antidote
+    # rows are exactly srp_band_buckets output under the same geometry
+    explicit = srp_band_buckets(
+        vecs, n_bands=geo["n_bands"], n_planes=geo["n_planes"], dim=2
+    )
+    assert sorted(map(tuple, rows.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
