@@ -578,7 +578,15 @@ def recommended_minhash_bands(
     if num_hashes < 1:
         raise ValueError("num_hashes must be >= 1")
     s = min(max(jaccard_level, 0.0), 1.0)
-    for b in sorted(d for d in range(1, num_hashes + 1) if num_hashes % d == 0):
+    # divisors enumerated in pairs (d, n/d) up to sqrt(n) — O(sqrt n),
+    # not a full range scan (ADVICE r9; cosmetic at n <= 1024)
+    divisors: set[int] = set()
+    d = 1
+    while d * d <= num_hashes:
+        if num_hashes % d == 0:
+            divisors.update((d, num_hashes // d))
+        d += 1
+    for b in sorted(divisors):
         r = num_hashes // b
         if 1.0 - (1.0 - s**r) ** b >= target_recall:
             return b
@@ -804,11 +812,18 @@ def incremental_lsh_dedup(
     and incoming ids greater than existing ones for the greedy order to
     mean "earlier wins".
     """
-    # both sides re-shingle here, so both size the session (max wins)
-    _auto_size_shingle(existing, auto_partitions)
-    _auto_size_shingle(
-        incoming,
-        auto_partitions if isinstance(auto_partitions, bool) else True,
+    # both sides re-shingle inside this one plan, so one SUMMED sizing
+    # call covers the plan's whole shuffle volume (the pre-r10 pair of
+    # calls relied on the floor-at-current ratchet to keep the max,
+    # which the base floor removed — VERDICT r9 #4)
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    _tuning.auto_shuffle_partitions_inputs(
+        [
+            (existing, _tuning.SHINGLE_EXPANSION),
+            (incoming, _tuning.SHINGLE_EXPANSION),
+        ],
+        auto_partitions,
     )
     # "auto" holds band_recall at the dedup threshold (safe here because
     # both sides band inside one plan; the INDEXED form stays int-only —

@@ -655,25 +655,25 @@ def incremental_span_scrub(
     through one task exactly like the batch operator's exposure.
 
     ``auto_partitions`` (VERDICT r8 #1): sizes the session's shuffle
-    partitions from BOTH file-backed inputs — the batch at
-    GRAM_EXPANSION (its gram stream explodes like the batch operator's)
-    and the seen index at HASH_INDEX_EXPANSION (already gram-shaped md5
-    rows, decompression-only). Each call only ever scales up, so two
-    calls take the max. Streaming micro-batches usually aren't
-    file-backed (no-op); giant availableNow backfill batches ARE — the
-    case the sizing exists for.
+    partitions from BOTH file-backed inputs in ONE summed derivation
+    (``tuning.auto_shuffle_partitions_inputs`` — the r10 base-floor
+    change removed the floor-at-current ratchet that used to make two
+    separate calls keep the max) — the batch at GRAM_EXPANSION (its
+    gram stream explodes like the batch operator's) and the seen index
+    at HASH_INDEX_EXPANSION (already gram-shaped md5 rows,
+    decompression-only). An explicit int is the whole plan's target.
+    Streaming micro-batches usually aren't file-backed (no-op); giant
+    availableNow backfill batches ARE — the case the sizing exists for.
     """
     from gmall_flink_yb_spark import tuning as _tuning
     from gmall_flink_yb_spark.functions.cacheutil import owns_cache
 
-    _tuning.auto_shuffle_partitions(
-        incoming, _tuning.GRAM_EXPANSION, auto_partitions
-    )
-    _tuning.auto_shuffle_partitions(
-        seen_grams, _tuning.HASH_INDEX_EXPANSION,
-        # an explicit-int override is the INCOMING side's target; the
-        # index side only participates in the derived (True) form
-        auto_partitions if isinstance(auto_partitions, bool) else True,
+    _tuning.auto_shuffle_partitions_inputs(
+        [
+            (incoming, _tuning.GRAM_EXPANSION),
+            (seen_grams, _tuning.HASH_INDEX_EXPANSION),
+        ],
+        auto_partitions,
     )
     positions = _gram_positions(incoming, id_col, text_col, n)
     seen = seen_grams.select("gh").distinct()

@@ -919,11 +919,18 @@ def incremental_cosine_dedup(
     so it doubles as auto-banding's cos_level (see
     :func:`recommended_n_bands` and BASELINE.md round-9). Precision is
     unaffected either way (exact-cosine verification)."""
-    # both sides hash and band-shuffle here, so both size the session
-    _auto_size_vectors(existing, auto_partitions)
-    _auto_size_vectors(
-        incoming,
-        auto_partitions if isinstance(auto_partitions, bool) else True,
+    # both sides hash and band-shuffle inside this one plan, so one
+    # SUMMED sizing call covers the plan's whole shuffle volume (the
+    # pre-r10 pair of calls relied on the floor-at-current ratchet to
+    # keep the max, which the base floor removed — VERDICT r9 #4)
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    _tuning.auto_shuffle_partitions_inputs(
+        [
+            (existing, _tuning.VECTOR_EXPANSION),
+            (incoming, _tuning.VECTOR_EXPANSION),
+        ],
+        auto_partitions,
     )
     n_planes = _resolve_n_planes(n_planes, existing, incoming)
     n_bands = _resolve_n_bands(n_bands, n_planes, threshold, band_recall)

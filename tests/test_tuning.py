@@ -277,3 +277,120 @@ def test_auto_partitions_for_batch_prefers_file_bytes(spark, tmp_path):
         assert got == max(before, math.ceil(scan / target))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+
+def test_base_floor_releases_the_ratchet(spark, tmp_path):
+    """VERDICT r9 #4: the auto-sizing floor is the session's BASE
+    parallelism, not the live value — a big-corpus derivation followed by
+    a small-corpus derivation on the same session lets the second LOWER
+    the conf back toward (never below) the base, instead of inheriting
+    the giant call's setting forever."""
+    from gmall_flink_yb_spark import tuning
+
+    big = str(tmp_path / "big.parquet")
+    small = str(tmp_path / "small.parquet")
+    spark.range(50_000).selectExpr(
+        "id AS doc_id", "repeat('lorem ipsum ', 20) AS text"
+    ).write.parquet(big)
+    spark.range(200).selectExpr(
+        "id AS doc_id", "concat('w', id) AS text"
+    ).write.parquet(small)
+
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = tuning.session_base_partitions(spark)
+    assert base == before  # get_spark stamped the pre-ratchet value
+    try:
+        big_df, small_df = spark.read.parquet(big), spark.read.parquet(small)
+        # shrink the target so the big file forces a real raise
+        target = max(
+            1, int(tuning.input_file_bytes(big_df) * 2.0 // (before + 9))
+        )
+        raised = tuning.auto_shuffle_partitions(
+            big_df, 2.0, True, target_bytes=target
+        )
+        assert raised > before
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == raised
+
+        # the small call derives from BASE, not from the raised value
+        low = tuning.auto_shuffle_partitions(
+            small_df, 2.0, True, target_bytes=target
+        )
+        assert low < raised
+        assert low >= base
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == low
+
+        # explicit ints floor at base too (not at the live value)
+        got = tuning.auto_shuffle_partitions(small_df, 2.0, base + 3)
+        assert got == base + 3
+        # ...and never sink below base
+        assert tuning.auto_shuffle_partitions(small_df, 2.0, 1) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+
+def test_multi_input_sizing_sums_the_plan(spark, tmp_path):
+    """Operators whose one plan shuffles several inputs size them in ONE
+    summed call (auto_shuffle_partitions_inputs) — under the base floor,
+    two separate calls would be last-writer-wins instead of max."""
+    from gmall_flink_yb_spark import tuning
+
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.range(20_000).selectExpr(
+        "id AS doc_id", "repeat('x', 64) AS text"
+    ).write.parquet(a)
+    spark.range(20_000).selectExpr(
+        "id AS doc_id", "repeat('y', 64) AS text"
+    ).write.parquet(b)
+    da, db = spark.read.parquet(a), spark.read.parquet(b)
+    na, nb = tuning.input_file_bytes(da), tuning.input_file_bytes(db)
+
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        target = max(1, int((na + nb) * 3.0 // (before + 6)))
+        want = tuning.partitions_for_bytes(
+            (na + nb) * 3.0, target_bytes=target, lo=before
+        )
+        got = tuning.auto_shuffle_partitions_inputs(
+            [(da, 3.0), (db, 3.0)], True, target_bytes=target
+        )
+        assert got == want > before
+
+        # a non-file entry contributes zero but doesn't disable sizing
+        local = spark.range(10).selectExpr("id AS doc_id")
+        got2 = tuning.auto_shuffle_partitions_inputs(
+            [(da, 3.0), (local, 3.0)], True, target_bytes=target
+        )
+        assert got2 == tuning.partitions_for_bytes(
+            na * 3.0, target_bytes=target, lo=before
+        )
+        # all-non-file leaves the session alone
+        lv = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert tuning.auto_shuffle_partitions_inputs(
+            [(local, 3.0)], True, target_bytes=target
+        ) is None
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == lv
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+
+def test_batch_payload_probe_coalesces_null_columns(spark):
+    """ADVICE r9: a NULL in any payload column must cost that row only
+    the null column's bytes, not zero the row's whole contribution —
+    undercounting is the unsafe direction for an OOM-prevention hook."""
+    from gmall_flink_yb_spark import tuning
+
+    rows = [(1, "x" * 100, None), (2, None, "y" * 100), (3, "z" * 100, "w" * 100)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # raw payload = 400 bytes; target 1 byte after discount -> parts
+        # reflect ALL non-null cells (rows with one NULL still count)
+        got = tuning.auto_shuffle_partitions_for_batch(
+            df, 1.0, "a", "b", auto_partitions=True, target_bytes=1
+        )
+        want = tuning.partitions_for_bytes(
+            400 / tuning.RAW_TEXT_DISCOUNT, target_bytes=1, lo=before
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
