@@ -75,9 +75,17 @@ SHINGLE_EXPANSION = 32.0
 # both sides of the incremental join; measured 6.9x at 100x / 6.8x at 5x.
 VECTOR_EXPANSION = 8.0
 # persisted md5-hex gram / band index rows probed by the incremental
-# operators: no explode — parquet decompression (~2-3x for hex strings)
-# plus shuffle row overhead
-HASH_INDEX_EXPANSION = 4.0
+# operators: no explode — the index shuffles ~once (distinct + the
+# partitioning-reusing membership join). MEASURED r10 (VERDICT r9 #2,
+# tools/calibrate_expansion.py --family hashindex: the same 1x batch
+# probes gram indexes grown from 20x and 100x corpora; the
+# delta-shuffle/delta-index-bytes marginal isolates the index side):
+# 1.12x @ 20x tier, 1.05x @ 100x tier, 1.04x marginal — random md5-hex
+# rows are ~incompressible in parquet, so shuffle bytes track scan
+# bytes ~1:1. Rounded UP to 2.0: headroom for index layouts that DO
+# compress (band indexes carrying repeated bucket/band columns), and
+# overshoot is AQE-coalesced while undershoot is the memory cliff.
+HASH_INDEX_EXPANSION = 2.0
 # above-file-count threshold where per-file size stats switch to
 # parent-directory content summaries (bounds driver metadata RPCs)
 _MAX_FILE_STATS = 1024

@@ -157,7 +157,11 @@ def test_family_expansion_constants_exist():
 
     assert SHINGLE_EXPANSION >= GRAM_EXPANSION
     assert 1.0 <= VECTOR_EXPANSION <= SHINGLE_EXPANSION
-    assert 1.0 <= HASH_INDEX_EXPANSION <= 10.0
+    # measured r10 (calibrate_expansion --family hashindex): 1.04-1.12x
+    # across tiers — the constant rounds up from the measured point but
+    # must stay within ~2x of it (a 4.0 guess was the pre-measurement
+    # value this bound exists to catch drifting back to)
+    assert 1.12 <= HASH_INDEX_EXPANSION <= 2.5
 
 
 def test_row_based_sizing_for_narrow_shuffles(spark, tmp_path):

@@ -122,6 +122,72 @@ def main() -> None:
 
         measure(spark, "vector(ann_incremental_auto)", emb_bytes, run_ann)
 
+    if "hashindex" in families:
+        # HASH_INDEX_EXPANSION (VERDICT r9 #3 — the one unmeasured
+        # constant): how many shuffle bytes one PERSISTED-INDEX parquet
+        # byte costs when the incremental span scrub probes it (the
+        # index side re-distincts and semi-joins on gh). Measured as a
+        # MARGINAL: the same 1x incoming batch probes indexes grown from
+        # two corpus tiers, and the delta in shuffle-write bytes over
+        # the delta in index bytes isolates the index side's expansion —
+        # the incoming batch's own gram stream is identical in both runs
+        # and cancels.
+        from gmall_flink_yb_spark.functions.cacheutil import release_cache
+        from gmall_flink_yb_spark.functions.ngrams import (
+            _gram_positions,
+            incremental_span_scrub,
+        )
+        from gmall_flink_yb_spark.sources.readers import read_table
+
+        incoming = read_table(spark, args.sf_dir, "documents")
+        tiers = sorted({max(1, args.replicas // 5), args.replicas})
+        points = []
+        for t in tiers:
+            bs.REPLICAS = t
+            _, docs_dir_t = bs.build_corpora(
+                spark, args.sf_dir, os.path.join(args.out, f"hx{t}")
+            )
+            corpus_t = spark.read.parquet(
+                os.path.join(docs_dir_t, "documents.parquet")
+            )
+            idx_path = os.path.join(args.out, f"gram_index_{t}.parquet")
+            (
+                _gram_positions(corpus_t, "doc_id", "text", 8)
+                .select("gh")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(idx_path)
+            )
+            idx_bytes = estimate_parquet_bytes(spark, idx_path)
+            seen = spark.read.parquet(idx_path)
+
+            def run_probe():
+                cleaned, _grams = incremental_span_scrub(
+                    seen, incoming, "doc_id", "text", n=8,
+                    auto_partitions=False,
+                )
+                # noop sink, NOT count(): count on the cleaned frame lets
+                # Catalyst eliminate the whole left-join dup subtree
+                # (unique-keyed right side, no columns referenced) and the
+                # index is never even scanned — measured 0-byte "probes"
+                cleaned.write.format("noop").mode("overwrite").save()
+                release_cache(cleaned)
+
+            row = measure(
+                spark, f"hashindex(span_scrub_probe@r{t})", idx_bytes,
+                run_probe,
+            )
+            points.append((idx_bytes, row["shuffle_write_bytes"]))
+        if len(points) == 2:
+            (b1, s1), (b2, s2) = points
+            marg = (s2 - s1) / (b2 - b1) if b2 > b1 else float("nan")
+            print(json.dumps({
+                "family": "hashindex(marginal)",
+                "delta_index_bytes": int(b2 - b1),
+                "delta_shuffle_bytes": int(s2 - s1),
+                "expansion": round(marg, 2),
+            }))
+
     spark.stop()
 
 
