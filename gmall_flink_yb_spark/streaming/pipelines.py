@@ -908,10 +908,11 @@ def start_incremental_span_scrub_stream(
     (BASELINE.md round-9): do NOT drain a corpus-sized backlog as ONE
     availableNow batch — the batch persist + gram stream + window sort
     stack in one JVM and OOM the default heap under EITHER guard setting
-    (partition sizing can't fix heap residency); rate-limit the drain
-    with ``maxFilesPerTrigger`` instead (chunk-boundary semantics are
-    this stream's normal incremental semantics — a dup pair split across
-    chunks keeps the first copy). At large-chunk scale with
+    (partition sizing can't fix heap residency). The supported path is
+    :func:`backfill_corpus`, which derives a heap-bounded
+    ``maxFilesPerTrigger`` and drains in chunks (chunk-boundary
+    semantics are this stream's normal incremental semantics — a dup
+    pair split across chunks keeps the first copy). At large-chunk scale with
     batch-universal boilerplate the guard is cheap insurance that trends
     positive (775 vs 798 s at 8 x 625k-doc chunks); on a node with the
     heap for the one-batch drain it is the difference that matters —
@@ -1392,3 +1393,103 @@ def merged_hll_uv(spark: SparkSession, sketch_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# post-parquet heap footprint of one in-flight backfill chunk relative to
+# its on-disk bytes, with safety margin: the batch persists
+# (MEMORY_AND_DISK) while its gram/shingle/band stream explodes ~10-30x
+# over scan bytes (tuning.py family constants) and the window/hash state
+# stacks on top in the SAME JVM in local mode. Calibrated against the
+# measured regimes (BASELINE.md round-9 backfill study): the 5M-doc
+# ~0.85 GB corpus OOMed an 8 GB heap as ONE batch under either guard
+# setting, while 8 chunks of ~1/8 corpus (~106 MB, heap/chunk ~ 75x)
+# drained fine — 64 rounds that observed-safe point toward chunks
+# slightly larger than the measured-good ones while staying 5x+ away
+# from the measured-OOM shape.
+BACKFILL_HEAP_PER_CHUNK_BYTE = 64
+
+
+def _jvm_heap_bytes(spark: SparkSession) -> int:
+    """Smallest configured JVM heap among driver and executors (static
+    confs — read from the SparkContext, not the runtime conf). Defaults
+    to Spark's own 1g default when unset."""
+    conf = spark.sparkContext.getConf()
+    sizes = []
+    for key in ("spark.driver.memory", "spark.executor.memory"):
+        v = conf.get(key, None)
+        if v:
+            m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", v.lower())
+            if m:
+                mult = {
+                    "": 1, "k": 1 << 10, "m": 1 << 20,
+                    "g": 1 << 30, "t": 1 << 40,
+                }[m.group(2)]
+                sizes.append(int(m.group(1)) * mult)
+    return min(sizes) if sizes else 1 << 30
+
+
+def backfill_corpus(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    start_stream: Callable[..., StreamingQuery],
+    fmt: str = "parquet",
+    glob: str | None = None,
+    max_bytes_per_batch: int | None = None,
+    **stream_kwargs,
+) -> StreamingQuery:
+    """Drain a corpus-sized backlog through one of the
+    ``start_incremental_*`` streams in HEAP-BOUNDED chunks — the
+    first-class entry for the measured failure the round-9 backfill
+    study documented (VERDICT r9 #6): pointing a 5M-doc directory at a
+    scrub stream as one availableNow batch stacks the batch persist +
+    gram stream + window state in one JVM and OOMs the default heap
+    under EITHER guard setting; partition sizing cannot fix heap
+    residency, rate-limiting the drain can. The knob existed
+    (``read_file_stream(max_files_per_trigger=...)``) but lived in a
+    docstring; this derives it.
+
+    Chunk size: ``max_bytes_per_batch`` (explicit override), else
+    min-configured JVM heap / ``BACKFILL_HEAP_PER_CHUNK_BYTE`` —
+    calibrated against the measured 8 g-OOM / chunked-OK regimes, see
+    the constant. Files convert to ``maxFilesPerTrigger`` via the
+    backlog's mean file size (files in one dataset are written at a
+    common target size; the estimate needs only chunk-granularity
+    accuracy).
+
+    Chunk-boundary semantics are the stream's NORMAL incremental
+    semantics (a dup pair split across chunks keeps the first copy —
+    exactly what the same documents arriving in separate micro-batches
+    would do), so the helper changes batching, never the contract.
+    Returns the started availableNow query; callers ``awaitTermination``
+    it like any other backfill. ``stream_kwargs`` pass through to
+    ``start_stream`` (corpus_dir/checkpoint_dir/index_dir/...);
+    ``hot_gram_guard=True`` stays worth enabling on the scrub stream for
+    giant chunks (measured 1.71x on the 32 g one-batch drain, parity at
+    micro-batch scale).
+    """
+    fs, jpath = _hadoop_fs(spark, src_dir)
+    total, n_files = 0, 0
+    if fs.exists(jpath):
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            total += int(st.getLen())
+            n_files += 1
+    if max_bytes_per_batch is None:
+        max_bytes_per_batch = max(
+            1, _jvm_heap_bytes(spark) // BACKFILL_HEAP_PER_CHUNK_BYTE
+        )
+    if n_files:
+        mean_file = max(1, total // n_files)
+        max_files = max(1, min(n_files, max_bytes_per_batch // mean_file))
+    else:
+        max_files = 1  # empty backlog: any trigger size drains nothing
+    stream = read_file_stream(
+        spark, src_dir, schema, fmt=fmt,
+        max_files_per_trigger=max_files, glob=glob,
+    )
+    return start_stream(spark, stream, **stream_kwargs)
