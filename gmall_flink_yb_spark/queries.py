@@ -6129,3 +6129,47 @@ ORACLES = {
     **{k: ORACLES[k] for k in _R09_FRONT if k in ORACLES},
     **{k: v for k, v in ORACLES.items() if k not in _R09_FRONT},
 }
+
+# Round-10 rotation (VERDICT r9 #2): the stalest surface is the 19
+# queries whose last driver gate was ROUND 7 — the 17 of the r7-gated
+# block that r9's 33-of-50 take did not cover, plus the 2 that slid to
+# positions 51/52 of the r9 front (embedding_near_dup,
+# multimodal_decode — covered by the r9 full-registry oracle run but
+# not driver-gated). They go first, in their r7 gate order; the
+# remaining ~31 slots fill with the OLDEST r8-gated queries in their r8
+# gate order (substring_dedup_hotgram .. retention_cohorts). Behind the
+# gate window sit the freshest blocks: everything r9 gated (including
+# the two r9-new auto-banding queries) and the youngest r8-gated
+# queries; full-surface evidence for those is the committed
+# full-registry vanilla oracle run on this round's HEAD
+# (ORACLE_FULL_r10.txt).
+_R10_FRONT = [
+    # last gated r7 (stalest; r7 gate order):
+    "embedding_near_dup", "multimodal_decode", "multimodal_frames",
+    "asof_latest_order", "sample_hash_revenue", "sample_stratified_docs",
+    "corpus_curation", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "similarity_lsh_topk", "similarity_ivf_topk",
+    "q22_global_sales_opportunity", "unigram_lm", "source_overlap",
+    "embedding_outliers", "revenue_mom", "ts_motif_topk", "sax_motifs",
+    # oldest 31 of the r8-gated block, r8 gate order:
+    "substring_dedup_hotgram", "q17_small_quantity_revenue",
+    "q19_discount_revenue", "q20_excess_shipments_suppliers",
+    "q21_waiting_suppliers", "q2_min_cost_supplier", "q11_important_parts",
+    "q12_late_priority_lines", "q16_supplier_part_distribution",
+    "multimodal_header_scan", "revenue_trailing_7d", "ann_incremental",
+    "uv_daily", "new_visitor_daily", "leakage_safe_split", "basket_pairs",
+    "returning_users_daily", "multimodal_feature_dedup", "decontam_overlap",
+    "span_dup", "doc_chunks", "domain_mix", "embed_quantize",
+    "similarity_topk_int8", "distinctive_terms", "dedup_incremental",
+    "semantic_dedup", "chunk_dedup", "quality_classifier",
+    "funnel_conversion", "retention_cohorts",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _R10_FRONT if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in _R10_FRONT},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _R10_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in _R10_FRONT},
+}
