@@ -164,7 +164,7 @@ def _auto_size_shingle(df: DataFrame, auto_partitions: bool | int) -> None:
     """Operator-entry shuffle sizing for the shingle/MinHash family
     (VERDICT r8 #1): raise the session's shuffle partitions to
     scan_bytes x SHINGLE_EXPANSION / 64 MB when ``df`` is file-backed
-    (floor = current setting; AQE coalesces overshoot). int = explicit
+    (floor = session base; AQE coalesces overshoot). int = explicit
     target for non-file inputs; False = leave the session alone."""
     from gmall_flink_yb_spark import tuning as _tuning
 

@@ -310,7 +310,7 @@ def dup_span_rows(
     ``auto_partitions`` (VERDICT r8 #1 — the sizing rule enforced AT THE
     OPERATOR, not by whoever read the bench code): ``True`` raises the
     session's shuffle partitions to scan_bytes x GRAM_EXPANSION / 64 MB
-    when ``df`` is file-backed (floor = current setting, AQE coalesces
+    when ``df`` is file-backed (floor = session base, AQE coalesces
     overshoot — the 1000x measured fix for the superlinear
     session-default regime, 248 s -> 130 s on the same plan); an int is
     an explicit target for non-file inputs; ``False`` leaves the session

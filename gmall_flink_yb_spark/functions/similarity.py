@@ -1048,7 +1048,7 @@ def ivf_topk(
 def _auto_size_vectors(df: DataFrame, auto_partitions: bool | int) -> None:
     """Operator-entry shuffle sizing for the vector/ANN family (VERDICT
     r8 #1): scan_bytes x VECTOR_EXPANSION / 64 MB when ``df`` is
-    file-backed (floor = current; AQE coalesces overshoot); int =
+    file-backed (floor = session base; AQE coalesces overshoot); int =
     explicit target for non-file inputs; False = off."""
     from gmall_flink_yb_spark import tuning as _tuning
 

@@ -3376,12 +3376,13 @@ _LSH_DIM = 64
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The SRP hyperplanes are md5-derived literals (similarity._srp_plane),
-    # so the whole approximate pipeline — bucket assignment, candidate
-    # restriction, within-bucket exact cosine, top-k — is deterministic and
-    # reproduced bit-for-bit by the SQL oracle below. The oracle checks the
-    # APPROXIMATION ITSELF (which neighbors the buckets admit), not a
-    # brute-force relaxation of it.
+    # The SRP hyperplanes are md5-derived (similarity._srp_plane; shipped
+    # Spark-side as one broadcast data row since r10), so the whole
+    # approximate pipeline — bucket assignment, candidate restriction,
+    # within-bucket exact cosine, top-k — is deterministic and reproduced
+    # bit-for-bit by the SQL oracle below (whose literals come from the
+    # same function). The oracle checks the APPROXIMATION ITSELF (which
+    # neighbors the buckets admit), not a brute-force relaxation of it.
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_bucket_topk(emb, queries, k=5, n_planes=_LSH_PLANES, dim=_LSH_DIM)

@@ -40,7 +40,7 @@ def test_estimate_and_size_from_real_parquet(spark, tmp_path):
     before = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
         # tiny input: floor at the session's current parallelism (the
-        # helper only ever scales UP; AQE coalesces down at runtime)
+        # helper floors at the session base; AQE coalesces down at runtime)
         assert size_shuffle_partitions(spark, p) == before
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
         # force a scale-up: expansion such that the estimate crosses the
@@ -126,7 +126,7 @@ def test_operator_entry_auto_partitions(spark, tmp_path):
         dup_span_rows(local_docs, "doc_id", "text", n=2)
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) == before
 
-        # explicit int override (the non-file-input path); floor = current
+        # explicit int override (the non-file-input path); floor = base
         dup_span_rows(
             local_docs, "doc_id", "text", n=2, auto_partitions=before + 11
         )
