@@ -471,7 +471,20 @@ def _srp_planes_frame(
     The row is built via Arrow (no py4j per-element conversion —
     ~0.07 s for 370k doubles); doubles cross Arrow bit-exactly, so
     persisted index values and the DuckDB oracle (whose SQL mirrors the
-    same md5-derived planes as {v!r} literals) stay bit-identical."""
+    same md5-derived planes as {v!r} literals) stay bit-identical.
+
+    Memoized per (session, B, P, dim): the incremental operators hash
+    BOTH sides of one plan with the same geometry — returning the SAME
+    DataFrame object skips the repeated Arrow-create and keeps the two
+    broadcast subtrees identical leaf relations (exchange reuse can
+    then apply where Spark's planner matches them; two fresh
+    createDataFrame calls are distinct leaves and never can). The cache
+    is tiny (planes rows are KBs-MBs) and keyed on the live session, so
+    a new session never sees a stopped session's frame."""
+    key = (spark, n_bands, n_planes, dim)
+    cached = _PLANES_FRAMES.get(key)
+    if cached is not None:
+        return cached
     planes = [
         [_srp_plane(b * n_planes + j, dim) for j in range(n_planes)]
         for b in range(n_bands)
@@ -480,11 +493,20 @@ def _srp_planes_frame(
 
     tbl = pa.table({"_srp_planes": [planes]})
     try:
-        return spark.createDataFrame(tbl)
+        out = spark.createDataFrame(tbl)
     except Exception:  # pragma: no cover — Arrow-table path absent
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             [(planes,)], "_srp_planes array<array<array<double>>>"
         )
+    if len(_PLANES_FRAMES) >= 16:  # bound: drop the oldest entry
+        _PLANES_FRAMES.pop(next(iter(_PLANES_FRAMES)))
+    _PLANES_FRAMES[key] = out
+    return out
+
+
+# (session, n_bands, n_planes, dim) -> one-row planes frame; see
+# _srp_planes_frame's memoization note
+_PLANES_FRAMES: dict = {}
 
 
 def _srp_bucket_from(vec: Column, band_planes: Column, n_planes: int) -> Column:

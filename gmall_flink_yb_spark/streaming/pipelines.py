@@ -749,7 +749,9 @@ def start_incremental_dedup_stream(
     availableNow backfill batch would otherwise run at the session
     default — the OOM regime the span-scrub stream measured at the
     5M-doc tier (BASELINE.md round-9). Ordinary micro-batches derive
-    at-or-below the session floor and no-op.
+    at-or-below the session floor and no-op. For a corpus-sized backlog
+    use :func:`backfill_corpus` (sizing bounds shuffle state, not the
+    batch's heap residency — the rate limit does that).
 
     The corpus IS the output: ``corpus_dir/ingest_batch=N`` holds batch N's
     admitted docs. Replay safety without a transaction log:
@@ -1107,7 +1109,10 @@ def start_incremental_ann_stream(
     VECTOR_EXPANSION; vectors aren't strings, so the payload probe casts
     to string — a ~2x over-count of the binary width, the AQE-coalesced
     safe side) for the giant availableNow backfill case; ordinary
-    micro-batches derive at-or-below the session floor and no-op."""
+    micro-batches derive at-or-below the session floor and no-op. For a
+    corpus-sized backlog use :func:`backfill_corpus` (sizing bounds
+    shuffle state, not the batch's heap residency — the rate limit
+    does that)."""
     from gmall_flink_yb_spark.functions.cacheutil import release_cache
     from gmall_flink_yb_spark.functions.similarity import (
         incremental_cosine_dedup,
