@@ -1423,13 +1423,15 @@ def _jvm_heap_bytes(spark: SparkSession) -> int:
     for key in ("spark.driver.memory", "spark.executor.memory"):
         v = conf.get(key, None)
         if v:
-            m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", v.lower())
+            m = re.fullmatch(
+                r"\s*(\d+(?:\.\d+)?)\s*([kmgt]?)b?\s*", v.lower()
+            )
             if m:
                 mult = {
                     "": 1, "k": 1 << 10, "m": 1 << 20,
                     "g": 1 << 30, "t": 1 << 40,
                 }[m.group(2)]
-                sizes.append(int(m.group(1)) * mult)
+                sizes.append(int(float(m.group(1)) * mult))
     return min(sizes) if sizes else 1 << 30
 
 
@@ -1476,11 +1478,18 @@ def backfill_corpus(
     fs, jpath = _hadoop_fs(spark, src_dir)
     total, n_files = 0, 0
     if fs.exists(jpath):
+        base_uri = str(jpath.toUri().getPath())
         it = fs.listFiles(jpath, True)
         while it.hasNext():
             st = it.next()
-            name = st.getPath().getName()
-            if name.startswith(("_", ".")):
+            rel = str(st.getPath().toUri().getPath())[len(base_uri):]
+            # skip hidden files AND files under hidden dirs (a stream's
+            # _spark_metadata contents have plain basenames)
+            if any(
+                part.startswith(("_", "."))
+                for part in rel.split("/")
+                if part
+            ):
                 continue
             total += int(st.getLen())
             n_files += 1
