@@ -286,6 +286,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_rows: int = 10_000,
+    max_folded_kdim: int = 32_768,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     by clustering the embedding space and searching for near-duplicates ONLY
@@ -304,9 +305,16 @@ def semantic_dedup(
 
     Scale design (100 TB):
     - Assignment is NARROW: the codebook is a model parameter (n_clusters
-      rows), folded into the plan as literals; each row computes its
-      nearest centroid in place via a codegen'd struct-max — zero shuffles,
-      bit-identical to the oracle's sequential-fold cosine.
+      rows); each row computes its nearest centroid in place — zero
+      shuffles, bit-identical to the oracle's sequential-fold cosine. At
+      or below ``max_folded_kdim`` (k*dim) the codebook folds into the
+      plan as literals (codegen'd struct-max); above it — SemDeDup-scale
+      codebooks, k = 10^4..10^5 — the literal payload would grow the plan
+      with a PARAMETER instead of the data (the r10 SRP-planes lesson),
+      so the codebook ships as ONE Arrow-built broadcast data row and the
+      argmax folds over it with higher-order functions. Both paths score
+      the same doubles in the same order (struct ordering == greatest
+      ordering), so assignments are identical — pytest-asserted.
     - The pair search shuffles each row on (cluster_id, block-pair), then
       one GEMM per group scores its pairs (same engine as
       ``cosine_near_dup_pairs``). A cluster above ``max_cluster_rows`` is
@@ -325,22 +333,52 @@ def semantic_dedup(
     cent_rows = e.orderBy("id").limit(n_clusters).collect()
     if not cent_rows:
         raise ValueError("semantic_dedup: embeddings input is empty")
-    # nearest centroid as a pure column expression: max over
-    # struct(cosine, -cid) picks highest cosine, then smallest cid on ties
-    best = F.greatest(
-        *[
-            F.struct(
-                cosine(
-                    F.col("vec"), F.array(*[F.lit(float(x)) for x in r["vec"]])
-                ).alias("c"),
-                F.lit(-int(r["id"])).cast("long").alias("nid"),
+    dim = len(cent_rows[0]["vec"])
+    if len(cent_rows) * dim <= max_folded_kdim:
+        # nearest centroid as a pure column expression: max over
+        # struct(cosine, -cid) picks highest cosine, then smallest cid on
+        # ties
+        best = F.greatest(
+            *[
+                F.struct(
+                    cosine(
+                        F.col("vec"),
+                        F.array(*[F.lit(float(x)) for x in r["vec"]]),
+                    ).alias("c"),
+                    F.lit(-int(r["id"])).cast("long").alias("nid"),
+                )
+                for r in cent_rows
+            ]
+        )
+        assigned_src = e.withColumn("cluster_id", -best["nid"])
+    else:
+        # codebook as ONE broadcast data row (constant-size plan in
+        # k*dim); array_max over structs uses struct ordering = the same
+        # (cosine desc, -cid desc -> smallest cid) rule as greatest
+        import pyarrow as pa
+
+        spark = embeddings.sparkSession
+        cents = spark.createDataFrame(pa.table({
+            "_cent_ids": [[int(r["id"]) for r in cent_rows]],
+            "_cent_vecs": [[list(map(float, r["vec"])) for r in cent_rows]],
+        }))
+        best = F.array_max(
+            F.transform(
+                F.col("_cent_vecs"),
+                lambda v, i: F.struct(
+                    cosine(F.col("vec"), v).alias("c"),
+                    (
+                        -F.element_at(F.col("_cent_ids"), i + 1)
+                    ).cast("long").alias("nid"),
+                ),
             )
-            for r in cent_rows
-        ]
-    )
-    assigned = e.withColumn("cluster_id", -best["nid"]).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+        )
+        assigned_src = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("cluster_id", -best["nid"])
+            .drop("_cent_ids", "_cent_vecs")
+        )
+    assigned = assigned_src.persist(StorageLevel.MEMORY_AND_DISK)
     thr = float(threshold)
     if max_cluster_rows < 2:
         raise ValueError(

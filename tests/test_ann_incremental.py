@@ -548,3 +548,33 @@ def test_build_srp_index_returns_geometry_as_value(spark):
     assert sorted(map(tuple, rows.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_semantic_dedup_folded_and_broadcast_paths_agree(spark):
+    """semantic_dedup's two assignment engines (k*dim literals vs the
+    Arrow broadcast codebook row — the r10 SRP-planes lesson applied to
+    SemDeDup-scale codebooks) produce identical (cluster_id, is_dup) on
+    the same input, and the broadcast path's plan stays constant-size
+    in k*dim."""
+    from gmall_flink_yb_spark.functions.cacheutil import release_cache
+    from gmall_flink_yb_spark.functions.similarity import semantic_dedup
+
+    rows = [
+        (i, [float((i * 7 + k) % 13) - 6.0 for k in range(16)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    folded = semantic_dedup(emb, n_clusters=4, threshold=0.9)
+    got_f = sorted(map(tuple, folded.collect()))
+    release_cache(folded)
+    # force the broadcast path: threshold below this codebook's k*dim=64
+    bcast = semantic_dedup(
+        emb, n_clusters=4, threshold=0.9, max_folded_kdim=1
+    )
+    got_b = sorted(map(tuple, bcast.collect()))
+    plan = bcast._jdf.queryExecution().optimizedPlan().toString()
+    release_cache(bcast)
+    assert got_f == got_b
+    assert len(got_f) == 40
+    # no per-coordinate literal leaked into the broadcast-path plan
+    assert plan.count("6.0") < 10
