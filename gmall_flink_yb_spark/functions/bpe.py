@@ -155,6 +155,7 @@ def apply_bpe(
     text_col: str,
     merge_pairs: list[str],
     passes_per_merge: int = 3,
+    max_folded_merges: int = 64,
 ) -> DataFrame:
     """(doc_id, n_symbols_raw, n_symbols_bpe): encode every document with a
     learned merge list and report its symbol count before/after — the
@@ -167,9 +168,17 @@ def apply_bpe(
     training loop used, making encode/train semantics identical — and the
     oracle replays it on the document side too.
 
-    Scale: entirely narrow — no shuffle, no Python; cost is
-    len(merge_pairs) x passes regex passes over the text, the classic
-    CPU-bound tokenizer map stage.
+    Scale: entirely narrow — no shuffle; cost is len(merge_pairs) x
+    passes replace passes over the text, the classic CPU-bound tokenizer
+    map stage. Up to ``max_folded_merges`` merges the loop unrolls as
+    codegen'd regexp_replace nodes (zero Python); a PRODUCTION merge list
+    (30-50k merges) would grow the plan with a PARAMETER instead of the
+    data — 10^5 plan nodes (the r10 SRP-planes lesson) — so above the
+    bound the same replace sequence runs inside ONE Arrow-batched
+    ``mapInPandas`` stage with the merge list shipped in the task
+    closure. The patterns are literal text (symbols are [a-z0-9]), so
+    pandas' non-regex ``str.replace`` is exactly Spark's leftmost
+    non-overlapping literal replace — path equivalence pytest-asserted.
     """
     toks = F.filter(
         tokenize(F.col(text_col)), lambda t: F.length(t) > 0
@@ -188,11 +197,29 @@ def apply_bpe(
         F.col(id_col).cast("long").alias("doc_id"),
         toks.alias("_toks"),
     ).select("doc_id", "_toks", spaced.alias("r"))
-    for pair in merge_pairs:
-        pat = f" {pair} "
-        rep = " " + pair.replace(" ", "") + " "
-        for _ in range(passes_per_merge):
-            out = out.withColumn("r", F.regexp_replace("r", pat, rep))
+    if len(merge_pairs) <= max_folded_merges:
+        for pair in merge_pairs:
+            pat = f" {pair} "
+            rep = " " + pair.replace(" ", "") + " "
+            for _ in range(passes_per_merge):
+                out = out.withColumn("r", F.regexp_replace("r", pat, rep))
+    else:
+        reps = [
+            (f" {p} ", " " + p.replace(" ", "") + " ") for p in merge_pairs
+        ]
+        passes = passes_per_merge
+
+        def _encode(batches):
+            for pdf in batches:
+                s = pdf["r"]
+                for pat, rep in reps:
+                    for _ in range(passes):
+                        s = s.str.replace(pat, rep, regex=False)
+                pdf = pdf.copy()
+                pdf["r"] = s
+                yield pdf
+
+        out = out.mapInPandas(_encode, out.schema)
     symbols = F.filter(
         F.split(F.trim("r"), " "), lambda s: s != F.lit("|")
     )

@@ -101,3 +101,32 @@ def test_apply_bpe_never_merges_across_word_boundary(spark):
     df = _docs(spark, [(1, "ba ab")])
     row = apply_bpe(df, "doc_id", "text", ["a a"]).first()
     assert (row["n_symbols_raw"], row["n_symbols_bpe"]) == (4, 4)
+
+
+def test_apply_bpe_folded_and_mapinpandas_paths_agree(spark):
+    """apply_bpe's two encode engines — unrolled regexp_replace nodes vs
+    one Arrow mapInPandas stage with the merge list in the task closure
+    (the r10 constant-plan rule applied to production-sized merge lists)
+    — produce identical symbol counts, and the large path's plan stays
+    constant-size in the merge count."""
+    from gmall_flink_yb_spark.functions.bpe import apply_bpe, learn_bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog the the"),
+            (2, "pack my box with five dozen liquor jugs quick quick"),
+            (3, "the five boxing wizards jump quickly over the fox"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(docs, "text", n_merges=6)
+    pairs = [r["pair"] for r in merges.orderBy("step").collect()]
+    folded = apply_bpe(docs, "doc_id", "text", pairs)
+    big = apply_bpe(docs, "doc_id", "text", pairs, max_folded_merges=1)
+    got_f = sorted(map(tuple, folded.collect()))
+    got_b = sorted(map(tuple, big.collect()))
+    assert got_f == got_b
+    plan = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan
+    # the merge patterns live in the closure, not the plan
+    assert plan.count("regexp_replace") <= 2
