@@ -179,9 +179,10 @@ def interval_join(
         def _salted(l_sub: DataFrame, r_sub: DataFrame, buckets: int,
                     salt_right: bool) -> DataFrame:
             # salt the hot side's rows; replicate the other side's hot
-            # rows across every salt value (bounded: hot rows x buckets)
+            # rows across every salt value (bounded: hot rows x buckets;
+            # sequence keeps the plan constant-size in buckets)
             replicate = F.explode(
-                F.array(*[F.lit(i) for i in range(buckets)])
+                F.sequence(F.lit(0), F.lit(buckets - 1))
             )
             if salt_right:
                 r_s = r_sub.withColumn(

@@ -156,8 +156,11 @@ def salted_join(
         hot_facts, cold_facts = hot_cold_split(facts, fact_key, hot_keys)
         hot_build, cold_build = hot_cold_split(build, build_key, hot_keys)
     salted_facts = hot_facts.withColumn("_salt", salt_expr(buckets, salt_on))
+    # sequence, not an unrolled literal array: buckets scales with the
+    # hot share x shuffle partitions (tens of thousands at a fully-hot
+    # key on a data-sized session), and the plan must not grow with it
     replicated = hot_build.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     cond = (salted_facts[fact_key] == replicated[build_key]) & (
         salted_facts["_salt"] == replicated["_salt"]
