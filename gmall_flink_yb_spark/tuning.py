@@ -347,7 +347,7 @@ def auto_shuffle_partitions_inputs(
     target for the plan: still summed against nothing, just
     base-floored — the derived estimate is skipped, same as the
     single-input contract."""
-    if auto_partitions is False:
+    if auto_partitions is False or not inputs:
         return None
     spark = inputs[0][0].sparkSession
     base = session_base_partitions(spark)
