@@ -787,15 +787,17 @@ def start_incremental_dedup_stream(
         if not batch_df.head(1):
             return
         incoming = batch_df.persist()
-        # snapshot the session conf so a giant batch's derived sizing is
-        # BATCH-SCOPED (ADVICE r9: without the restore, one availableNow
-        # backfill batch ratcheted the setting for every later
-        # micro-batch and anything else sharing the SparkSession); the
-        # batch's own writes execute before the finally restores it
-        _parts_before = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            from gmall_flink_yb_spark import tuning as _tuning
+        # the batch's derived sizing is BATCH-SCOPED (ADVICE r9: without
+        # a restore, one availableNow backfill batch ratcheted the
+        # setting for every later micro-batch and anything else sharing
+        # the SparkSession); the batch's own writes execute before the
+        # finally restores it. Restore target is the tuning BASE, not an
+        # entry snapshot (ADVICE r10: snapshots are not atomic across
+        # concurrent streams on one session — B can snapshot A's
+        # mid-batch sized value and re-impose it after A's finally).
+        from gmall_flink_yb_spark import tuning as _tuning
 
+        try:
             _tuning.auto_shuffle_partitions_for_batch(
                 incoming,
                 _tuning.SHINGLE_EXPANSION,
@@ -875,7 +877,7 @@ def start_incremental_dedup_stream(
                 release_cache(verdicts)  # the batch's signature subtree
         finally:
             incoming.unpersist()
-            spark.conf.set("spark.sql.shuffle.partitions", _parts_before)
+            _tuning.restore_base_partitions(spark)
 
     return (
         docs_stream.writeStream.foreachBatch(write_batch)
@@ -957,12 +959,12 @@ def start_incremental_span_scrub_stream(
             return
         incoming = batch_df.persist()
         cleaned = None
-        # batch-scoped sizing: restore the session conf in finally
-        # (ADVICE r9 — see start_incremental_dedup_stream)
-        _parts_before = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            from gmall_flink_yb_spark import tuning as _tuning
+        # batch-scoped sizing: restore the session conf to the tuning
+        # BASE in finally (ADVICE r9 + r10 — see
+        # start_incremental_dedup_stream for why base, not snapshot)
+        from gmall_flink_yb_spark import tuning as _tuning
 
+        try:
             _tuning.auto_shuffle_partitions_for_batch(
                 incoming,
                 _tuning.GRAM_EXPANSION,
@@ -995,7 +997,7 @@ def start_incremental_span_scrub_stream(
             if cleaned is not None:
                 release_cache(cleaned)
             incoming.unpersist()
-            spark.conf.set("spark.sql.shuffle.partitions", _parts_before)
+            _tuning.restore_base_partitions(spark)
 
     return (
         docs_stream.writeStream.foreachBatch(write_batch)
@@ -1138,12 +1140,12 @@ def start_incremental_ann_stream(
         if not batch_df.head(1):
             return
         incoming = batch_df.persist()
-        # batch-scoped sizing: restore the session conf in finally
-        # (ADVICE r9 — see start_incremental_dedup_stream)
-        _parts_before = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            from gmall_flink_yb_spark import tuning as _tuning
+        # batch-scoped sizing: restore the session conf to the tuning
+        # BASE in finally (ADVICE r9 + r10 — see
+        # start_incremental_dedup_stream for why base, not snapshot)
+        from gmall_flink_yb_spark import tuning as _tuning
 
+        try:
             _tuning.auto_shuffle_partitions_for_batch(
                 incoming,
                 _tuning.VECTOR_EXPANSION,
@@ -1222,7 +1224,7 @@ def start_incremental_ann_stream(
                 release_cache(verdicts)  # the batch's vector subtree
         finally:
             incoming.unpersist()
-            spark.conf.set("spark.sql.shuffle.partitions", _parts_before)
+            _tuning.restore_base_partitions(spark)
 
     return (
         vecs_stream.writeStream.foreachBatch(write_batch)
@@ -1435,6 +1437,43 @@ def _jvm_heap_bytes(spark: SparkSession) -> int:
     return min(sizes) if sizes else 1 << 30
 
 
+def _backlog_stats(
+    spark: SparkSession, src_dir: str, glob: str | None = None
+) -> tuple[int, int]:
+    """(total bytes, file count) of the backlog the stream will actually
+    read under ``src_dir``: non-hidden files (and not under hidden dirs —
+    a stream's ``_spark_metadata`` contents have plain basenames) whose
+    BASENAME matches ``glob`` (the same semantics as the reader's
+    ``pathGlobFilter``; ADVICE r10: sizing sidecar json/csv next to the
+    parquet the stream reads skews the mean-file-size estimate and the
+    derived chunk can blow the heap-bounded byte budget). The path is
+    qualified FIRST (ADVICE r10): ``listFiles`` results are always fully
+    qualified, so a relative ``src_dir`` (or one the filesystem qualifies
+    differently) would misalign the rel-path slice and the hidden-dir
+    filter would inspect garbage components."""
+    import fnmatch
+
+    fs, jpath = _hadoop_fs(spark, src_dir)
+    total, n_files = 0, 0
+    if fs.exists(jpath):
+        jpath = fs.makeQualified(jpath)
+        base_uri = str(jpath.toUri().getPath())
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            rel = str(st.getPath().toUri().getPath())[len(base_uri):]
+            parts = [p for p in rel.split("/") if p]
+            if any(part.startswith(("_", ".")) for part in parts):
+                continue
+            if glob is not None and parts and not fnmatch.fnmatch(
+                parts[-1], glob
+            ):
+                continue
+            total += int(st.getLen())
+            n_files += 1
+    return total, n_files
+
+
 def backfill_corpus(
     spark: SparkSession,
     src_dir: str,
@@ -1475,24 +1514,7 @@ def backfill_corpus(
     giant chunks (measured 1.71x on the 32 g one-batch drain, parity at
     micro-batch scale).
     """
-    fs, jpath = _hadoop_fs(spark, src_dir)
-    total, n_files = 0, 0
-    if fs.exists(jpath):
-        base_uri = str(jpath.toUri().getPath())
-        it = fs.listFiles(jpath, True)
-        while it.hasNext():
-            st = it.next()
-            rel = str(st.getPath().toUri().getPath())[len(base_uri):]
-            # skip hidden files AND files under hidden dirs (a stream's
-            # _spark_metadata contents have plain basenames)
-            if any(
-                part.startswith(("_", "."))
-                for part in rel.split("/")
-                if part
-            ):
-                continue
-            total += int(st.getLen())
-            n_files += 1
+    total, n_files = _backlog_stats(spark, src_dir, glob)
     if max_bytes_per_batch is None:
         max_bytes_per_batch = max(
             1, _jvm_heap_bytes(spark) // BACKFILL_HEAP_PER_CHUNK_BYTE

@@ -93,6 +93,12 @@ _MAX_FILE_STATS = 1024
 # session-conf key recording the session's PRE-RATCHET shuffle
 # parallelism; see session_base_partitions
 _BASE_PARTITIONS_KEY = "spark.gmall.graft.baseShufflePartitions"
+# session-conf key recording the LAST value a sizing hook wrote. When the
+# live conf differs from this, someone ELSE wrote the conf since our last
+# write (a user's manual spark.conf.set) — that external value becomes
+# the new base instead of being silently reverted (ADVICE r10: the r10
+# lower-toward-base behavior stomped manual mid-session raises).
+_LAST_SIZED_KEY = "spark.gmall.graft.lastSizedShufflePartitions"
 
 
 def session_base_partitions(spark: SparkSession) -> int:
@@ -104,11 +110,25 @@ def session_base_partitions(spark: SparkSession) -> int:
     lifetime). ``session.get_spark`` stamps the base at session build;
     sessions built elsewhere (the driver's vanilla harness) get stamped
     here on the first sizing call — before that call ever writes the
-    conf, so the recorded base is always pre-ratchet."""
+    conf, so the recorded base is always pre-ratchet.
+
+    EXTERNAL writes are respected (ADVICE r10): if the live conf differs
+    from the last value a sizing hook wrote (``_LAST_SIZED_KEY``), a user
+    set it manually since our last write — that manual value is adopted
+    as the NEW base, so later derivations floor at it instead of
+    reverting it. Only hook-ratcheted values are ever released back."""
     v = spark.conf.get(_BASE_PARTITIONS_KEY, None)
+    live = spark.conf.get("spark.sql.shuffle.partitions")
     if v is None:
-        v = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(_BASE_PARTITIONS_KEY, v)
+        spark.conf.set(_BASE_PARTITIONS_KEY, live)
+        return int(live)
+    last = spark.conf.get(_LAST_SIZED_KEY, None)
+    # live differs from what the hooks last wrote (or from the stamped
+    # base when no hook has written yet): an external write — adopt it
+    if (last is not None and live != last) or (last is None and live != v):
+        spark.conf.set(_BASE_PARTITIONS_KEY, live)
+        spark.conf.set(_LAST_SIZED_KEY, live)
+        return int(live)
     return int(v)
 
 
@@ -118,11 +138,26 @@ def _apply_partitions(spark: SparkSession, parts: int) -> int:
     the pre-r10 hooks this also LOWERS — back toward the base, never
     below it — so a giant derivation stops ratcheting every later one
     (the lazy-plan caveat this buys into is documented on
-    :func:`auto_shuffle_partitions`)."""
+    :func:`auto_shuffle_partitions`). Records what it wrote in
+    ``_LAST_SIZED_KEY`` so :func:`session_base_partitions` can tell a
+    hook write from a user's manual write."""
     current = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if parts != current:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set(_LAST_SIZED_KEY, str(parts))
     return parts
+
+
+def restore_base_partitions(spark: SparkSession) -> int:
+    """Restore ``spark.sql.shuffle.partitions`` to the session BASE — the
+    batch-exit counterpart of the foreachBatch sizing hook (ADVICE r10:
+    restoring an ENTRY SNAPSHOT is not atomic across concurrent streams
+    sharing one session — stream B can snapshot stream A's mid-batch
+    sized value and re-impose it after A's finally ran; restoring to the
+    base is idempotent and order-independent). Goes through
+    :func:`session_base_partitions` first, so a manual raise during the
+    batch is adopted as the new base rather than stomped."""
+    return _apply_partitions(spark, session_base_partitions(spark))
 
 
 def estimate_parquet_bytes(spark: SparkSession, *paths: str) -> int:

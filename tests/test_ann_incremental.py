@@ -578,3 +578,71 @@ def test_semantic_dedup_folded_and_broadcast_paths_agree(spark):
     assert len(got_f) == 40
     # no per-coordinate literal leaked into the broadcast-path plan
     assert plan.count("6.0") < 10
+
+
+def test_memoized_planes_frame_reuses_exchange(spark):
+    """VERDICT r10 #6: the per-(session, geometry) memoization of
+    _srp_planes_frame claims the two identical broadcast subtrees (one
+    per hashed side of an incremental plan) let Spark reuse the
+    exchange. Verify what the planner ACTUALLY does: exchange reuse is
+    an AQE RUNTIME decision here, so run the query and read the FINAL
+    adaptive plan — it must broadcast the planes relation once and
+    ReusedExchange the other occurrences."""
+    from gmall_flink_yb_spark.functions.similarity import _PLANES_FRAMES
+
+    _PLANES_FRAMES.clear()
+    ex = spark.createDataFrame([(1, V1), (2, V2)], SCHEMA)
+    inc = spark.createDataFrame([(10, V1_DUP), (11, V3)], SCHEMA)
+    v = incremental_cosine_dedup(
+        ex, inc, threshold=0.95, dim=DIM, n_bands=4, n_planes=8
+    )
+    v.collect()  # materialize: reuse appears only in the final AQE plan
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    release_cache(v)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange [_srp_" in plan
+
+
+def test_planes_frame_cache_lru_and_stopped_session_purge(spark):
+    """VERDICT r10 #7: the planes-frame cache is LRU (a hit refreshes
+    recency, so a burst of new geometries evicts the least-recently-USED
+    entry, not the oldest-created hot one) and purges entries whose
+    session has been stopped on every call (the r10 FIFO kept them until
+    displacement)."""
+    from gmall_flink_yb_spark.functions import similarity as sim
+
+    sim._PLANES_FRAMES.clear()
+    try:
+        f = sim._srp_planes_frame(spark, 2, 4, 8)
+        assert sim._srp_planes_frame(spark, 2, 4, 8) is f  # memoized
+        # distinct sessions get distinct entries (a frame is bound to
+        # the session that created it)
+        sibling = spark.newSession()
+        assert sim._srp_planes_frame(sibling, 2, 4, 8) is not f
+
+        sim._PLANES_FRAMES.clear()
+        f = sim._srp_planes_frame(spark, 2, 4, 8)
+        # fill the cache to its bound with other geometries...
+        for dim in range(100, 100 + sim._PLANES_FRAMES_MAX - 1):
+            sim._srp_planes_frame(spark, 2, 4, dim)
+        # ...touch f (now most-recent), then overflow by one: the evictee
+        # must be the least-recently-used (dim=100), NOT the hot f
+        assert sim._srp_planes_frame(spark, 2, 4, 8) is f
+        sim._srp_planes_frame(spark, 2, 4, 999)
+        assert (spark, 2, 4, 8) in sim._PLANES_FRAMES
+        assert (spark, 2, 4, 100) not in sim._PLANES_FRAMES
+
+        # a stopped session's entries drop on the NEXT call of any
+        # geometry, not at LRU displacement
+        class _Ctx:
+            _jsc = None
+
+        class _Stopped:
+            sparkContext = _Ctx()
+
+        dead = _Stopped()
+        sim._PLANES_FRAMES[(dead, 2, 4, 8)] = f
+        sim._srp_planes_frame(spark, 2, 4, 8)
+        assert all(k[0] is not dead for k in sim._PLANES_FRAMES)
+    finally:
+        sim._PLANES_FRAMES.clear()

@@ -2190,3 +2190,43 @@ def test_backfill_chunk_derivation(spark, tmp_path):
     # chunked-OK shape, never the one-batch drain that OOMed
     chunk = (8 << 30) // BACKFILL_HEAP_PER_CHUNK_BYTE
     assert 4 <= (850 << 20) // chunk <= 16
+
+
+def test_backlog_stats_glob_and_relative_path(spark, tmp_path):
+    """ADVICE r10: backfill_corpus's chunk derivation must size ONLY the
+    files the stream will read — basename-glob-filtered (sidecar files
+    next to the parquet would skew the mean-file-size estimate) — and
+    must qualify the directory before slicing rel paths (a relative
+    src_dir misaligned the slice, so the hidden-dir filter inspected
+    garbage components and could exclude everything)."""
+    import os
+
+    from gmall_flink_yb_spark.streaming.pipelines import _backlog_stats
+
+    src = tmp_path / "mixed"
+    src.mkdir()
+    spark.range(10).selectExpr("id", "concat('t', id) AS text").coalesce(
+        1
+    ).write.parquet(str(src / "part0"))
+    # a big sidecar that the stream (glob=*.parquet) will never read
+    (src / "sidecar.bin").write_bytes(b"x" * 1_000_000)
+    # hidden dirs/files stay excluded
+    meta = src / "_spark_metadata"
+    meta.mkdir()
+    (meta / "0").write_bytes(b"y" * 500)
+
+    total_all, n_all = _backlog_stats(spark, str(src))
+    total_pq, n_pq = _backlog_stats(spark, str(src), glob="*.parquet")
+    assert n_pq >= 1 and n_pq < n_all
+    assert total_pq < 100_000  # the 1 MB sidecar is not counted
+    assert total_all >= 1_000_000  # unfiltered sees it (but never hidden)
+
+    # relative path (resolved against the JVM's working directory, which
+    # is what a relative Hadoop Path resolves against): same answer as
+    # the absolute form — pre-fix, the misaligned rel slice made the
+    # hidden-dir filter inspect garbage components
+    user_dir = spark._jvm.System.getProperty("user.dir")
+    rel = os.path.relpath(str(src), user_dir)
+    assert not os.path.isabs(rel)
+    rel_total, rel_n = _backlog_stats(spark, rel, glob="*.parquet")
+    assert (rel_total, rel_n) == (total_pq, n_pq)

@@ -398,3 +398,53 @@ def test_batch_payload_probe_coalesces_null_columns(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+
+def test_manual_conf_write_adopted_as_base(spark, tmp_path):
+    """ADVICE r10 (medium): the r10 lower-toward-base behavior silently
+    reverted a user's manual mid-session conf raise. A write the hooks
+    did not make is now adopted as the NEW base — later derivations
+    floor at it instead of stomping it — while hook-ratcheted values
+    still release back to it."""
+    from gmall_flink_yb_spark import tuning
+
+    small = str(tmp_path / "small.parquet")
+    spark.range(50).selectExpr(
+        "id AS doc_id", "concat('w', id) AS text"
+    ).write.parquet(small)
+    sdf = spark.read.parquet(small)
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = tuning.session_base_partitions(spark)
+    try:
+        # a hook writes an explicit value...
+        tuning.auto_shuffle_partitions(sdf, 2.0, base + 7)
+        # ...then the USER raises manually (not through a hook)
+        spark.conf.set("spark.sql.shuffle.partitions", str(base + 50))
+        # the next derived call floors at the manual value (tiny file
+        # derives ~1, so the floor is what comes out) — not at the old
+        # base, and it does NOT revert the manual raise
+        assert tuning.auto_shuffle_partitions(sdf, 2.0, True) == base + 50
+        assert tuning.session_base_partitions(spark) == base + 50
+        # hook ratchets above the adopted base still release back to it
+        tuning.auto_shuffle_partitions(sdf, 2.0, base + 500)
+        assert (
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+            == base + 500
+        )
+        assert tuning.auto_shuffle_partitions(sdf, 2.0, True) == base + 50
+        # restore_base_partitions returns to the ADOPTED base (the
+        # foreachBatch finally path, ADVICE r10 low: base, not snapshot)
+        tuning.auto_shuffle_partitions(sdf, 2.0, base + 300)
+        assert tuning.restore_base_partitions(spark) == base + 50
+        assert (
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+            == base + 50
+        )
+        # a manual write with NO hook write on record is adopted too
+        spark.conf.unset(tuning._LAST_SIZED_KEY)
+        spark.conf.set("spark.sql.shuffle.partitions", str(base + 2))
+        assert tuning.session_base_partitions(spark) == base + 2
+    finally:
+        spark.conf.set(tuning._BASE_PARTITIONS_KEY, str(base))
+        spark.conf.set(tuning._LAST_SIZED_KEY, str(before))
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
