@@ -188,16 +188,32 @@ def cosine_near_dup_pairs(
     fits executor memory; only pairs >= threshold leave the executor.
 
     ``n_blocks="auto"`` (r7): size blocks from the corpus instead of a
-    fixed constant — ``clamp(ceil(n / target_block_rows), 1, 256)``. A
-    fixed 8 is wrong at both ends: at 5k vectors it scatters trivial
-    GEMMs over 36 shuffled python groups (fan-out dominates), at 500k it
-    builds 62k-row blocks whose 4B-entry score matrices blow task
-    memory. Auto keeps every task's score matrix ~``target_block_rows^2``
-    doubles (32 MB at the default) at any corpus size; the 256-block cap
-    bounds the shuffle replication factor — past ~256*target rows the
-    exact all-pairs form is the wrong tool (its O(n^2) work, not its
-    plan, is the wall) and the LSH/SemDeDup variants take over. The
-    count that drives auto materializes the SAME persisted frame the
+    fixed constant — memory bound ``ceil(n / target_block_rows)``,
+    PARALLELISM floor (r11), clamp [1, 256]. A fixed 8 is wrong at both
+    ends: at 5k vectors it scatters trivial GEMMs over 36 shuffled
+    python groups (fan-out dominates), at 500k it builds 62k-row blocks
+    whose 4B-entry score matrices blow task memory. The memory bound
+    keeps every task's score matrix ~``target_block_rows^2`` doubles
+    (32 MB at the default) at any corpus size; the 256-block cap bounds
+    the shuffle replication factor — past ~256*target rows the exact
+    all-pairs form is the wrong tool (its O(n^2) work, not its plan, is
+    the wall) and the LSH/SemDeDup variants take over.
+
+    The parallelism floor (the r11 embedding_near_dup adjudication,
+    BASELINE.md): memory-only sizing derives ONE block for any corpus
+    under target_block_rows — the whole pair stage then runs as a
+    single python group with every other core idle (measured 1.85 s vs
+    1.15-1.35 s at 4-16 blocks on the 2000-vector sf0.1 corpus).
+    Smaller blocks are always memory-SAFE, and replication (shuffle
+    volume = n_blocks x n rows) is trivial exactly when the floor
+    binds (small n), so auto also floors n_blocks at the smallest k
+    whose k(k+1)/2 block pairs cover the session's default parallelism
+    — bounded by ceil(n/128) so a tiny corpus is never fragmented into
+    empty-ish groups. At scale the memory bound dominates and the floor
+    is inert. Results are identical for ANY n_blocks (every unordered
+    pair scored exactly once), so the oracle hash is unaffected.
+
+    The count that drives auto materializes the SAME persisted frame the
     pair stage reads, so no extra lineage execution — just one cheap
     cached count at plan time.
     """
@@ -218,7 +234,14 @@ def cosine_near_dup_pairs(
 
         n_rows = base.count()  # materializes the persist the pair stage
         # reuses; plan-time scalar, not a collect of data
-        n_blocks = max(1, min(256, _math.ceil(n_rows / target_block_rows)))
+        mem_blocks = _math.ceil(n_rows / target_block_rows)
+        # smallest k with k(k+1)/2 >= default parallelism, so the block-
+        # pair groups can occupy the box even when one block would fit
+        # in memory; fragmenting below ~128-row blocks is never worth it
+        par = spark.sparkContext.defaultParallelism
+        par_blocks = _math.ceil((_math.sqrt(8 * par + 1) - 1) / 2)
+        floor = min(par_blocks, max(1, _math.ceil(n_rows / 128)))
+        n_blocks = max(1, min(256, max(mem_blocks, floor)))
     e = base.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
