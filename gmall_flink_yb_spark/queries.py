@@ -6174,3 +6174,43 @@ ORACLES = {
     **{k: ORACLES[k] for k in _R10_FRONT if k in ORACLES},
     **{k: v for k, v in ORACLES.items() if k not in _R10_FRONT},
 }
+
+# Round-11 rotation (VERDICT r10 #2): the stalest surface is the
+# r8-gated block that neither r9 nor r10 re-gated — 19 queries by the
+# CORRECTNESS files (the verdict's "17" undercounted: the complement of
+# r10's 31-of-50 take includes the two r8 rows r9 also skipped). They go
+# first, in their r8 gate order; the remaining 31 slots fill with the
+# OLDEST r9-gated queries in their r9 gate order (ann_auto_bands ..
+# payment_wide). Behind the gate window sit the freshest blocks:
+# everything r10 gated and the youngest r9-gated queries; full-surface
+# evidence for those is the committed full-registry vanilla oracle run
+# on this round's final HEAD (ORACLE_FULL_r11.txt).
+_R11_FRONT = [
+    # last gated r8 (stalest; r8 gate order):
+    "seq_pack", "source_token_caps", "dsir_affinity", "cm_heavy_hitters",
+    "profile_documents", "bloom_semi_join", "zorder_cells",
+    "kmeans_clusters", "shard_manifest", "events_pivot",
+    "value_percentiles_approx", "q3_shipping_priority", "q5_local_supplier",
+    "q18_large_orders", "dedup_canonical", "value_histogram",
+    "revenue_cube", "running_revenue", "top_orders_per_nation",
+    # oldest 31 of the r9-gated block, r9 gate order:
+    "ann_auto_bands", "dedup_minhash_auto", "audio_metadata",
+    "customers_without_orders", "uv_daily_approx", "q4_late_orders",
+    "winnow_overlap", "bpe_pair_counts", "bpe_merges", "bpe_encode",
+    "q14_promo_revenue", "keyword_hourly", "q6_forecast_revenue",
+    "q7_volume_shipping", "q10_returned_items", "q13_order_distribution",
+    "q8_market_share", "q9_product_profit", "q15_top_supplier",
+    "dup_spans", "substring_dedup", "substring_scrub_incremental",
+    "decontam_scrub", "weighted_sample_docs", "bounce_daily",
+    "events_split_counts", "events_json_extract", "tumbling_hourly",
+    "q1_pricing_summary", "order_wide", "payment_wide",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _R11_FRONT if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in _R11_FRONT},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _R11_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in _R11_FRONT},
+}

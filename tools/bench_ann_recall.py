@@ -269,7 +269,7 @@ def _plant_docs(corpus, plant_mod: int, max_id: int):
 
 
 def minhash_planted_recall(
-    spark, corpus, plant_mod, bands, prefix=""
+    spark, corpus, plant_mod, bands, prefix="", num_hashes=None
 ) -> dict:
     """Recall of ``incremental_lsh_dedup`` on planted near-dup documents,
     per EXACT-shingle-Jaccard band (computed in-plan via shingle_rows set
@@ -286,6 +286,8 @@ def minhash_planted_recall(
         shingle_rows,
     )
 
+    if num_hashes is None:
+        num_hashes = _MH_HASHES
     max_id = corpus.agg(F.max("doc_id")).first()[0]
     planted = _plant_docs(corpus, plant_mod, int(max_id)).persist()
     n_planted = planted.count()
@@ -321,7 +323,7 @@ def minhash_planted_recall(
 
     verdicts = incremental_lsh_dedup(
         corpus, planted, "doc_id", "text",
-        num_hashes=_MH_HASHES, bands=bands, shingle_n=_MH_SHINGLE_N,
+        num_hashes=num_hashes, bands=bands, shingle_n=_MH_SHINGLE_N,
         threshold=_MH_THRESHOLD,
     )
     flagged = {
@@ -331,11 +333,12 @@ def minhash_planted_recall(
     planted.unpersist()
 
     b_used = _resolve_minhash_bands(
-        bands, _MH_HASHES, _MH_THRESHOLD, 0.9
+        bands, num_hashes, _MH_THRESHOLD, 0.9
     )
-    r_used = _MH_HASHES // b_used
+    r_used = num_hashes // b_used
     out = {
         f"{prefix}planted": n_planted,
+        f"{prefix}num_hashes": num_hashes,
         f"{prefix}bands": b_used,
         f"{prefix}rows_per_band": r_used,
         f"{prefix}threshold": _MH_THRESHOLD,
@@ -373,6 +376,14 @@ def main() -> None:
         help="measure the MinHash/Jaccard twin over the documents table "
         "instead of the SRP/cosine arms (VERDICT r9 #5)",
     )
+    ap.add_argument(
+        "--num-hashes", type=int, default=None,
+        help="minhash only: signature width arm (VERDICT r10 #5 — the "
+        "r10 study attributed the residual J 0.5-0.65 recall gap to "
+        "32-slot ESTIMATOR variance, remediable by more hashes, not "
+        "more bands; this arm measures the remedy). Runs ONLY the "
+        "bands='auto' arm at the given width.",
+    )
     args = ap.parse_args()
 
     import tools.bench_scale as bs
@@ -387,19 +398,32 @@ def main() -> None:
             corpus = spark.read.parquet(
                 os.path.join(d, "documents.parquet")
             )
-            row = {
-                "tier": tier,
-                "corpus_rows": corpus.count(),
-                # the default banding, where recall at J~threshold sags
-                **minhash_planted_recall(
-                    spark, corpus, plant_mod, bands=8, prefix="b8_"
-                ),
-                # the remedy: bands="auto" derives the smallest divisor
-                # holding 0.9 recall at the threshold (B=16 at 32 hashes)
-                **minhash_planted_recall(
-                    spark, corpus, plant_mod, bands="auto", prefix="autoB_"
-                ),
-            }
+            if args.num_hashes is not None:
+                row = {
+                    "tier": tier,
+                    "corpus_rows": corpus.count(),
+                    **minhash_planted_recall(
+                        spark, corpus, plant_mod, bands="auto",
+                        prefix=f"h{args.num_hashes}_autoB_",
+                        num_hashes=args.num_hashes,
+                    ),
+                }
+            else:
+                row = {
+                    "tier": tier,
+                    "corpus_rows": corpus.count(),
+                    # the default banding, where recall at J~threshold sags
+                    **minhash_planted_recall(
+                        spark, corpus, plant_mod, bands=8, prefix="b8_"
+                    ),
+                    # the remedy: bands="auto" derives the smallest divisor
+                    # holding 0.9 recall at the threshold (B=16 at 32
+                    # hashes)
+                    **minhash_planted_recall(
+                        spark, corpus, plant_mod, bands="auto",
+                        prefix="autoB_",
+                    ),
+                }
             print(json.dumps(row))
         spark.stop()
         if not args.keep:
