@@ -574,6 +574,19 @@ def recommended_minhash_bands(
     recall floor at minimal band-join cost. Raises ValueError when even
     b = num_hashes (r = 1, recall 1-(1-s)^n) misses the target: no
     banding of this signature can hold that recall — raise num_hashes.
+
+    What the banding curve does NOT govern (measured, BASELINE.md
+    rounds 10-11): the dedup verdict also requires the SIGNATURE
+    ESTIMATE ``est_jaccard >= threshold``, and for pairs whose true J
+    sits near the threshold that check is a near-coin-flip at any
+    signature width (P(Binomial(n, J)/n >= 0.5) -> 0.5 as J -> 0.5+).
+    Doubling hashes buys exactly what the Binomial math says — measured
+    J 0.5-0.65 recall 0.83 at 32 hashes -> 0.87 at 64 (analytic 0.82 ->
+    0.86; even 256 hashes caps at ~0.92 for that band) — while the
+    J >= 0.6 region moves 0.91 -> 0.96 and J 0.65-0.8 closes to ~1.0.
+    Plan recall targets at a Jaccard MARGIN above the dedup threshold
+    (e.g. J >= threshold + 0.1); no geometry holds 0.9+ recall for
+    pairs at the threshold itself.
     """
     if num_hashes < 1:
         raise ValueError("num_hashes must be >= 1")
