@@ -619,11 +619,26 @@ def incremental_span_scrub(
     gram_sample_fraction: float = 0.05,
     gram_share_threshold: float | None = None,
     auto_partitions: bool | int = True,
+    broadcast_incoming: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact substring dedup: scrub from ``incoming`` every
     maximal span whose n-grams repeat within the batch OR were seen in any
     earlier batch (``seen_grams``, one ``gh`` md5-hex column — distinct not
     required, it is re-distinct'd here).
+
+    ``broadcast_incoming=True`` is the micro-batch plan (r11 — the span
+    twin of the dedup/ANN streams' flag): the corpus-sized seen index is
+    first narrowed to the BATCH's own grams by semi-joining it against
+    the broadcast batch-gh set, so the index side is SCANNED, never
+    shuffled — without it, every micro-batch re-shuffles the whole
+    accumulated index through the membership join (per-batch cost
+    O(index), the wrong slope for a steady-state ingest against a
+    100 TB index). The narrowed frame is batch-bounded, so AQE's
+    adaptive broadcast threshold converts the downstream membership
+    joins at runtime. Only for TRIGGER-BOUNDED batches: the broadcast
+    carries one row per distinct batch gram (~56 B each), so a
+    corpus-sized backfill batch must keep the default shuffle plan
+    (the streaming pipeline gates this on the batch's scan bytes).
 
     ``within_batch=False`` drops the repeat-within-batch rule: ONLY
     index membership marks a gram — the surgical-decontamination mode
@@ -676,7 +691,18 @@ def incremental_span_scrub(
         auto_partitions,
     )
     positions = _gram_positions(incoming, id_col, text_col, n)
-    seen = seen_grams.select("gh").distinct()
+    batch_ghs = positions.select("gh").distinct()
+    if broadcast_incoming:
+        # membership is only ever tested for BATCH rows, so
+        # seen ∩ batch_ghs carries identical verdicts at batch-bounded
+        # size; the big index is scanned once, shuffled never
+        seen = (
+            seen_grams.join(F.broadcast(batch_ghs), "gh", "left_semi")
+            .select("gh")
+            .distinct()
+        )
+    else:
+        seen = seen_grams.select("gh").distinct()
     deps: list[DataFrame] = []
     if within_batch:
         dup, deps = _dup_occurrence_positions(
@@ -691,7 +717,7 @@ def incremental_span_scrub(
     cleaned = owns_cache(
         _cut_spans(incoming, _island_spans(dup, n), id_col, text_col), *deps
     )
-    return cleaned, positions.select("gh").distinct()
+    return cleaned, batch_ghs
 
 
 def distinctive_terms(

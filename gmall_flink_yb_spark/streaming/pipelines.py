@@ -898,6 +898,7 @@ def start_incremental_span_scrub_stream(
     n: int = 8,
     hot_gram_guard: bool = False,
     auto_partitions: bool | int = True,
+    broadcast_incoming: bool | str = "auto",
 ) -> StreamingQuery:
     """Exact substring dedup over a document stream (Lee et al. 2022,
     incremental form): each batch's documents are scrubbed of every
@@ -950,6 +951,16 @@ def start_incremental_span_scrub_stream(
     gram hashes — fold old partitions with ``compact_ingest_index`` (only
     up to the last COMMITTED batch id) when batch count grows unbounded;
     correctness only needs set membership.
+
+    ``broadcast_incoming`` (r11) controls the index-probe plan: True
+    narrows the seen index to the batch's grams via a broadcast
+    semi-join, so the index is SCANNED, never shuffled (see
+    ``incremental_span_scrub``); False keeps the shuffle plan. The
+    ``"auto"`` default enables it only when the batch is file-backed
+    AND small (scan bytes <= ``SPAN_BCAST_MAX_BATCH_BYTES``) — the
+    broadcast carries ~56 B per distinct batch gram (~28 MB per MB of
+    compressed batch text), so steady-state micro-batches qualify and
+    backfill-scale chunks keep the shuffle plan.
     """
     from gmall_flink_yb_spark.functions.cacheutil import release_cache
     from gmall_flink_yb_spark.functions.ngrams import incremental_span_scrub
@@ -974,6 +985,15 @@ def start_incremental_span_scrub_stream(
             seen = _read_ingest_ref(
                 spark, index_dir, batch_id, ["gh"], "gh string"
             )
+            if broadcast_incoming == "auto":
+                # file-backed AND small: the broadcast of the batch's
+                # distinct grams stays far under the adaptive-broadcast
+                # budget; unknown-size or backfill-scale batches keep
+                # the shuffle plan
+                b = _tuning.input_file_bytes(incoming)
+                bcast = b is not None and b <= SPAN_BCAST_MAX_BATCH_BYTES
+            else:
+                bcast = bool(broadcast_incoming)
             cleaned, batch_grams = incremental_span_scrub(
                 seen,
                 incoming.select(id_col, text_col),
@@ -981,6 +1001,7 @@ def start_incremental_span_scrub_stream(
                 text_col,
                 n=n,
                 hot_gram_guard=hot_gram_guard,
+                broadcast_incoming=bcast,
             )
             cleaned.write.mode("overwrite").parquet(
                 os.path.join(corpus_dir, f"ingest_batch={batch_id}")
@@ -1401,6 +1422,13 @@ def merged_hll_uv(spark: SparkSession, sketch_dir: str) -> DataFrame:
         )
     )
 
+
+# largest file-backed micro-batch (compressed scan bytes) whose distinct
+# gram set still broadcasts comfortably: ~1 MB of parquet text is ~3 MB
+# raw ~ 500k tokens ~ 500k distinct grams x ~56 B of md5-hex row = ~28 MB
+# — half the session's 64 MB adaptive-broadcast budget. Above this the
+# scrub keeps its shuffle plan (see incremental_span_scrub).
+SPAN_BCAST_MAX_BATCH_BYTES = 1 << 20
 
 # post-parquet heap footprint of one in-flight backfill chunk relative to
 # its on-disk bytes, with safety margin: the batch persists

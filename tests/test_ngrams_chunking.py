@@ -661,3 +661,57 @@ def test_span_dup_stats_hot_guard_equality_and_plan_gate(spark):
         return re.sub(r"x_\d+#", "x_#", s)
 
     assert norm(g_on) == norm(g_off)
+
+
+def test_incremental_scrub_broadcast_incoming_parity(spark):
+    """r11: broadcast_incoming=True narrows the seen index to the batch's
+    grams via a broadcast semi-join (index scanned, never shuffled) —
+    verdicts, cleaned text, and returned batch grams must be IDENTICAL
+    to the shuffle plan, including under the hot-gram guard and the
+    surgical (within_batch=False) mode."""
+    from gmall_flink_yb_spark.functions.cacheutil import release_cache
+    from gmall_flink_yb_spark.functions.ngrams import (
+        gram_rows,
+        incremental_span_scrub,
+    )
+
+    earlier = _docs(
+        spark, [(1, "w x y z"), (2, "k l m n o p"), (3, "s t u v")]
+    )
+    seen = gram_rows(earlier, "doc_id", "text", 2).select(
+        F.md5(F.col("g")).alias("gh")
+    )
+    # index membership + within-batch repeats + untouched docs, and one
+    # NULL-text row (the dirty-input path)
+    batch = _docs(
+        spark,
+        [
+            (10, "w x y z tail1 tail2"),
+            (11, "m n o m n o"),
+            (12, "fresh tokens only here"),
+            (13, "k l m n head1 head2 k l"),
+            (14, None),
+        ],
+    )
+
+    def run(**kw):
+        cleaned, grams = incremental_span_scrub(
+            seen, batch, "doc_id", "text", n=2, **kw
+        )
+        got = sorted(
+            (r.asDict() for r in cleaned.collect()),
+            key=lambda r: r["doc_id"],
+        )
+        g = sorted(r["gh"] for r in grams.collect())
+        release_cache(cleaned)
+        return got, g
+
+    for kw in (
+        {},
+        {"hot_gram_guard": True, "gram_sample_fraction": 1.0},
+        {"within_batch": False},
+    ):
+        base_rows, base_grams = run(broadcast_incoming=False, **kw)
+        bc_rows, bc_grams = run(broadcast_incoming=True, **kw)
+        assert bc_rows == base_rows, kw
+        assert bc_grams == base_grams, kw

@@ -135,7 +135,14 @@ def main() -> None:
         if args.ann
         else "doc_id long, text string"
     )
-    modes = ("indexed",) if args.span else ("indexed", "rebuild")
+    # span mode A/Bs the index-PROBE plan instead (r11): shuffle the
+    # accumulated gram index per batch vs narrow it to the batch's grams
+    # via broadcast semi-join (index scanned, never shuffled)
+    modes = (
+        ("span_shuffle", "span_broadcast")
+        if args.span
+        else ("indexed", "rebuild")
+    )
     for mode in modes:
         mdir = os.path.join(args.out, mode)
         corpus, ckpt = os.path.join(mdir, "corpus"), os.path.join(mdir, "ck")
@@ -158,6 +165,7 @@ def main() -> None:
             if args.span:
                 q = start_incremental_span_scrub_stream(
                     spark, stream, corpus, ckpt, index,
+                    broadcast_incoming=(mode == "span_broadcast"),
                 )
             elif args.ann:
                 q = start_incremental_ann_stream(
