@@ -683,13 +683,13 @@ def incremental_span_scrub(
     from gmall_flink_yb_spark import tuning as _tuning
     from gmall_flink_yb_spark.functions.cacheutil import owns_cache
 
-    _tuning.auto_shuffle_partitions_inputs(
-        [
-            (incoming, _tuning.GRAM_EXPANSION),
-            (seen_grams, _tuning.HASH_INDEX_EXPANSION),
-        ],
-        auto_partitions,
-    )
+    sized_inputs = [(incoming, _tuning.GRAM_EXPANSION)]
+    if not broadcast_incoming:
+        # under the broadcast plan the index is scanned via a map-side
+        # probe, never shuffled — sizing for it would derive a
+        # 20k-partition session for a KB batch against a 100 TB index
+        sized_inputs.append((seen_grams, _tuning.HASH_INDEX_EXPANSION))
+    _tuning.auto_shuffle_partitions_inputs(sized_inputs, auto_partitions)
     positions = _gram_positions(incoming, id_col, text_col, n)
     batch_ghs = positions.select("gh").distinct()
     if broadcast_incoming:
