@@ -1434,14 +1434,19 @@ SPAN_BCAST_MAX_BATCH_BYTES = 1 << 20
 # its on-disk bytes, with safety margin: the batch persists
 # (MEMORY_AND_DISK) while its gram/shingle/band stream explodes ~10-30x
 # over scan bytes (tuning.py family constants) and the window/hash state
-# stacks on top in the SAME JVM in local mode. Calibrated against the
-# measured regimes (BASELINE.md round-9 backfill study): the 5M-doc
-# ~0.85 GB corpus OOMed an 8 GB heap as ONE batch under either guard
-# setting, while 8 chunks of ~1/8 corpus (~106 MB, heap/chunk ~ 75x)
-# drained fine — 64 rounds that observed-safe point toward chunks
-# slightly larger than the measured-good ones while staying 5x+ away
-# from the measured-OOM shape.
-BACKFILL_HEAP_PER_CHUNK_BYTE = 64
+# stacks on top in the SAME JVM in local mode. MEASURED r11 (VERDICT r10
+# #4, tools/calibrate_backfill_heap.py; BASELINE.md round-11 grid): at
+# the r9 OOM-regime tier (5M docs / 899 MB backlog / 8 g heap) explicit
+# chunk budgets of heap/16, heap/32, and heap/64 ALL drain green while
+# the one-batch drain (heap/9.4) OOMs — and bigger chunks are strictly
+# FASTER (501 / 591 / 1009 s), because per-batch cost carries an
+# index-probe + batch-machinery floor that more chunks multiply (the
+# mid-tier grid measured that floor directly: an 83 MB backlog drained
+# as ONE batch at 3 g but OOMed as 8 MB chunks until 4 g). 32 rounds UP
+# one full doubling from the deepest measured-safe point (16) and sits
+# 3.4x from the measured OOM boundary; vs the old bracketed 64 it
+# halves the chunk count and the measured drain time.
+BACKFILL_HEAP_PER_CHUNK_BYTE = 32
 
 
 def _jvm_heap_bytes(spark: SparkSession) -> int:
@@ -1525,8 +1530,8 @@ def backfill_corpus(
 
     Chunk size: ``max_bytes_per_batch`` (explicit override), else
     min-configured JVM heap / ``BACKFILL_HEAP_PER_CHUNK_BYTE`` —
-    calibrated against the measured 8 g-OOM / chunked-OK regimes, see
-    the constant. Files convert to ``maxFilesPerTrigger`` via the
+    MEASURED against the r9 OOM regime at fixed heaps (r11 grid on the
+    constant and in BASELINE.md). Files convert to ``maxFilesPerTrigger`` via the
     backlog's mean file size (files in one dataset are written at a
     common target size; the estimate needs only chunk-granularity
     accuracy).

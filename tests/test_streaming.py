@@ -2184,12 +2184,16 @@ def test_backfill_chunk_derivation(spark, tmp_path):
 
     heap = _jvm_heap_bytes(spark)
     assert heap >= 1 << 30  # the test session configures >= 1g
-    assert BACKFILL_HEAP_PER_CHUNK_BYTE * 8 >= 64  # constant sanity
-    # the measured-OOM regime stays excluded: a 5M-doc ~0.85 GB backlog
-    # on an 8 GB heap derives chunks ~128 MB -> ~7 chunks, the measured
-    # chunked-OK shape, never the one-batch drain that OOMed
+    # the r11 calibration grid (BASELINE.md): heap/16..heap/64 all drain
+    # the 5M-doc / 899 MB / 8 g regime, one-batch (heap/9.4) OOMs; the
+    # constant must stay INSIDE the measured-safe band with margin from
+    # the OOM boundary
+    assert 16 <= BACKFILL_HEAP_PER_CHUNK_BYTE <= 64
+    # the measured-OOM regime stays excluded: a 5M-doc ~0.9 GB backlog
+    # on an 8 GB heap derives chunks that split the drain into several
+    # batches, never the one-batch shape that OOMed
     chunk = (8 << 30) // BACKFILL_HEAP_PER_CHUNK_BYTE
-    assert 4 <= (850 << 20) // chunk <= 16
+    assert 2 <= -(-(899 << 20) // chunk) <= 16
 
 
 def test_backlog_stats_glob_and_relative_path(spark, tmp_path):
