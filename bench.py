@@ -35,6 +35,57 @@ from gmall_flink_yb_spark.session import get_spark
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
+# tide canary sizing: big enough that mmap (not the allocator's free
+# lists) serves the buffer and per-page fault cost dominates timer
+# noise, small enough to stay trivial next to the box's 128 GB
+_TIDE_PROBE_BYTES = 256 * 1024 * 1024
+
+
+def tide_probe() -> dict[str, float]:
+    """Memory-path canary (VERDICT r11 #1): measure the two host paths
+    the r10/r11 tide diagnostics identified as the drifting variable —
+    page-fault-in of freshly mapped anonymous memory, and steady-state
+    copies between already-faulted buffers — so every bench artifact
+    records the environment it ran in. Healthy r10-quiet readings were
+    ~5.5-6.4 GB/s on the copy path; the loaded r11 windows read
+    1.1-1.5 GB/s on both paths (BASELINE.md round-11/12 notes).
+
+    Convention: GB/s = bytes TOUCHED (fault path: region size; copy
+    path: bytes copied per ``copyto``) / wall seconds, decimal GB. Both
+    256 MB numpy buffers are freshly ``np.empty``-allocated (above the
+    glibc mmap threshold, so pages are new mappings and the first touch
+    faults through the host), touched one byte per 4 KB page for the
+    fault number, then copied twice for the steady-state number."""
+    import numpy as np
+
+    size = _TIDE_PROBE_BYTES
+
+    def _measure() -> dict[str, float]:
+        t0 = time.perf_counter()
+        a = np.empty(size, dtype=np.uint8)
+        a[::4096] = 1
+        fault_s = time.perf_counter() - t0
+        b = np.empty(size, dtype=np.uint8)
+        b[::4096] = 1  # pre-fault the destination too
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        np.copyto(a, b)
+        copy_s = time.perf_counter() - t0
+        del a, b
+        return {
+            "fault_in_gbps": round(size / fault_s / 1e9, 2),
+            "copy_gbps": round(2 * size / copy_s / 1e9, 2),
+        }
+
+    # a process's FIRST full-size probe pays ~100x one-off setup even
+    # in a healthy window (measured: 0.05-0.07 GB/s fault-in where the
+    # immediate second probe reads ~5; a 16 MB warm-up does not clear
+    # it) — run the body twice, record the steady second; a genuinely
+    # loaded window stays slow on every repeat (r11 read 1.1-1.5 GB/s
+    # persistently), so the discard cannot mask real tide
+    _measure()
+    return _measure()
+
 
 def short_keys(names: list[str]) -> dict[str, str]:
     """Deterministic full->short query-name map for the final stdout line.
@@ -89,6 +140,7 @@ def main() -> None:
     # calls re-materialize each time — every repeat is a full cold-cache
     # execution; the median only removes load-spike noise.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    tide_pre = tide_probe()
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name, fn in QUERIES.items():
@@ -116,6 +168,11 @@ def main() -> None:
         "runs_per_query": runs,
         "estimator": "median",
         "samples": spreads,
+        # environment canary (VERDICT r11 #1): totals are comparable
+        # across rounds only when both artifacts' canary bands overlap
+        # the healthy reference band (BASELINE.md round-12); otherwise
+        # compare per-query minima against the per-query history
+        "tide": {"pre": tide_pre, "post": tide_probe()},
     }
     legend = short_keys(list(timings))
     try:

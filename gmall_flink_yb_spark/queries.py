@@ -6214,3 +6214,45 @@ ORACLES = {
     **{k: ORACLES[k] for k in _R11_FRONT if k in ORACLES},
     **{k: v for k, v in ORACLES.items() if k not in _R11_FRONT},
 }
+
+# Round-12 rotation (VERDICT r11 #2): the stalest surface is the
+# r9-gated block that neither r10 nor r11 re-gated — exactly the 19
+# queries in the complement of r11's 31-of-50 take from that block
+# (verified programmatically against the three CORRECTNESS files). They
+# go first, in their r9 gate order; the remaining 31 slots fill with
+# the OLDEST r10-gated queries in their r10 gate order
+# (embedding_near_dup .. ann_incremental). Behind the gate window sit
+# the freshest blocks: everything r11 gated and the youngest r10-gated
+# queries; full-surface evidence for those is the committed
+# full-registry vanilla oracle run on this round's final HEAD
+# (ORACLE_FULL_r12.txt).
+_R12_FRONT = [
+    # last gated r9 (stalest; r9 gate order):
+    "session_stats", "sliding_hourly", "value_percentiles",
+    "revenue_rollup", "revenue_by_nation", "top_brands",
+    "interval_join_shipments", "cdc_route_kafka", "cdc_route_hbase",
+    "keyword_top100", "keyword_top100_zh", "text_quality",
+    "text_repetition", "pii_scrub", "lang_id", "dedup_exact",
+    "dedup_jaccard", "dedup_jaccard_prefix", "similarity_topk",
+    # oldest 31 of the r10-gated block, r10 gate order:
+    "embedding_near_dup", "multimodal_decode", "multimodal_frames",
+    "asof_latest_order", "sample_hash_revenue", "sample_stratified_docs",
+    "corpus_curation", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "similarity_lsh_topk", "similarity_ivf_topk",
+    "q22_global_sales_opportunity", "unigram_lm", "source_overlap",
+    "embedding_outliers", "revenue_mom", "ts_motif_topk", "sax_motifs",
+    "substring_dedup_hotgram", "q17_small_quantity_revenue",
+    "q19_discount_revenue", "q20_excess_shipments_suppliers",
+    "q21_waiting_suppliers", "q2_min_cost_supplier", "q11_important_parts",
+    "q12_late_priority_lines", "q16_supplier_part_distribution",
+    "multimodal_header_scan", "revenue_trailing_7d", "ann_incremental",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _R12_FRONT if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in _R12_FRONT},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _R12_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in _R12_FRONT},
+}

@@ -1498,9 +1498,12 @@ def _backlog_stats(
             parts = [p for p in rel.split("/") if p]
             if any(part.startswith(("_", ".")) for part in parts):
                 continue
-            if glob is not None and parts and not fnmatch.fnmatch(
-                parts[-1], glob
-            ):
+            # basename glob applies UNCONDITIONALLY (ADVICE r11): when
+            # src_dir points at a single file the rel slice is empty and
+            # the old `and parts` guard skipped the filter, counting a
+            # file the reader's pathGlobFilter would exclude
+            name = parts[-1] if parts else os.path.basename(base_uri)
+            if glob is not None and not fnmatch.fnmatch(name, glob):
                 continue
             total += int(st.getLen())
             n_files += 1

@@ -37,6 +37,8 @@ already outgrew memory mid-task.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,6 +102,16 @@ _BASE_PARTITIONS_KEY = "spark.gmall.graft.baseShufflePartitions"
 # lower-toward-base behavior stomped manual mid-session raises).
 _LAST_SIZED_KEY = "spark.gmall.graft.lastSizedShufflePartitions"
 
+# Guards every read-modify-write over the shared session conf below
+# (ADVICE r11): _apply_partitions writes the live conf and _LAST_SIZED_KEY
+# as two sets; a concurrent stream's session_base_partitions landing
+# between them would see live != last and permanently adopt the hook's
+# sized value as the session base — the exact ratchet VERDICT r9 #4
+# removed, reinstated in the concurrent-foreachBatch scenario (callbacks
+# run on separate driver threads). RLock: restore_base_partitions calls
+# session_base_partitions + _apply_partitions under one critical section.
+_CONF_LOCK = threading.RLock()
+
 
 def session_base_partitions(spark: SparkSession) -> int:
     """The session's BASE ``spark.sql.shuffle.partitions`` — the value it
@@ -117,19 +129,23 @@ def session_base_partitions(spark: SparkSession) -> int:
     set it manually since our last write — that manual value is adopted
     as the NEW base, so later derivations floor at it instead of
     reverting it. Only hook-ratcheted values are ever released back."""
-    v = spark.conf.get(_BASE_PARTITIONS_KEY, None)
-    live = spark.conf.get("spark.sql.shuffle.partitions")
-    if v is None:
-        spark.conf.set(_BASE_PARTITIONS_KEY, live)
-        return int(live)
-    last = spark.conf.get(_LAST_SIZED_KEY, None)
-    # live differs from what the hooks last wrote (or from the stamped
-    # base when no hook has written yet): an external write — adopt it
-    if (last is not None and live != last) or (last is None and live != v):
-        spark.conf.set(_BASE_PARTITIONS_KEY, live)
-        spark.conf.set(_LAST_SIZED_KEY, live)
-        return int(live)
-    return int(v)
+    with _CONF_LOCK:
+        v = spark.conf.get(_BASE_PARTITIONS_KEY, None)
+        live = spark.conf.get("spark.sql.shuffle.partitions")
+        if v is None:
+            spark.conf.set(_BASE_PARTITIONS_KEY, live)
+            return int(live)
+        last = spark.conf.get(_LAST_SIZED_KEY, None)
+        # live differs from what the hooks last wrote (or from the
+        # stamped base when no hook has written yet): an external
+        # write — adopt it
+        if (last is not None and live != last) or (
+            last is None and live != v
+        ):
+            spark.conf.set(_BASE_PARTITIONS_KEY, live)
+            spark.conf.set(_LAST_SIZED_KEY, live)
+            return int(live)
+        return int(v)
 
 
 def _apply_partitions(spark: SparkSession, parts: int) -> int:
@@ -140,12 +156,15 @@ def _apply_partitions(spark: SparkSession, parts: int) -> int:
     (the lazy-plan caveat this buys into is documented on
     :func:`auto_shuffle_partitions`). Records what it wrote in
     ``_LAST_SIZED_KEY`` so :func:`session_base_partitions` can tell a
-    hook write from a user's manual write."""
-    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if parts != current:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    spark.conf.set(_LAST_SIZED_KEY, str(parts))
-    return parts
+    hook write from a user's manual write. Holds ``_CONF_LOCK`` so the
+    live write and the stamp are atomic against a concurrent thread's
+    adoption check (ADVICE r11)."""
+    with _CONF_LOCK:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if parts != current:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        spark.conf.set(_LAST_SIZED_KEY, str(parts))
+        return parts
 
 
 def restore_base_partitions(spark: SparkSession) -> int:
@@ -156,8 +175,10 @@ def restore_base_partitions(spark: SparkSession) -> int:
     sized value and re-impose it after A's finally ran; restoring to the
     base is idempotent and order-independent). Goes through
     :func:`session_base_partitions` first, so a manual raise during the
-    batch is adopted as the new base rather than stomped."""
-    return _apply_partitions(spark, session_base_partitions(spark))
+    batch is adopted as the new base rather than stomped; the read and
+    the write share one ``_CONF_LOCK`` critical section."""
+    with _CONF_LOCK:
+        return _apply_partitions(spark, session_base_partitions(spark))
 
 
 def estimate_parquet_bytes(spark: SparkSession, *paths: str) -> int:

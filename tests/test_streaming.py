@@ -2234,3 +2234,12 @@ def test_backlog_stats_glob_and_relative_path(spark, tmp_path):
     assert not os.path.isabs(rel)
     rel_total, rel_n = _backlog_stats(spark, rel, glob="*.parquet")
     assert (rel_total, rel_n) == (total_pq, n_pq)
+
+    # src_dir pointing at a SINGLE FILE (ADVICE r11): the rel slice is
+    # empty there, and the pre-fix `and parts` guard skipped the glob —
+    # counting a file the stream's pathGlobFilter would exclude
+    sidecar = str(src / "sidecar.bin")
+    t_match, n_match = _backlog_stats(spark, sidecar, glob="*.bin")
+    assert (t_match, n_match) == (1_000_000, 1)
+    t_miss, n_miss = _backlog_stats(spark, sidecar, glob="*.parquet")
+    assert (t_miss, n_miss) == (0, 0)

@@ -16,6 +16,26 @@ Prints one JSON line:
   {"batch_rows": R, "batches": N,
    "indexed": [t0..tN-1], "rebuild": [t0..tN-1]}
 Expected shape: "indexed" stays ~flat; "rebuild" grows with batch number.
+
+``--span`` / ``--span-crossover`` are MEASUREMENT harnesses for the two
+index-probe plans and deliberately FORCE each arm's plan, bypassing the
+stream's ``SPAN_BCAST_MAX_BATCH_BYTES`` scan-bytes gate (ADVICE r11) —
+the gate's own value is what the crossover sweep measures, so the
+forced-broadcast arm at a large batch is the measured failure direction,
+not a production path. Do not point ``--span`` at an unbounded backlog:
+its batches are ``--batch-rows``-bounded by construction here, and the
+production entry (``start_incremental_span_scrub_stream``) keeps the
+"auto" gate for exactly this reason.
+
+``--span-crossover`` (VERDICT r11 #3): seed a LARGE gram index
+(``--index-reps`` salted replicas of the documents table), then sweep
+probe-batch sizes (``--sweep-mb``) under both plans, calling the batch
+function exactly as the stream wires it (sizing hook + _read_ingest_ref
++ incremental_span_scrub + cleaned/grams writes + base restore). Output:
+  {"index_bytes": B, "index_ghs": G, "sweep": [
+    {"mb": M, "batch_bytes": b, "shuffle": [...], "broadcast": [...]}]}
+The crossover (where the broadcast arm stops winning) sets
+``SPAN_BCAST_MAX_BATCH_BYTES``.
 """
 
 from __future__ import annotations
@@ -35,6 +55,153 @@ from gmall_flink_yb_spark.session import get_spark
 from gmall_flink_yb_spark.sources.readers import read_table
 
 ID_STRIDE = 1_000_000_000
+
+
+def span_crossover(spark, args) -> None:
+    """Measure the shuffle-vs-broadcast probe-plan crossover in batch
+    size against a corpus-scale gram index (see module docstring)."""
+    from gmall_flink_yb_spark import tuning as _tuning
+    from gmall_flink_yb_spark.functions.cacheutil import release_cache
+    from gmall_flink_yb_spark.functions.ngrams import incremental_span_scrub
+    from gmall_flink_yb_spark.streaming.pipelines import _read_ingest_ref
+
+    base = read_table(spark, args.sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    index_dir = os.path.join(args.out, "index")
+
+    # --- seed the index: R salted replicas' distinct grams, one job.
+    # Per-replica token salt keeps cross-replica grams disjoint (the
+    # index grows linearly, like a real novel-content ingest); partition
+    # by a gh hash bucket — _read_ingest_ref only needs SOME
+    # ingest_batch partitioning, and distinct-within-partition matches
+    # what compact_ingest_index leaves behind.
+    reps = spark.range(args.index_reps).select(F.col("id").alias("_r"))
+    big = base.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("_r") * ID_STRIDE).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"([a-zA-Z0-9]+)"),
+            F.concat(F.lit("$1i"), F.col("_r").cast("string")),
+        ).alias("text"),
+    )
+    _, ghs = incremental_span_scrub(
+        spark.createDataFrame([], "gh string"),
+        big,
+        "doc_id",
+        "text",
+        hot_gram_guard=False,
+        auto_partitions=max(32, args.index_reps),
+    )
+    (
+        ghs.withColumn(
+            "ingest_batch",
+            F.pmod(F.xxhash64("gh"), F.lit(args.index_reps)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(index_dir)
+    )
+    index_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(index_dir)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    index_ghs = spark.read.parquet(index_dir).count()
+    print(
+        f"# index seeded: {index_bytes / 1e6:.0f} MB, {index_ghs} ghs",
+        file=sys.stderr,
+    )
+
+    # --- sweep probe-batch sizes under both plans
+    sweep = []
+    for mb in [float(s) for s in args.sweep_mb.split(",")]:
+        # k fresh-salted replicas ~ target compressed MB (documents
+        # parquet is ~0.6 MB per replica at sf0.1); report actual bytes
+        k = max(1, round(mb / 0.6))
+        preps = spark.range(k).select(F.col("id").alias("_r"))
+        probe = base.crossJoin(preps).select(
+            (F.col("doc_id") + F.col("_r") * ID_STRIDE).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"([a-zA-Z0-9]+)"),
+                F.concat(F.lit("$1p"), F.col("_r").cast("string")),
+            ).alias("text"),
+        )
+        batch_dir = os.path.join(args.out, f"batch_{mb}")
+        probe.write.mode("overwrite").parquet(batch_dir)
+        batch_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(batch_dir)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        times: dict[str, list[float]] = {"shuffle": [], "broadcast": []}
+        scratch = os.path.join(args.out, "scratch")
+        for _ in range(args.reps):
+            for arm_name, arm in (("shuffle", False), ("broadcast", True)):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                incoming = spark.read.parquet(batch_dir).persist()
+                cleaned = None
+                failed = False
+                try:
+                    _tuning.auto_shuffle_partitions_for_batch(
+                        incoming, _tuning.GRAM_EXPANSION, "text"
+                    )
+                    seen = _read_ingest_ref(
+                        spark, index_dir, 10**9, ["gh"], "gh string"
+                    )
+                    cleaned, grams = incremental_span_scrub(
+                        seen,
+                        incoming.select("doc_id", "text"),
+                        "doc_id",
+                        "text",
+                        hot_gram_guard=False,
+                        broadcast_incoming=arm,
+                    )
+                    cleaned.write.mode("overwrite").parquet(
+                        os.path.join(scratch, "cleaned")
+                    )
+                    grams.write.mode("overwrite").parquet(
+                        os.path.join(scratch, "grams")
+                    )
+                except Exception as exc:  # a forced-broadcast blowup IS
+                    # a data point: the failure boundary the gate guards
+                    failed = True
+                    print(
+                        f"# {mb} MB {arm_name} FAILED: "
+                        f"{type(exc).__name__}: {str(exc)[:200]}",
+                        file=sys.stderr,
+                    )
+                finally:
+                    if cleaned is not None:
+                        release_cache(cleaned)
+                    incoming.unpersist()
+                    _tuning.restore_base_partitions(spark)
+                times[arm_name].append(
+                    None if failed else round(time.time() - t0, 2)
+                )
+                print(
+                    f"# {mb} MB ({batch_bytes / 1e6:.1f} actual) "
+                    f"{arm_name}: {times[arm_name][-1]:.2f}s",
+                    file=sys.stderr,
+                )
+        sweep.append(
+            {"mb": mb, "batch_bytes": batch_bytes, **times}
+        )
+    print(
+        json.dumps(
+            {
+                "index_bytes": index_bytes,
+                "index_ghs": index_ghs,
+                "sweep": sweep,
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(args.out, ignore_errors=True)
 
 
 def main() -> None:
@@ -64,10 +231,24 @@ def main() -> None:
         "the worst case for the per-batch index probe the pipeline claims "
         "is flat-ish",
     )
+    ap.add_argument(
+        "--span-crossover", action="store_true",
+        help="sweep probe-batch sizes under both span index-probe plans "
+        "against a large seeded index (VERDICT r11 #3); see module "
+        "docstring",
+    )
+    ap.add_argument("--index-reps", type=int, default=100)
+    ap.add_argument("--sweep-mb", default="1,4,16,64")
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     spark = get_spark("bench-ingest")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.span_crossover:
+        shutil.rmtree(args.out, ignore_errors=True)
+        os.makedirs(args.out, exist_ok=True)
+        span_crossover(spark, args)
+        return
     from gmall_flink_yb_spark.streaming.pipelines import (
         read_file_stream,
         start_incremental_ann_stream,
