@@ -1423,12 +1423,20 @@ def merged_hll_uv(spark: SparkSession, sketch_dir: str) -> DataFrame:
     )
 
 
-# largest file-backed micro-batch (compressed scan bytes) whose distinct
-# gram set still broadcasts comfortably: ~1 MB of parquet text is ~3 MB
-# raw ~ 500k tokens ~ 500k distinct grams x ~56 B of md5-hex row = ~28 MB
-# — half the session's 64 MB adaptive-broadcast budget. Above this the
-# scrub keeps its shuffle plan (see incremental_span_scrub).
-SPAN_BCAST_MAX_BATCH_BYTES = 1 << 20
+# largest file-backed micro-batch (compressed scan bytes) that takes the
+# broadcast index-probe plan; above this the scrub keeps its shuffle
+# plan (see incremental_span_scrub). MEASURED r12 (VERDICT r11 #3,
+# tools/bench_ingest.py --span-crossover; BASELINE.md round-12 table):
+# batch-size sweep against a 735 MB / 22.5M-gh index, min-of-3 per arm —
+# broadcast wins 1.51x at 1.2 MB and 1.21x at 4.1 MB, reaches parity at
+# 7.6 MB, loses 1.40x at 11.8 MB and 1.49x at 15.9 MB, and at 68.6 MB
+# runs 3x slower then dies in TorrentBroadcast (the ~28 MB of broadcast
+# grams per compressed MB estimate held: the crossover lands where the
+# gram set outgrows the 64 MB adaptive-broadcast budget). 4 MB is the
+# deepest measured point where broadcast still clearly wins — a full
+# doubling below the measured parity point, 3x below the measured-loss
+# boundary (the r11 1 MB value was the same estimate, unmeasured).
+SPAN_BCAST_MAX_BATCH_BYTES = 4 << 20
 
 # post-parquet heap footprint of one in-flight backfill chunk relative to
 # its on-disk bytes, with safety margin: the batch persists
@@ -1543,6 +1551,14 @@ def backfill_corpus(
     semantics (a dup pair split across chunks keeps the first copy —
     exactly what the same documents arriving in separate micro-batches
     would do), so the helper changes batching, never the contract.
+    Pinned consequence (VERDICT r11 #5): kept_tokens is MONOTONE
+    NON-DECREASING in chunk count — within a chunk the rule is
+    remove-all, across chunks keep-first, so every extra boundary can
+    only preserve first copies — and the spread is bounded by the
+    first-copy tokens of the cross-chunk dup spans (measured ~2.2%
+    at the 5M-doc tier: 241.9M @ 2 chunks -> 247.2M @ 8;
+    monotonicity pytest on a constructed fixture in
+    tests/test_streaming.py).
     Returns the started availableNow query; callers ``awaitTermination``
     it like any other backfill. ``stream_kwargs`` pass through to
     ``start_stream`` (corpus_dir/checkpoint_dir/index_dir/...);

@@ -2173,6 +2173,92 @@ def test_backfill_corpus_chunks_match_single_batch(spark, tmp_path):
     assert got_single[2] == ("p0 q0 r0 s0 t0 u0", 6)
 
 
+def test_backfill_chunk_count_monotone_kept_tokens(spark, tmp_path):
+    """The chunk-invariance contract (VERDICT r11 #5, option b):
+    ``backfill_corpus`` output DOES depend on chunk count when dup pairs
+    cross chunk boundaries — within a chunk the batch rule is remove-all
+    (every occurrence cut), across chunks it is keep-first (the earlier
+    chunk's copy is already written) — and the dependence is pinned, not
+    papered over: kept_tokens is MONOTONE NON-DECREASING in chunk count,
+    and the spread is exactly the first-copy tokens the keep-first
+    boundary semantics preserve. (At the 5M-doc tier the measured spread
+    is ~2.2%, monotone: BASELINE.md round-11/12.)
+
+    Fixture: 4 files; files 0, 2, 3 share one trigram phrase (3 tokens),
+    each file carries 3 unique tokens besides.
+    - 1 chunk: remove-all cuts all 3 occurrences -> kept 6+3+3+3 = 15
+    - 2 chunks ({0,1}, {2,3}): file 0's copy is alone in its chunk and
+      survives; files 2,3 cut (within-batch + index) -> 18
+    - 4 chunks: file 0's copy survives; 2,3 cut via the index -> 18
+    """
+    from gmall_flink_yb_spark.streaming.pipelines import backfill_corpus
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        start_incremental_span_scrub_stream,
+    )
+
+    src = tmp_path / "mono_backlog"
+    src.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    shared = "s1 s2 s3"
+    for i in range(4):
+        text = (
+            f"{shared} u{i}a u{i}b u{i}c" if i != 1
+            else f"v1a v1b v1c u1a u1b u1c"
+        )
+        stage = tmp_path / f"mono_stage_{i}"
+        spark.createDataFrame([(i + 1, text)], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(stage / part, src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    total = sum(
+        os.path.getsize(src / f) for f in os.listdir(src)
+    )
+    kept = {}
+    for label, max_bytes in (
+        ("c1", total * 2), ("c2", total // 2), ("c4", 1)
+    ):
+        q = backfill_corpus(
+            spark,
+            str(src),
+            schema,
+            start_incremental_span_scrub_stream,
+            glob="*.parquet",
+            max_bytes_per_batch=max_bytes,
+            corpus_dir=str(tmp_path / f"mono_corpus_{label}"),
+            checkpoint_dir=str(tmp_path / f"mono_ckpt_{label}"),
+            index_dir=str(tmp_path / f"mono_idx_{label}"),
+            n=3,
+        )
+        q.awaitTermination(300)
+        corpus = spark.read.parquet(str(tmp_path / f"mono_corpus_{label}"))
+        kept[label] = corpus.agg(F.sum("kept_tokens")).first()[0]
+    # monotone non-decreasing in chunk count
+    assert kept["c1"] <= kept["c2"] <= kept["c4"], kept
+    # the exact fixture arithmetic from the docstring
+    assert kept["c1"] == 15 and kept["c2"] == 18 and kept["c4"] == 18, kept
+    # spread = exactly one surviving copy of the shared 3-token span
+    assert kept["c4"] - kept["c1"] == 3
+
+
+def test_span_bcast_gate_inside_measured_band():
+    """The broadcast-probe gate must stay inside the r12 measured band
+    (BASELINE.md round-12 crossover table): broadcast clearly wins at
+    4.1 MB, parity at 7.6 MB, loses from 11.8 MB, OOM-capable at
+    68.6 MB — the constant belongs in [measured-win, parity]."""
+    from gmall_flink_yb_spark.streaming.pipelines import (
+        SPAN_BCAST_MAX_BATCH_BYTES,
+    )
+
+    assert (1 << 20) <= SPAN_BCAST_MAX_BATCH_BYTES <= (8 << 20)
+
+
 def test_backfill_chunk_derivation(spark, tmp_path):
     """The default chunk size derives from the configured JVM heap
     (min of driver/executor) over BACKFILL_HEAP_PER_CHUNK_BYTE, and the
