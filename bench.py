@@ -195,6 +195,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
+                # compact canary [pre_fault, pre_copy, post_fault,
+                # post_copy] GB/s — ~50 B, fits the ~2000-char tail
+                # budget (full-line form at 119 queries is 1559 B); the
+                # labeled form lives in BENCH_FULL.json
+                "tide": [
+                    full["tide"]["pre"]["fault_in_gbps"],
+                    full["tide"]["pre"]["copy_gbps"],
+                    full["tide"]["post"]["fault_in_gbps"],
+                    full["tide"]["post"]["copy_gbps"],
+                ],
                 "queries": {legend[k]: round(v, 2) for k, v in timings.items()},
             },
             separators=(",", ":"),

@@ -1565,6 +1565,18 @@ def backfill_corpus(
     ``hot_gram_guard=True`` stays worth enabling on the scrub stream for
     giant chunks (measured 1.71x on the 32 g one-batch drain, parity at
     micro-batch scale).
+
+    Probe-plan interaction (measured, r12 grid in BASELINE.md): the
+    scrub stream's broadcast index probe stays gated OFF at chunk scale
+    because the batch-gram broadcast scales with chunk bytes and kills
+    the BroadcastExchange build (~28 MB of gram rows per compressed MB:
+    32 MB chunks fail "Not enough memory to build and broadcast" at
+    both 2 g and 3 g heaps). The same grid confirms the r11 attribution
+    of the mid-tier small-chunk OOM floor to the accumulated-index
+    shuffle probe: with ``broadcast_incoming=True`` forced, 8 MB chunks
+    drain green at HALF the shuffle plan's measured heap floor (2 g vs
+    4 g) at ~1.6x the wall — a documented escape hatch for severely
+    heap-constrained drains, not the default.
     """
     total, n_files = _backlog_stats(spark, src_dir, glob)
     if max_bytes_per_batch is None:

@@ -27,13 +27,15 @@ def test_short_keys_unique_and_deterministic():
 
 def test_final_bench_line_fits_driver_tail():
     legend = short_keys(list(QUERIES))
-    # worst-case value widths: 6 chars (e.g. 123.45) per query
+    # worst-case value widths: 6 chars (e.g. 123.45) per query; the
+    # tide canary (r12) adds 4 GB/s readings
     line = json.dumps(
         {
             "metric": "total_query_seconds",
             "value": 12345.67,
             "unit": "sec",
             "sf": 0.1,
+            "tide": [12.34, 12.34, 12.34, 12.34],
             "queries": {legend[k]: 123.45 for k in QUERIES},
         },
         separators=(",", ":"),

@@ -149,6 +149,7 @@ def run_arm(args) -> dict:
         "backlog_bytes": total,
         "n_files": n_files,
         "max_bytes_per_batch": chunk_budget if chunk_budget else "derived",
+        "broadcast_incoming": args.broadcast,
     }
     try:
         q = backfill_corpus(
@@ -162,6 +163,12 @@ def run_arm(args) -> dict:
             checkpoint_dir=os.path.join(work, "ckpt"),
             index_dir=os.path.join(work, "index"),
             n=8,
+            # --broadcast (VERDICT r11 #4): force the broadcast index
+            # probe at backfill-chunk scale — the mid-tier small-chunk
+            # OOM floor was attributed to the per-batch probe of the
+            # ACCUMULATED index, exactly the term the broadcast plan
+            # removes; this arm tests whether the gate should widen
+            broadcast_incoming=True if args.broadcast else "auto",
         )
         q.awaitTermination()
         wall = round(time.time() - t0, 1)
@@ -208,6 +215,11 @@ def main() -> None:
         help="explicit chunk budget bytes; 0 = whole backlog, one "
         "batch; -1 = let backfill_corpus DERIVE the chunk from the JVM "
         "heap (the production default — the VERDICT r10 #8 proof arm)",
+    )
+    ap.add_argument(
+        "--broadcast", action="store_true",
+        help="force broadcast_incoming=True for every chunk (the "
+        "VERDICT r11 #4 re-calibration arm)",
     )
     args = ap.parse_args()
     if args.build:
