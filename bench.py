@@ -71,10 +71,25 @@ def tide_probe() -> dict[str, float]:
         np.copyto(b, a)
         np.copyto(a, b)
         copy_s = time.perf_counter() - t0
+        # CPU leg (r12 drift watch): the memory legs alone proved
+        # insufficient — a memory-healthy window still carried a ~13%
+        # single-thread wall-clock floor shift (BASELINE.md round-12
+        # drift watch). sha256 over an already-faulted 128 MB slice is
+        # single-thread, cache-resident C code: pure cycles-available,
+        # no memory-path confound. Reference reading 1.26-1.31 GB/s in
+        # the r12 watch window (which itself ran ~1.13x the r8-quiet
+        # single-thread floor — no quieter baseline exists to cite);
+        # interpret future readings relative to that band.
+        import hashlib
+
+        t0 = time.perf_counter()
+        hashlib.sha256(memoryview(a)[: size // 2]).digest()
+        sha_s = time.perf_counter() - t0
         del a, b
         return {
             "fault_in_gbps": round(size / fault_s / 1e9, 2),
             "copy_gbps": round(2 * size / copy_s / 1e9, 2),
+            "cpu_sha_gbps": round((size // 2) / sha_s / 1e9, 2),
         }
 
     # a process's FIRST full-size probe pays ~100x one-off setup even
@@ -195,15 +210,18 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
-                # compact canary [pre_fault, pre_copy, post_fault,
-                # post_copy] GB/s — ~50 B, fits the ~2000-char tail
-                # budget (full-line form at 119 queries is 1559 B); the
-                # labeled form lives in BENCH_FULL.json
+                # compact canary [pre_fault, pre_copy, pre_sha,
+                # post_fault, post_copy, post_sha] GB/s — ~70 B, fits
+                # the ~2000-char tail budget (full-line form at 119
+                # queries is 1559 B); the labeled form lives in
+                # BENCH_FULL.json
                 "tide": [
                     full["tide"]["pre"]["fault_in_gbps"],
                     full["tide"]["pre"]["copy_gbps"],
+                    full["tide"]["pre"]["cpu_sha_gbps"],
                     full["tide"]["post"]["fault_in_gbps"],
                     full["tide"]["post"]["copy_gbps"],
+                    full["tide"]["post"]["cpu_sha_gbps"],
                 ],
                 "queries": {legend[k]: round(v, 2) for k, v in timings.items()},
             },

@@ -35,7 +35,7 @@ def test_final_bench_line_fits_driver_tail():
             "value": 12345.67,
             "unit": "sec",
             "sf": 0.1,
-            "tide": [12.34, 12.34, 12.34, 12.34],
+            "tide": [12.34, 12.34, 12.34, 12.34, 12.34, 12.34],
             "queries": {legend[k]: 123.45 for k in QUERIES},
         },
         separators=(",", ":"),
