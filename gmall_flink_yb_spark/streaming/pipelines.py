@@ -899,11 +899,23 @@ def start_incremental_span_scrub_stream(
     hot_gram_guard: bool = False,
     auto_partitions: bool | int = True,
     broadcast_incoming: bool | str = "auto",
+    within_batch: bool = True,
+    frozen_index: bool = False,
 ) -> StreamingQuery:
     """Exact substring dedup over a document stream (Lee et al. 2022,
     incremental form): each batch's documents are scrubbed of every
     maximal span whose n-grams repeat within the batch or were seen in any
     earlier batch, then written CLEANED to ``corpus_dir/ingest_batch=N``.
+
+    ``within_batch``/``frozen_index`` (r12, the :func:`exact_span_backfill`
+    machinery): ``within_batch=False`` drops the repeat-within-batch rule
+    (only index membership cuts — the surgical mode of
+    ``incremental_span_scrub``). ``frozen_index=True`` treats ``index_dir``
+    as a PRECOMPUTED read-only gram set: the whole directory is read as
+    the reference for every batch (plain parquet, schema pinned to
+    ``gh string`` so an empty set round-trips) and the per-batch gram
+    append is skipped — the index never grows, so batch outputs are
+    independent of batch order and count.
 
     ``hot_gram_guard`` defaults OFF here, unlike the batch operator: the
     occurrence window partitions by the BATCH's grams, so its worst
@@ -982,9 +994,16 @@ def start_incremental_span_scrub_stream(
                 text_col,
                 auto_partitions=auto_partitions,
             )
-            seen = _read_ingest_ref(
-                spark, index_dir, batch_id, ["gh"], "gh string"
-            )
+            if frozen_index:
+                # precomputed read-only gram set: every batch probes the
+                # SAME reference; a missing/empty set is a usage error
+                # upstream, so no PATH_NOT_FOUND fallback here — but the
+                # pinned schema lets a zero-row set (no part files) read
+                seen = spark.read.schema("gh string").parquet(index_dir)
+            else:
+                seen = _read_ingest_ref(
+                    spark, index_dir, batch_id, ["gh"], "gh string"
+                )
             if broadcast_incoming == "auto":
                 # file-backed AND small: the broadcast of the batch's
                 # distinct grams stays far under the adaptive-broadcast
@@ -1000,15 +1019,17 @@ def start_incremental_span_scrub_stream(
                 id_col,
                 text_col,
                 n=n,
+                within_batch=within_batch,
                 hot_gram_guard=hot_gram_guard,
                 broadcast_incoming=bcast,
             )
             cleaned.write.mode("overwrite").parquet(
                 os.path.join(corpus_dir, f"ingest_batch={batch_id}")
             )
-            batch_grams.write.mode("overwrite").parquet(
-                os.path.join(index_dir, f"ingest_batch={batch_id}")
-            )
+            if not frozen_index:
+                batch_grams.write.mode("overwrite").parquet(
+                    os.path.join(index_dir, f"ingest_batch={batch_id}")
+                )
         finally:
             # the hatch (when enabled) persists the batch's gram stream;
             # release in finally (ADVICE r8): a failed/interrupted batch
@@ -1558,7 +1579,10 @@ def backfill_corpus(
     first-copy tokens of the cross-chunk dup spans (measured ~2.2%
     at the 5M-doc tier: 241.9M @ 2 chunks -> 247.2M @ 8;
     monotonicity pytest on a constructed fixture in
-    tests/test_streaming.py).
+    tests/test_streaming.py). When the output must be INDEPENDENT of
+    the chunking (reproducibility across differently-sized boxes), use
+    :func:`exact_span_backfill` — chunk-invariant by construction, at
+    one extra corpus pass.
     Returns the started availableNow query; callers ``awaitTermination``
     it like any other backfill. ``stream_kwargs`` pass through to
     ``start_stream`` (corpus_dir/checkpoint_dir/index_dir/...);
@@ -1593,3 +1617,98 @@ def backfill_corpus(
         max_files_per_trigger=max_files, glob=glob,
     )
     return start_stream(spark, stream, **stream_kwargs)
+
+
+def exact_span_backfill(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    dup_gram_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    fmt: str = "parquet",
+    glob: str | None = None,
+    max_bytes_per_batch: int | None = None,
+    auto_partitions: bool | int = True,
+) -> StreamingQuery:
+    """Heap-bounded backfill with EXACT batch-operator semantics — the
+    chunk-INVARIANT drain (VERDICT r11 #5, option a, upgraded from the
+    r12-pinned monotone contract): output is provably equal to
+    ``remove_dup_spans`` over the whole corpus for ANY chunking, where
+    :func:`backfill_corpus` over the normal scrub stream keeps the first
+    copy of every chunk-boundary-straddling dup (kept_tokens monotone in
+    chunk count, ~2.2% spread at the 5M-doc tier).
+
+    Two phases, both distributed and partition-sized:
+
+    1. **Global dup-gram set** ``D = {gh : corpus occurrence count >= 2}``
+       — one batch aggregation over the backlog (gram explode ->
+       partial-aggregated count per md5 gram -> filter), written to
+       ``dup_gram_dir``. No document persist, no occurrence window, no
+       position column: the shuffle carries (gh, partial count) rows
+       only, so the pass is partition-bound, not heap-bound.
+    2. **Frozen surgical drain** — :func:`backfill_corpus` over the
+       scrub stream with ``within_batch=False`` + ``frozen_index=True``:
+       each heap-bounded chunk cuts exactly the positions whose gram is
+       in ``D``, appends nothing, remembers nothing.
+
+    Equality argument (pytest-asserted on a fixture at 1/2/4-chunk
+    drains): the batch operator's dup set is positions whose gram count
+    over the corpus is > 1 (``_windowed_dup_positions`` with no seen
+    index); phase 2 cuts positions whose gram is in ``D`` — the same
+    set by construction. Identical dup positions -> identical islands
+    (``_island_spans``) -> identical cuts, and since every chunk probes
+    the same frozen ``D`` and per-chunk results are per-document, the
+    chunking cannot appear in the output.
+
+    Cost contract vs the normal drain: one extra pass over the corpus
+    (the gram count) and a per-chunk membership probe against ``D``
+    (corpus-scale, shuffle plan — the broadcast gate stays off at
+    backfill chunk sizes by measurement). A BOUNDED 2-pass backfill
+    cost, not a steady-state ingest term: for steady-state the normal
+    incremental stream's keep-first semantics remain the right
+    asymptote (admitted text is immutable). Use this form when a
+    backfill's output must not depend on the node's heap-derived chunk
+    count — e.g. reproducing a dataset across differently-sized boxes.
+    """
+    from gmall_flink_yb_spark import tuning as _tuning
+    from gmall_flink_yb_spark.functions.ngrams import _gram_positions
+
+    reader = spark.read.format(fmt).schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    docs = reader.load(src_dir)
+    try:
+        _tuning.auto_shuffle_partitions_inputs(
+            [(docs, _tuning.GRAM_EXPANSION)], auto_partitions
+        )
+        (
+            _gram_positions(docs.select(id_col, text_col), id_col, text_col, n)
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .select("gh")
+            .write.mode("overwrite")
+            .parquet(dup_gram_dir)
+        )
+    finally:
+        _tuning.restore_base_partitions(spark)
+    return backfill_corpus(
+        spark,
+        src_dir,
+        schema,
+        start_incremental_span_scrub_stream,
+        fmt=fmt,
+        glob=glob,
+        max_bytes_per_batch=max_bytes_per_batch,
+        corpus_dir=corpus_dir,
+        checkpoint_dir=checkpoint_dir,
+        index_dir=dup_gram_dir,
+        n=n,
+        within_batch=False,
+        frozen_index=True,
+        auto_partitions=auto_partitions,
+    )

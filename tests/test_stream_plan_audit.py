@@ -197,3 +197,25 @@ def test_span_scrub_batch_plan(spark, stream_dirs, bcast):
         assert "BroadcastHashJoin" in joined and "LeftSemi" in joined, (
             "broadcast arm must probe the index via broadcast semi-join"
         )
+
+
+def test_span_scrub_frozen_surgical_batch_plan(spark, stream_dirs):
+    """The exact_span_backfill chunk body (r12): frozen dup-gram set,
+    ``within_batch=False`` — membership semi-join only, no occurrence
+    window, same non-negotiables."""
+    incoming = spark.read.parquet(stream_dirs["docs_b1"])
+    seen = spark.read.schema("gh string").parquet(
+        os.path.join(stream_dirs["gh_index"], "ingest_batch=0")
+    )
+    cleaned, _ = incremental_span_scrub(
+        seen, incoming.select("doc_id", "text"), "doc_id", "text",
+        within_batch=False, hot_gram_guard=False,
+    )
+    joined = _audit("span_scrub frozen surgical", cleaned)
+    # the surgical mode must cut by membership: no gh-partitioned
+    # occurrence-count window (the doc_id-partitioned island-merge
+    # windows of _island_spans are legitimate and remain)
+    assert "windowspecdefinition(gh" not in joined, (
+        "surgical mode must cut by membership, not an occurrence window"
+    )
+    assert "LeftSemi" in joined, "membership probe must be a semi-join"

@@ -2329,3 +2329,117 @@ def test_backlog_stats_glob_and_relative_path(spark, tmp_path):
     assert (t_match, n_match) == (1_000_000, 1)
     t_miss, n_miss = _backlog_stats(spark, sidecar, glob="*.parquet")
     assert (t_miss, n_miss) == (0, 0)
+
+
+def test_exact_span_backfill_chunk_invariant(spark, tmp_path):
+    """The chunk-INVARIANT drain (VERDICT r11 #5, option a):
+    ``exact_span_backfill`` equals the batch operator
+    ``remove_dup_spans`` over the whole corpus at EVERY chunking — on
+    the same cross-chunk fixture whose normal-drain output provably
+    varies with chunk count (the monotone test above: 15 vs 18 kept).
+
+    Fixture: 4 files; files 0, 2, 3 share one trigram phrase, each file
+    carries 3 unique tokens besides. remove-all cuts all three copies:
+    kept = 6 + 3 + 3 + 3 = 15 regardless of chunk count."""
+    from gmall_flink_yb_spark.functions.ngrams import remove_dup_spans
+    from gmall_flink_yb_spark.streaming.pipelines import exact_span_backfill
+
+    src = tmp_path / "exact_backlog"
+    src.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    shared = "s1 s2 s3"
+    for i in range(4):
+        text = (
+            f"{shared} u{i}a u{i}b u{i}c" if i != 1
+            else "v1a v1b v1c u1a u1b u1c"
+        )
+        stage = tmp_path / f"exact_stage_{i}"
+        spark.createDataFrame([(i + 1, text)], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(stage / part, src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    total = sum(os.path.getsize(src / f) for f in os.listdir(src))
+
+    expected = {
+        r["doc_id"]: (r["clean_text"], r["kept_tokens"])
+        for r in remove_dup_spans(
+            spark.read.schema(schema).parquet(str(src)),
+            "doc_id", "text", n=3,
+        ).collect()
+    }
+    assert sum(v[1] for v in expected.values()) == 15
+
+    for label, max_bytes in (
+        ("e1", total * 2), ("e2", total // 2), ("e4", 1)
+    ):
+        q = exact_span_backfill(
+            spark,
+            str(src),
+            schema,
+            corpus_dir=str(tmp_path / f"exact_corpus_{label}"),
+            checkpoint_dir=str(tmp_path / f"exact_ckpt_{label}"),
+            dup_gram_dir=str(tmp_path / f"exact_dupg_{label}"),
+            glob="*.parquet",
+            max_bytes_per_batch=max_bytes,
+            n=3,
+        )
+        q.awaitTermination(300)
+        corpus = spark.read.parquet(str(tmp_path / f"exact_corpus_{label}"))
+        got = {
+            r["doc_id"]: (r["clean_text"], r["kept_tokens"])
+            for r in corpus.collect()
+        }
+        assert got == expected, (label, got)
+    # the e4 drain really ran chunked
+    assert (
+        spark.read.parquet(str(tmp_path / "exact_corpus_e4"))
+        .select("ingest_batch").distinct().count() == 4
+    )
+
+
+def test_exact_span_backfill_no_dups(spark, tmp_path):
+    """Empty dup-gram set round-trip: a corpus with no repeated n-gram
+    writes a ZERO-ROW frozen reference (no parquet part files) — the
+    pinned-schema read must come back empty, not error, and every
+    document survives untouched."""
+    from gmall_flink_yb_spark.streaming.pipelines import exact_span_backfill
+
+    src = tmp_path / "nodup_backlog"
+    src.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    for i in range(2):
+        stage = tmp_path / f"nodup_stage_{i}"
+        spark.createDataFrame(
+            [(i + 1, f"w{i}a w{i}b w{i}c w{i}d")], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(stage / part, src / f"{i:02d}.parquet")
+        os.utime(
+            src / f"{i:02d}.parquet",
+            (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+        )
+    q = exact_span_backfill(
+        spark,
+        str(src),
+        schema,
+        corpus_dir=str(tmp_path / "nodup_corpus"),
+        checkpoint_dir=str(tmp_path / "nodup_ckpt"),
+        dup_gram_dir=str(tmp_path / "nodup_dupg"),
+        glob="*.parquet",
+        max_bytes_per_batch=1,
+        n=3,
+    )
+    q.awaitTermination(300)
+    corpus = spark.read.parquet(str(tmp_path / "nodup_corpus"))
+    rows = {r["doc_id"]: r["kept_tokens"] for r in corpus.collect()}
+    assert rows == {1: 4, 2: 4}
+    assert corpus.agg(F.sum("dup_tokens")).first()[0] == 0

@@ -53,6 +53,7 @@ from gmall_flink_yb_spark.session import get_spark  # noqa: E402
 from gmall_flink_yb_spark.streaming.pipelines import (  # noqa: E402
     _backlog_stats,
     backfill_corpus,
+    exact_span_backfill,
     start_incremental_span_scrub_stream,
 )
 
@@ -150,26 +151,44 @@ def run_arm(args) -> dict:
         "n_files": n_files,
         "max_bytes_per_batch": chunk_budget if chunk_budget else "derived",
         "broadcast_incoming": args.broadcast,
+        "exact": args.exact,
     }
     try:
-        q = backfill_corpus(
-            spark,
-            src,
-            _SCHEMA,
-            start_incremental_span_scrub_stream,
-            glob="*.parquet",
-            max_bytes_per_batch=chunk_budget,
-            corpus_dir=os.path.join(work, "corpus"),
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            index_dir=os.path.join(work, "index"),
-            n=8,
-            # --broadcast (VERDICT r11 #4): force the broadcast index
-            # probe at backfill-chunk scale — the mid-tier small-chunk
-            # OOM floor was attributed to the per-batch probe of the
-            # ACCUMULATED index, exactly the term the broadcast plan
-            # removes; this arm tests whether the gate should widen
-            broadcast_incoming=True if args.broadcast else "auto",
-        )
+        if args.exact:
+            # --exact (r12): the chunk-invariant two-pass drain — global
+            # dup-gram set, then a frozen surgical drain; heap profile
+            # differs from the normal drain (no accumulated index, but a
+            # corpus-sized frozen probe from chunk 1)
+            q = exact_span_backfill(
+                spark,
+                src,
+                _SCHEMA,
+                glob="*.parquet",
+                max_bytes_per_batch=chunk_budget,
+                corpus_dir=os.path.join(work, "corpus"),
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                dup_gram_dir=os.path.join(work, "dupg"),
+                n=8,
+            )
+        else:
+            q = backfill_corpus(
+                spark,
+                src,
+                _SCHEMA,
+                start_incremental_span_scrub_stream,
+                glob="*.parquet",
+                max_bytes_per_batch=chunk_budget,
+                corpus_dir=os.path.join(work, "corpus"),
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                index_dir=os.path.join(work, "index"),
+                n=8,
+                # --broadcast (VERDICT r11 #4): force the broadcast index
+                # probe at backfill-chunk scale — the mid-tier small-chunk
+                # OOM floor was attributed to the per-batch probe of the
+                # ACCUMULATED index, exactly the term the broadcast plan
+                # removes; this arm tests whether the gate should widen
+                broadcast_incoming=True if args.broadcast else "auto",
+            )
         q.awaitTermination()
         wall = round(time.time() - t0, 1)
         kept = (
@@ -215,6 +234,11 @@ def main() -> None:
         help="explicit chunk budget bytes; 0 = whole backlog, one "
         "batch; -1 = let backfill_corpus DERIVE the chunk from the JVM "
         "heap (the production default — the VERDICT r10 #8 proof arm)",
+    )
+    ap.add_argument(
+        "--exact", action="store_true",
+        help="run the chunk-invariant exact_span_backfill two-pass "
+        "drain instead of the normal keep-first drain (r12)",
     )
     ap.add_argument(
         "--broadcast", action="store_true",
