@@ -141,7 +141,14 @@ def learn_bpe(
             pat = f" {pair} "
             rep = " " + pair.replace(" ", "") + " "
             for _ in range(passes_per_merge):
-                w = w.withColumn("r", F.regexp_replace("r", pat, rep))
+                # literal replace, not regexp_replace: the pattern is
+                # literal text (symbols are [a-z0-9] + spaces), and
+                # StringReplace's leftmost non-overlapping scan is
+                # exactly java.util.regex's global replace on a literal
+                # (equality checked on overlapping-run edge cases) —
+                # without the per-row Matcher machinery (guide §1.2
+                # "per-task work": cheaper expression, same result)
+                w = w.withColumn("r", F.replace("r", F.lit(pat), F.lit(rep)))
     finally:
         base.unpersist()
     return spark.createDataFrame(
@@ -202,7 +209,11 @@ def apply_bpe(
             pat = f" {pair} "
             rep = " " + pair.replace(" ", "") + " "
             for _ in range(passes_per_merge):
-                out = out.withColumn("r", F.regexp_replace("r", pat, rep))
+                # literal replace == regexp_replace on a literal pattern
+                # (see learn_bpe), minus the regex engine per row per pass
+                out = out.withColumn(
+                    "r", F.replace("r", F.lit(pat), F.lit(rep))
+                )
     else:
         reps = [
             (f" {p} ", " " + p.replace(" ", "") + " ") for p in merge_pairs

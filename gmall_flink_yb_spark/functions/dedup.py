@@ -39,8 +39,23 @@ from gmall_flink_yb_spark.functions.text import doc_fingerprint
 from gmall_flink_yb_spark.operators.keywords import tokenize
 
 
-def _truncate_lineage(df: DataFrame) -> tuple[DataFrame, "RDDCacheHandle | None"]:
+def _truncate_lineage(
+    df: DataFrame, eager: bool = True
+) -> tuple[DataFrame, "RDDCacheHandle | None"]:
     """Materialize ``df`` and truncate its lineage, durably when possible.
+
+    ``eager=False`` (localCheckpoint path only) marks the plan for
+    checkpointing without launching the materializing job: the CALLER's
+    next action over the returned frame computes, persists, and truncates
+    in ONE job instead of two (guide §1.2's "don't compute things twice"
+    applied to driver round-trips — measured one saved job per loop round
+    in the CC family). Only safe when that next action (a) runs before
+    any previous round's blocks are freed and (b) touches every
+    partition (an agg/broadcast does; a take(1) would leave the fill-in
+    to ``doCheckpoint``'s backfill job, losing the saving). The reliable-
+    checkpoint path stays eager: ``checkpoint(eager=False)`` would write
+    files only when consumed, but the persist-then-write dance below
+    needs the blocks materialized to avoid a double compute.
 
     Returns ``(truncated_df, handle)`` where ``handle`` releases the
     localCheckpoint blocks backing the result (None on the reliable-
@@ -74,7 +89,7 @@ def _truncate_lineage(df: DataFrame) -> tuple[DataFrame, "RDDCacheHandle | None"
         out = cached.checkpoint(eager=True)
         cached.unpersist()
         return out, None
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     handle = None
     try:
         # the checkpointed plan is a LogicalRDD wrapping exactly the RDD
@@ -197,8 +212,12 @@ def ngram_jaccard_pairs(
     """
     _auto_size_shingle(df, auto_partitions)
     # persisted: read 3x (sizes + both join sides); at production scale this
-    # inverted index would be checkpointed to a table
-    toks = shingle_rows(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # inverted index would be checkpointed to a table. Narrow form: the
+    # consumers re-key by token, so the doc_id-window formulation's
+    # exchange+sort would be dead weight (see shingle_rows_narrow).
+    toks = shingle_rows_narrow(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -279,33 +298,76 @@ def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
     prefix = ranked.filter(F.col("rnk") <= prefix_len).select(
         "doc_id", "token", "set_size", "rnk"
     )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
     # overlap requirement: J >= t  <=>  inter >= t/(1+t) * (|A|+|B|)
     alpha = F.ceil(
         F.lit(t_eff)
         / F.lit(1.0 + t_eff)
         * (F.col("size_a") + F.col("size_b"))
     )
+    # Candidate generation via groupBy(token) + in-group pair expansion,
+    # NOT a prefix-vs-prefix self-join (r12 optimization). The self-join
+    # form planned the ENTIRE ranked-prefix subtree (toks ⋈ df + the
+    # ranking window) twice — AQE never reused the exchanges across the
+    # join's two sides (0 ReusedExchange in the executed plan,
+    # plans/r12/dedup_jaccard_prefix_before.txt), so candidate generation
+    # paid 2x the prefix-build cost at any scale. Grouping each token's
+    # prefix postings into one sorted array and expanding (i < j) pairs
+    # with a codegen'd explode visits the same (token, pair) set exactly
+    # once per shared prefix token — the downstream (pair) aggregate and
+    # positional filter are unchanged, so the output is provably
+    # identical (test_jaccard_prefix_equals_exact; oracle unchanged).
+    # Skew bound is the join's own: a token with d prefix postings makes
+    # d(d-1)/2 pair rows either way, colocated on the token's partition
+    # in both forms, and the PPJoin prefix property keeps d small (hot
+    # boilerplate ranks last and never enters a prefix —
+    # test_hot_shingle_generates_no_prefix_candidates).
+    # array_sort on (doc_id, set_size, rnk) structs orders by doc_id
+    # (unique within a token group), so j > i gives id_a < id_b for free.
+    grouped = (
+        prefix.groupBy("token")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "set_size", "rnk"))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") >= 2)
+    )
+    # J >= t forces min(|A|,|B|) >= t*max(|A|,|B|) — pruned inside the
+    # expansion so the exploded row count matches the join's output
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("_ms"), i + F.lit(2), F.size("_ms")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+                lambda p: (
+                    p["a"]["set_size"]
+                    >= F.lit(t_eff) * p["b"]["set_size"]
+                )
+                & (
+                    p["b"]["set_size"]
+                    >= F.lit(t_eff) * p["a"]["set_size"]
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
-            & (F.col("a.set_size") >= F.lit(t_eff) * F.col("b.set_size"))
-            & (F.col("b.set_size") >= F.lit(t_eff) * F.col("a.set_size")),
+        grouped.select(F.explode(pair_structs).alias("_p"))
+        .select(
+            F.col("_p.a.doc_id").alias("id_a"),
+            F.col("_p.b.doc_id").alias("id_b"),
+            F.col("_p.a.set_size").alias("size_a"),
+            F.col("_p.b.set_size").alias("size_b"),
+            F.col("_p.a.rnk").alias("_ra"),
+            F.col("_p.b.rnk").alias("_rb"),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
-        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(
             F.count(F.lit(1)).alias("_pref_inter"),
-            F.max(F.col("a.rnk")).alias("_la"),
-            F.max(F.col("b.rnk")).alias("_lb"),
+            F.max(F.col("_ra")).alias("_la"),
+            F.max(F.col("_rb")).alias("_lb"),
         )
         .filter(
             F.col("_pref_inter")
@@ -349,7 +411,9 @@ def jaccard_prefix_pairs(
     test and by the driver's DuckDB oracle (same SQL as dedup_jaccard).
     """
     _auto_size_shingle(df, auto_partitions)
-    toks = shingle_rows(df, id_col, text_col, n).persist(
+    # narrow form: candidates group by token, verification by doc_id —
+    # neither consumes a doc_id pre-partitioning (see shingle_rows_narrow)
+    toks = shingle_rows_narrow(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cand = _jaccard_prefix_candidates(toks, threshold)
@@ -487,6 +551,44 @@ def jaccard_prefix_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+
+def shingle_rows_narrow(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct (doc_id, token) word n-gram shingle rows with ZERO
+    exchanges — the r12 formulation for consumers that re-key the rows
+    anyway (the Jaccard inverted-index family groups by token next, so
+    ``shingle_rows``'s doc_id exchange + sort + three window passes were
+    pure overhead for them; measured −0.5-2.0 s per query at sf0.1 and
+    one fewer corpus-wide shuffle at any scale).
+
+    Same output contract as ``shingle_rows`` (equality pytest-asserted,
+    including truncated-shingle and empty-doc edge cases): overlapping
+    n-grams come from one ``regexp_extract_all`` lookahead pass over the
+    re-joined token stream (``(?=(tok tok tok))tok ``— the classic
+    overlapping-match capture), per-doc distinct via ``array_distinct``
+    BEFORE the explode, so no global dropDuplicates aggregate is needed.
+
+    NOT used by the signature builders (MinHash/SimHash): their per-doc
+    aggregates consumed ``shingle_rows``'s doc_id partitioning for free,
+    and both the partial-agg and explicit-repartition rewrites measured
+    0.5-0.9 s SLOWER at sf0.1 (wide 64-column partial rows respectively
+    a second pass over the hashed rows) — see OPTIMIZATION_r12.md.
+    """
+    toks = F.filter(tokenize(F.col(text_col)), lambda t: F.length(t) > 0)
+    norm = F.array_join(toks, " ")
+    tok = "[^ ]+"
+    pat = f"(?=({' '.join([tok] * n)})){tok}(?: |$)"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    # docs shorter than n tokens yield their single truncated shingle
+    # (the whole normalized token stream); zero-token docs yield no rows
+    final = F.when(
+        (F.size(grams) == 0) & (F.length(norm) > 0), F.array(norm)
+    ).otherwise(grams)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"), final.alias("_g")
+    ).select("doc_id", F.explode(F.array_distinct("_g")).alias("token"))
+
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct (doc_id, token) word n-gram shingle rows — the scale path.
@@ -1158,7 +1260,10 @@ def connected_components(
             # long loops. One job per round either way; durable when a
             # checkpoint dir is set.
             )
-            new_labels, new_handle = _truncate_lineage(new_labels)
+            # lazy: the convergence agg below touches every partition, so
+            # it materializes + truncates this round in the SAME job —
+            # one driver round-trip per round instead of two
+            new_labels, new_handle = _truncate_lineage(new_labels, eager=False)
             changed = (
                 new_labels.agg(
                     F.sum(F.col("_changed").cast("long")).alias("c")
@@ -1338,7 +1443,9 @@ def connected_components_star(
                 j.where(F.col("l") != F.col("mn"))
                 .select(F.col("l").alias("h"), F.col("mn").alias("l"))
                 .union(j.select("h", F.col("mn").alias("l")))
-                .distinct()
+                .distinct(),
+                # lazy: the signature agg below materializes it in one job
+                eager=False,
             )
             sig_row = new_e.agg(
                 F.count(F.lit(1)).alias("n"),

@@ -77,6 +77,50 @@ def test_jaccard_prefix_equals_exact(spark, sf_dir, threshold):
     assert len(exact) > 0  # corpus has planted near-dups; test is not vacuous
 
 
+def test_shingle_rows_narrow_equals_window_form(spark, sf_dir):
+    """The r12 zero-exchange shingle formulation (regexp lookahead +
+    array_distinct, no doc_id window) must emit exactly the rows the
+    window formulation emits — on real corpus data at several n AND on
+    the documented edge cases (empty doc, whitespace-only, fewer tokens
+    than n -> one truncated shingle, repeated tokens, punctuation-only
+    separators, NULL text)."""
+    from gmall_flink_yb_spark.functions.dedup import (
+        shingle_rows,
+        shingle_rows_narrow,
+    )
+    from gmall_flink_yb_spark.sources.readers import read_table
+
+    corpus = read_table(spark, sf_dir, "documents")
+    for n in (2, 3, 5):
+        old = sorted(map(tuple, shingle_rows(
+            corpus, "doc_id", "text", n).collect()))
+        new = sorted(map(tuple, shingle_rows_narrow(
+            corpus, "doc_id", "text", n).collect()))
+        assert new == old
+        assert len(old) > 0
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "one"),
+            (4, "one two"),
+            (5, "one two three"),
+            (6, "a b c d"),
+            (7, "a a a a a"),
+            (8, "x!!y??z"),
+            (9, None),
+        ],
+        "doc_id long, text string",
+    )
+    old = sorted(map(tuple, shingle_rows(edge, "doc_id", "text", 3).collect()))
+    new = sorted(
+        map(tuple, shingle_rows_narrow(edge, "doc_id", "text", 3).collect())
+    )
+    assert new == old
+    # truncated shingles really are in the output (docs 3, 4)
+    assert (3, "one") in new and (4, "one two") in new
+
+
 def test_jaccard_prefix_mega_doc_capped(spark):
     """VERDICT r04 #3: a document whose shingle set exceeds
     ``verify_array_cap`` must be verified via the row-join fallback (its
