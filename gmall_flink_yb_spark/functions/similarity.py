@@ -1012,13 +1012,30 @@ def incremental_cosine_dedup_indexed(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (~F.col("b.inc") | (F.col("b.id") < F.col("a.id"))),
         )
-        .select(
-            F.col("a.id").alias("id"),
-            F.col("b.id").alias("m_id"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
-        )
+        # Dedup BARE (id, m_id) pairs, then re-attach vectors once per
+        # DISTINCT pair (r12; guide §8's "decide with small rows, move
+        # big rows once"). The r11 form shipped BOTH FULL VECTORS through
+        # the dropDuplicates exchange — measured 649 MB written + read
+        # from a 0.4 MB embeddings input at sf0.1 under 13 auto bands
+        # (78 s of the query's executor time), because every candidate
+        # OCCURRENCE (pair x colliding band) carried ~1 KB of payload.
+        # Scoring before the dedup instead is also wrong: the cosine is
+        # an interpreted sequential double fold (DuckDB bit-parity), so
+        # paying it per occurrence measured SLOWER than the shuffle it
+        # saved. This shape shuffles 16 B/occurrence, scores once per
+        # distinct pair (exactly as before, so results are unchanged),
+        # and re-attaches vectors with two joins AQE broadcasts when the
+        # vector tables are small; at scale they shuffle the corpus
+        # vectors ONCE instead of once per candidate occurrence.
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("m_id"))
         .dropDuplicates(["id", "m_id"])
+        .join(vi.select("id", F.col("vec").alias("vec_a")), "id")
+        .join(
+            right.select(
+                F.col("id").alias("m_id"), F.col("vec").alias("vec_b")
+            ).dropDuplicates(["m_id"]),
+            "m_id",
+        )
     )
     cos = F.round(
         _dot(F.col("vec_a"), F.col("vec_b"))
