@@ -28,6 +28,9 @@ from gmall_flink_yb_spark.operators.keywords import tokenize
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, n): corpus word-frequency table — the input BPE iterates on.
     One shuffle, with map-side partial counts."""
+    # no spread_file_scan: measured flat-to-slower for the BPE queries at
+    # sf0.1 (the word-count partial agg collapses the explode map-side,
+    # so the starved scan's output is already tiny when it shuffles)
     return (
         df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .filter(F.length("word") > 0)

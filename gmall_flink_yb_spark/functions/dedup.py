@@ -575,6 +575,10 @@ def shingle_rows_narrow(
     0.5-0.9 s SLOWER at sf0.1 (wide 64-column partial rows respectively
     a second pass over the hashed rows) — see OPTIMIZATION_r12.md.
     """
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    df = _tuning.spread_file_scan(df)  # tokenize+regexp is the heavy
+    # map side; a starved single-split scan would serialize it
     toks = F.filter(tokenize(F.col(text_col)), lambda t: F.length(t) > 0)
     norm = F.array_join(toks, " ")
     tok = "[^ ]+"
@@ -600,6 +604,12 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     for ``lead`` and the distinct. Docs shorter than n tokens yield their
     single truncated shingle (``concat_ws`` skips null leads); docs with no
     tokens yield no rows.
+
+    No spread_file_scan here (unlike shingle_rows_narrow): the signature
+    consumers measured flat-to-slower with it at sf0.1 — this form's own
+    doc_id exchange already spreads the rows one stage later, so the
+    extra round-robin exchange buys only the explode's parallelism and
+    costs a full pass of the rows.
     """
     w = Window.partitionBy("doc_id").orderBy("pos")
     toks = (

@@ -282,6 +282,9 @@ def _distinct_doc_grams(
     on — the same assumption the r11 gh-keyed groupBy form made when it
     merged rows by digest. Measured min 1.45 s vs 1.95 s (old shuffle
     form) vs 6.76 s (md5-in-lambda) on span_dup at sf0.1."""
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    df = _tuning.spread_file_scan(df)
     return (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -362,6 +365,9 @@ def _gram_positions(
     hashed to md5 hex so downstream shuffles carry 32 bytes per gram."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    df = _tuning.spread_file_scan(df)
     return (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),

@@ -60,13 +60,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle truncates identically via epoch_ns(ts)//1000.
     """
     _ensure_read_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             # naive wall-clock == UTC instant under the forced UTC session TZ
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NOT repartitioned here: a blanket post-read spread measured NEGATIVE
+    # for most consumers (one extra exchange + AQE round-trip ~0.2 s, and
+    # join queries pay a full extra shuffle of base rows) — the spread is
+    # an OPERATOR-ENTRY decision instead (tuning.spread_file_scan), taken
+    # only by operators whose scan-to-first-exchange work is heavy
+    # (tokenize/explode/decode); see OPTIMIZATION_r12.md.
     return df
 
 

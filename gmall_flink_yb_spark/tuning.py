@@ -228,6 +228,48 @@ def size_shuffle_partitions(
     return _apply_partitions(spark, parts)
 
 
+# spread_file_scan gate: below this on-disk size a starved scan stays
+# single-task — the narrow work on so few bytes finishes faster than the
+# round-robin exchange's fixed cost (A/B'd at sf0.1: light consumers lost
+# ~0.2 s to a blanket spread; see OPTIMIZATION_r12.md "scan starvation")
+SPREAD_SCAN_MIN_BYTES = 256 << 10
+
+
+def spread_file_scan(df: DataFrame) -> DataFrame:
+    """Round-robin the rows of a PARALLELISM-STARVED file scan across the
+    session's cores (guide §2.5: "one huge unsplittable file ...
+    repartition immediately after the read") — the operator-entry spread
+    for operators whose scan-to-first-exchange work is heavy per byte
+    (tokenize/explode/regexp/decode). Single-file single-row-group
+    layouts cap a parquet scan at one task however many cores the
+    session has, serializing the whole map side; the repartition moves
+    the scan output once and every downstream narrow stage parallelizes.
+    Catalyst still pushes filters and column pruning below the
+    repartition into the scan.
+
+    No-op (plan unchanged) whenever: the frame is not file-backed, the
+    backing files are under SPREAD_SCAN_MIN_BYTES, or the layout already
+    yields >= defaultParallelism splits — i.e. on any healthy production
+    table this does nothing; it only repairs layouts the split planner
+    cannot parallelize. NOT wired into read_table: a blanket spread
+    measured NEGATIVE for light consumers (joins pay an extra full
+    shuffle of base rows; sub-second queries pay the exchange + AQE
+    round-trip); each heavy operator opts in at entry, the same
+    placement philosophy as auto_shuffle_partitions (VERDICT r8 #1).
+    """
+    size = input_file_bytes(df)
+    if size is None or size < SPREAD_SCAN_MIN_BYTES:
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target)
+
+
 def input_file_bytes(df: DataFrame) -> int | None:
     """On-disk bytes of the files backing ``df``'s plan — driver-side
     metadata only, no Spark job. ``None`` when the frame has no file

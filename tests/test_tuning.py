@@ -448,3 +448,47 @@ def test_manual_conf_write_adopted_as_base(spark, tmp_path):
         spark.conf.set(tuning._BASE_PARTITIONS_KEY, str(base))
         spark.conf.set(tuning._LAST_SIZED_KEY, str(before))
         spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+
+def test_spread_file_scan_gates_and_identity(spark, tmp_path):
+    """r12 scan-starvation spread: repartitions a big single-file scan to
+    defaultParallelism, is a NO-OP (plan unchanged) for non-file frames,
+    small files, and already-parallel scans, and never changes rows."""
+    import pyspark.sql.functions as F
+
+    from gmall_flink_yb_spark import tuning
+
+    # non-file frame: no-op, same plan object semantics
+    local = spark.range(100).withColumn("t", F.lit("x"))
+    assert tuning.spread_file_scan(local) is local
+
+    # small file (< SPREAD_SCAN_MIN_BYTES): no-op
+    small = str(tmp_path / "small.parquet")
+    spark.range(10).write.parquet(small)
+    sdf = spark.read.parquet(small)
+    assert tuning.spread_file_scan(sdf) is sdf
+
+    # big single-file scan: spread to defaultParallelism, rows identical
+    big = str(tmp_path / "big.parquet")
+    spark.range(200_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("txt")
+    ).coalesce(1).write.parquet(big)
+    bdf = spark.read.parquet(big)
+    n_before = bdf.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    spread = tuning.spread_file_scan(bdf)
+    if n_before < target:
+        assert spread is not bdf
+        assert spread.rdd.getNumPartitions() == target
+    assert sorted(map(tuple, spread.collect())) == sorted(
+        map(tuple, bdf.collect())
+    )
+
+    # already-parallel layout: no-op (write enough files to cover cores)
+    many = str(tmp_path / "many.parquet")
+    spark.range(200_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("txt")
+    ).repartition(target).write.parquet(many)
+    mdf = spark.read.parquet(many)
+    if mdf.rdd.getNumPartitions() >= target:
+        assert tuning.spread_file_scan(mdf) is mdf
