@@ -156,9 +156,20 @@ def main() -> None:
     # execution; the median only removes load-spike noise.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     tide_pre = tide_probe()
+    # mid-run canary (r12): a pre/post-only canary misses a tide dip in
+    # the MIDDLE of the sweep — measured: a run with healthy endpoint
+    # canaries carried two contiguous registry stretches of 2-3.4x
+    # slowdowns on code-untouched queries (OPTIMIZATION_r12.md). Probe
+    # every _TIDE_MID_EVERY queries; the readings go into
+    # BENCH_FULL.json only (the driver-parsed tail line keeps its fixed
+    # 6-float pre/post contract).
+    tide_mid: list[dict[str, float]] = []
+    _TIDE_MID_EVERY = 30
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    for name, fn in QUERIES.items():
+    for qi, (name, fn) in enumerate(QUERIES.items()):
+        if qi and qi % _TIDE_MID_EVERY == 0:
+            tide_mid.append({"after_query_index": qi, **tide_probe()})
         samples: list[float] = []
         for _ in range(runs):
             spark.catalog.clearCache()
@@ -187,7 +198,7 @@ def main() -> None:
         # across rounds only when both artifacts' canary bands overlap
         # the healthy reference band (BASELINE.md round-12); otherwise
         # compare per-query minima against the per-query history
-        "tide": {"pre": tide_pre, "post": tide_probe()},
+        "tide": {"pre": tide_pre, "mid": tide_mid, "post": tide_probe()},
     }
     legend = short_keys(list(timings))
     try:

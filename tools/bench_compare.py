@@ -36,18 +36,24 @@ _LEGS = ("fault_in_gbps", "copy_gbps", "cpu_sha_gbps")
 
 
 def _leg_intervals(artifact: dict) -> dict[str, tuple[float, float]] | None:
-    """Pooled [lo, hi] per canary leg from an artifact's pre+post
-    readings; None when the artifact carries no canary (pre-r12) or
-    lacks a leg (the cpu leg arrived after the memory legs)."""
+    """Pooled [lo, hi] per canary leg from an artifact's pre + mid +
+    post readings; None when the artifact carries no canary (pre-r12)
+    or lacks a leg (the cpu leg arrived after the memory legs). Mid-run
+    probes (r12, `tide.mid`) matter: a pre/post-only pool certified a
+    run whose MIDDLE carried a 2-3.4x tide dip — pooling the mid
+    readings widens the interval and mechanically blocks
+    total-to-total comparison for such runs."""
     tide = artifact.get("tide")
     if not isinstance(tide, dict):
         return None
+    sides = [tide.get("pre"), tide.get("post")]
+    mid = tide.get("mid")
+    if isinstance(mid, list):
+        sides.extend(mid)
     out: dict[str, tuple[float, float]] = {}
     for leg in _LEGS:
         vals = [
-            tide[side][leg]
-            for side in ("pre", "post")
-            if isinstance(tide.get(side), dict) and leg in tide[side]
+            s[leg] for s in sides if isinstance(s, dict) and leg in s
         ]
         if not vals:
             return None
