@@ -897,6 +897,12 @@ def source_overlap(
     """
     from pyspark import StorageLevel
 
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    # spread a parallelism-starved scan before the tokenize/explode/md5
+    # map side (r12; the stage profile showed the gram build as a
+    # single 1 s task feeding the distinct exchange)
+    df = _tuning.spread_file_scan(df)
     # three consumers (sizes + both sides of the self-join): persist, or
     # the tokenize/shingle/md5/distinct subtree recomputes per consumer
     grams = (

@@ -327,7 +327,15 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    # q1 aggregates eight decimal columns over every lineitem row — the
+    # heaviest per-row map work of the TPC-H set; spreading a starved
+    # single-row-group scan measured min 2.41->2.00 s / med 5.67->2.99 s
+    # at sf0.1 (no-op on any multi-split layout). The lighter scans (q6,
+    # q14, q19) measured flat-to-slower with the same spread and stay
+    # unwired — see OPTIMIZATION_r12.md.
+    li = _tuning.spread_file_scan(read_table(spark, sf_dir, "lineitem"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
     # charge's true value has 6 decimal digits (2dp price x 2dp disc x 2dp
