@@ -148,11 +148,33 @@ def winnow_overlap_pairs(
             fps.join(counts.filter(F.col("_n") <= max_bucket), "fp")
             .select("doc_id", "fp")
         )
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    # groupBy(fp) + in-group pair expansion instead of a fingerprint
+    # self-join (r12; the PPJoin candidate fix applied here): the join's
+    # two sides each planned AND executed the whole unpersisted
+    # gram-window fingerprint subtree (no exchange reuse fired across
+    # self-join sides — see plans/r12/dedup_jaccard_prefix_before.txt
+    # for the family evidence). Grouping each fp's postings into one
+    # sorted array and exploding (i < j) pairs visits the same
+    # (fp, pair) multiset exactly once, so n_shared per pair — and the
+    # oracle hash — are unchanged. doc_id is unique within an fp group
+    # (fps is distinct (doc_id, fp)), so j > i gives id_a < id_b.
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_ds"))
+        .filter(F.size("_ds") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ds"), i + F.lit(2), F.size("_ds")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
