@@ -960,10 +960,19 @@ def incremental_cosine_dedup_indexed(
     n_planes: int = 8,
     dim: int = 64,
     broadcast_incoming: bool = False,
+    attach_vectors: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Embedding-level incremental near-dup admission against a
     PRECOMPUTED SRP band index — the vector-space analog of
     ``dedup.incremental_lsh_dedup_indexed``, sharing its contracts:
+
+    ``attach_vectors`` (r12): optional (id, vec) frame covering the
+    INDEX side's ids, used to re-attach match vectors to the deduped
+    candidate pairs. When the caller holds the raw vector table (the
+    in-plan wrapper does), passing it avoids the fallback — a
+    dropDuplicates over the per-BAND index rows, i.e. an exchange of
+    n_bands x the vector bytes. The fallback stays for callers that
+    only hold the banded index (the streaming admission path).
 
     - ``index_buckets`` is exactly ``srp_band_buckets`` output
       (id, vec, band, bucket) for every already-admitted vector — at
@@ -1030,13 +1039,22 @@ def incremental_cosine_dedup_indexed(
         .select(F.col("a.id").alias("id"), F.col("b.id").alias("m_id"))
         .dropDuplicates(["id", "m_id"])
         .join(vi.select("id", F.col("vec").alias("vec_a")), "id")
-        .join(
-            right.select(
-                F.col("id").alias("m_id"), F.col("vec").alias("vec_b")
-            ).dropDuplicates(["m_id"]),
-            "m_id",
-        )
     )
+    if attach_vectors is not None:
+        # caller-held raw vectors: ids are unique by the operator's
+        # contract, so no dedup exchange is needed; incoming ids (also
+        # valid m_ids for the in-batch greedy order) come from vi
+        m_side = attach_vectors.select(
+            F.col("id").cast("long").alias("m_id"),
+            _as_double(F.col("vec")).alias("vec_b"),
+        ).unionByName(
+            vi.select(F.col("id").alias("m_id"), F.col("vec").alias("vec_b"))
+        )
+    else:
+        m_side = right.select(
+            F.col("id").alias("m_id"), F.col("vec").alias("vec_b")
+        ).dropDuplicates(["m_id"])
+    cand = cand.join(m_side, "m_id")
     cos = F.round(
         _dot(F.col("vec_a"), F.col("vec_b"))
         / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
@@ -1127,6 +1145,9 @@ def incremental_cosine_dedup(
         n_planes=n_planes,
         dim=dim,
         broadcast_incoming=broadcast_incoming,
+        # this wrapper holds the raw existing-side vectors — re-attach
+        # from them instead of deduping the per-band index rows (r12)
+        attach_vectors=ve,
     )
     return verdicts
 
