@@ -332,36 +332,37 @@ def _jaccard_prefix_candidates(toks: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.size("_ms") >= 2)
     )
-    # J >= t forces min(|A|,|B|) >= t*max(|A|,|B|) — pruned inside the
-    # expansion so the exploded row count matches the join's output
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ms"),
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(F.col("_ms"), i + F.lit(2), F.size("_ms")),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-                lambda p: (
-                    p["a"]["set_size"]
-                    >= F.lit(t_eff) * p["b"]["set_size"]
-                )
-                & (
-                    p["b"]["set_size"]
-                    >= F.lit(t_eff) * p["a"]["set_size"]
-                ),
-            ),
-        )
-    )
+    # Two-stage explode (r13, ADVICE r12 — same shape as winnow): the
+    # r12 form flattened the whole d(d-1)/2 pair array of a token group
+    # into ONE row before exploding; the PPJoin prefix property keeps d
+    # small in practice, but a pathological token with a large prefix
+    # posting list still built its full pair array in a single row.
+    # posexplode to (i, a) rows, then explode each row's tail slice
+    # _ms[i+2..] and row-filter the J>=t size-ratio prune
+    # (min(|A|,|B|) >= t*max(|A|,|B|)) — the same pair multiset reaches
+    # the same aggregate (results identical; the prune moved from
+    # inside the array expansion to a streamed codegen'd row filter),
+    # but per-row state is O(d) instead of O(d^2). Both Generates are
+    # narrow — exchange count is unchanged.
     return (
-        grouped.select(F.explode(pair_structs).alias("_p"))
+        grouped.select("_ms", F.posexplode("_ms").alias("_i", "_a"))
         .select(
-            F.col("_p.a.doc_id").alias("id_a"),
-            F.col("_p.b.doc_id").alias("id_b"),
-            F.col("_p.a.set_size").alias("size_a"),
-            F.col("_p.b.set_size").alias("size_b"),
-            F.col("_p.a.rnk").alias("_ra"),
-            F.col("_p.b.rnk").alias("_rb"),
+            "_a",
+            F.explode(
+                F.slice(F.col("_ms"), F.col("_i") + F.lit(2), F.size("_ms"))
+            ).alias("_b"),
+        )
+        .filter(
+            (F.col("_a.set_size") >= F.lit(t_eff) * F.col("_b.set_size"))
+            & (F.col("_b.set_size") >= F.lit(t_eff) * F.col("_a.set_size"))
+        )
+        .select(
+            F.col("_a.doc_id").alias("id_a"),
+            F.col("_b.doc_id").alias("id_b"),
+            F.col("_a.set_size").alias("size_a"),
+            F.col("_b.set_size").alias("size_b"),
+            F.col("_a.rnk").alias("_ra"),
+            F.col("_b.rnk").alias("_rb"),
         )
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(

@@ -1051,9 +1051,17 @@ def incremental_cosine_dedup_indexed(
             vi.select(F.col("id").alias("m_id"), F.col("vec").alias("vec_b"))
         )
     else:
-        m_side = right.select(
-            F.col("id").alias("m_id"), F.col("vec").alias("vec_b")
-        ).dropDuplicates(["m_id"])
+        # one vec per m_id from the index∪incoming band rows. ids are
+        # unique across the two sides by the operator's contract, but a
+        # bare dropDuplicates would pick an ARBITRARY side's row if a
+        # caller ever violated it (ADVICE r12) — min_by on the inc flag
+        # prefers the INDEX side deterministically (band rows of one id
+        # within a side all carry the identical vec, so the remaining
+        # tie is value-free), making a contract violation degrade
+        # predictably instead of nondeterministically.
+        m_side = right.groupBy(F.col("id").alias("m_id")).agg(
+            F.min_by("vec", F.col("inc").cast("int")).alias("vec_b")
+        )
     cand = cand.join(m_side, "m_id")
     cos = F.round(
         _dot(F.col("vec_a"), F.col("vec_b"))

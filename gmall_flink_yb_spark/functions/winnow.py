@@ -163,18 +163,25 @@ def winnow_overlap_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("_ds"))
         .filter(F.size("_ds") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ds"), i + F.lit(2), F.size("_ds")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Two-stage explode (r13, VERDICT/ADVICE r12): the r12 form built
+    # the ENTIRE d(d-1)/2 pair array of a fingerprint group in one row
+    # (flatten over nested transform) before exploding — with the
+    # registered max_bucket=None a corpus-scale boilerplate fingerprint
+    # shared by d documents would materialize an O(d^2) in-memory array
+    # in a single task row (per-row buffer / 2^31-element limits).
+    # posexplode to (i, id_a) rows first, then explode each row's tail
+    # slice _ds[i+2..]: the same (i < j) pair multiset reaches the same
+    # downstream aggregate (results identical), but per-row state is
+    # O(d) and Generate streams the pairs. Both Generates are narrow —
+    # exchange count is unchanged.
     return (
-        grouped.select(F.explode(pair_structs).alias("_p"))
-        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        grouped.select("_ds", F.posexplode("_ds").alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ds"), F.col("_i") + F.lit(2), F.size("_ds"))
+            ).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -247,8 +247,9 @@ def spread_file_scan(df: DataFrame) -> DataFrame:
     Catalyst still pushes filters and column pruning below the
     repartition into the scan.
 
-    No-op (plan unchanged) whenever: the frame is not file-backed, the
-    backing files are under SPREAD_SCAN_MIN_BYTES, or the layout already
+    No-op (plan unchanged) whenever: the frame is not file-backed, its
+    plan is anything but a bare scan (+ Project/Filter), the backing
+    files are under SPREAD_SCAN_MIN_BYTES, or the layout already
     yields >= defaultParallelism splits — i.e. on any healthy production
     table this does nothing; it only repairs layouts the split planner
     cannot parallelize. NOT wired into read_table: a blanket spread
@@ -256,7 +257,18 @@ def spread_file_scan(df: DataFrame) -> DataFrame:
     shuffle of base rows; sub-second queries pay the exchange + AQE
     round-trip); each heavy operator opts in at entry, the same
     placement philosophy as auto_shuffle_partitions (VERDICT r8 #1).
+
+    The scan-only plan guard (ADVICE r12): the split-count probe below
+    goes through ``df.rdd``, and under AQE ``Dataset.rdd`` forces
+    ``getFinalPhysicalPlan`` — on a plan CONTAINING exchanges that
+    eagerly EXECUTES the intermediate shuffle stages at plan-build
+    time (hidden jobs before any action). The operator entry points
+    that call this accept arbitrary caller frames, so non-scan plans
+    are rejected up front; for a scan-only plan there is nothing to
+    execute and the probe is pure planning.
     """
+    if not _scan_only_plan(df):
+        return df
     size = input_file_bytes(df)
     if size is None or size < SPREAD_SCAN_MIN_BYTES:
         return df
@@ -268,6 +280,28 @@ def spread_file_scan(df: DataFrame) -> DataFrame:
     except Exception:
         return df
     return df.repartition(target)
+
+
+# analyzed-plan node names that keep a frame "a bare scan" for
+# spread_file_scan: projections/filters/aliases over a relation. Anything
+# else (Join/Generate/Aggregate/Repartition/Window/...) either multiplies
+# rows, already spreads them, or would make the df.rdd probe execute
+# upstream shuffle stages eagerly under AQE.
+_SPREAD_SCAN_NODES = ("Project", "Filter", "Relation", "SubqueryAlias", "View")
+
+
+def _scan_only_plan(df: DataFrame) -> bool:
+    """True iff every node of ``df``'s analyzed plan is a
+    Project/Filter/alias over a relation (see ``spread_file_scan``)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0]
+        if node and not node.startswith(_SPREAD_SCAN_NODES):
+            return False
+    return True
 
 
 def input_file_bytes(df: DataFrame) -> int | None:

@@ -492,3 +492,16 @@ def test_spread_file_scan_gates_and_identity(spark, tmp_path):
     mdf = spark.read.parquet(many)
     if mdf.rdd.getNumPartitions() >= target:
         assert tuning.spread_file_scan(mdf) is mdf
+
+    # non-scan plan over file sources (ADVICE r12): a frame with
+    # exchanges/joins must be rejected BEFORE the df.rdd split probe —
+    # under AQE that probe eagerly executes the plan's shuffle stages
+    # at plan-build time. Projections/filters/aliases stay eligible.
+    joined = bdf.join(bdf.select(F.col("id")), "id")
+    assert tuning.spread_file_scan(joined) is joined
+    agged = bdf.groupBy("txt").count()
+    assert tuning.spread_file_scan(agged) is agged
+    repart = bdf.repartition(4)
+    assert tuning.spread_file_scan(repart) is repart
+    projected = bdf.select("id", F.col("txt").alias("t")).filter("id > 10")
+    assert tuning._scan_only_plan(projected)
