@@ -128,6 +128,17 @@ def learn_bpe(
     ).persist()
     w = base
     merges: list[tuple[int, str, int]] = []
+    # per-step cache (r13): step s's argmax plan used to replay ALL
+    # s*passes accumulated replaces from the persisted base, so the six
+    # argmax jobs grew 0.12 -> 1.18 s task-for-task (profiled at sf0.1).
+    # Persisting each step's replaced vocab table makes step s+1 read
+    # step s's cache and apply only its own ``passes`` replaces — each
+    # iteration costs O(vocab), not O(step * vocab). The cache is
+    # vocab-sized (never corpus-sized); the previous step's blocks are
+    # freed only after the next argmax job has materialized its
+    # successor, and eviction merely falls back to lineage replay.
+    live: DataFrame | None = None  # materialized previous-step cache
+    pending: DataFrame | None = None  # persist marked, not yet computed
     try:
         for step in range(n_merges):
             best = (
@@ -137,6 +148,12 @@ def learn_bpe(
                 .orderBy(F.desc("cnt"), "pair")
                 .first()
             )
+            if pending is not None:
+                # this argmax job materialized `pending`; its
+                # predecessor's blocks are no longer read by anything
+                if live is not None:
+                    live.unpersist()
+                live, pending = pending, None
             if best is None:
                 break
             pair, cnt = best["pair"], int(best["cnt"])
@@ -152,8 +169,15 @@ def learn_bpe(
                 # without the per-row Matcher machinery (guide §1.2
                 # "per-task work": cheaper expression, same result)
                 w = w.withColumn("r", F.replace("r", F.lit(pat), F.lit(rep)))
+            if step < n_merges - 1:
+                w = w.persist()
+                pending = w
     finally:
         base.unpersist()
+        if live is not None:
+            live.unpersist()
+        if pending is not None:
+            pending.unpersist()
     return spark.createDataFrame(
         merges, "step int, pair string, n_occurrences long"
     )
@@ -190,6 +214,15 @@ def apply_bpe(
     pandas' non-regex ``str.replace`` is exactly Spark's leftmost
     non-overlapping literal replace — path equivalence pytest-asserted.
     """
+    from gmall_flink_yb_spark import tuning as _tuning
+
+    # the encode pass is the classic CPU-bound tokenizer map stage
+    # (len(merge_pairs) x passes replaces over every document); a
+    # starved single-split scan serializes it on one core (profiled:
+    # 1.2 s single-task at sf0.1). Same operator-entry placement as
+    # shingle_rows_narrow; no-op on healthy layouts. word_counts stays
+    # unspread (its partial agg collapses map-side — r12 measurement).
+    df = _tuning.spread_file_scan(df)
     toks = F.filter(
         tokenize(F.col(text_col)), lambda t: F.length(t) > 0
     )

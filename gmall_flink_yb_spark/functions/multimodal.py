@@ -339,7 +339,16 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     cancels in cosine similarity.
     Output feeds the similarity operators (brute_force_topk / lsh_bucket_topk)
     directly: media dedup by embedding is media -> extract_features ->
-    cosine_near_dup_pairs."""
+    cosine_near_dup_pairs.
+
+    No spread_file_scan at entry (r13, measured): on the starved
+    single-split driver layout the whole Arrow feature stage runs on one
+    core (~0.74 s at sf0.1 inside cosine_near_dup_pairs' sizing count),
+    but the repair measured NET-SLOWER (interleaved min 2.67 -> 3.11 s,
+    med 3.15 -> 3.98): the round-robin exchange + AQE round-trip plus
+    32x python-worker task launches on BOTH cached consumer sides cost
+    more than the one serialized feature pass saves. On healthy
+    multi-split layouts the stage parallelizes by itself."""
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proj = _feature_projection(dim)
