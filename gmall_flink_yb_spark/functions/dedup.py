@@ -645,11 +645,21 @@ def _mix(i: int) -> Column:
 
     One string hash pass instead of ``num_hashes`` (Carter-Wegman-style
     2-universal derivation) — pure long bit ops, fully codegen'd.
+
+    Built as ONE parsed SQL expression (r13): the Column-API form cost
+    ~20 py4j socket round-trips per member and the ``num_hashes``-member
+    listcomps dominated the MinHash family's PLAN-CONSTRUCTION wall
+    (profiled: 2.8 s of dedup_incremental's 3.4 s build was py4j I/O).
+    The parsed tree is the same Catalyst expression node for node, so
+    results and plans are unchanged.
     """
+    return F.expr(_mix_sql(i))
+
+
+def _mix_sql(i: int) -> str:
     if i == 0:
-        return F.col("h1").bitwiseXOR(F.col("h2"))
-    rot = F.shiftleft("h2", i).bitwiseOR(F.shiftrightunsigned("h2", 64 - i))
-    return F.col("h1").bitwiseXOR(rot)
+        return "(h1 ^ h2)"
+    return f"(h1 ^ (shiftleft(h2, {i}) | shiftrightunsigned(h2, {64 - i})))"
 
 
 def _portable_mix(i: int) -> Column:
@@ -659,14 +669,18 @@ def _portable_mix(i: int) -> Column:
     expressed as overflow-safe arithmetic ((h2 % 2^(60-i)) * 2^i + h2 div
     2^(60-i) stays < 2^60 < 2^63), so DuckDB — whose BIGINT ops error on
     overflow instead of wrapping — reproduces every member bit-for-bit:
-    xor(h1, (h2 % L) * S + h2 // L).
+    xor(h1, (h2 % L) * S + h2 // L). One parsed SQL expression per
+    member — see ``_mix`` for the py4j-construction rationale.
     """
+    return F.expr(_portable_mix_sql(i))
+
+
+def _portable_mix_sql(i: int) -> str:
     if i == 0:
-        return F.col("h1").bitwiseXOR(F.col("h2"))
+        return "(h1 ^ h2)"
     lo = 1 << (60 - i)
     hi = 1 << i
-    rot = (F.col("h2") % F.lit(lo)) * F.lit(hi) + F.expr(f"h2 div {lo}")
-    return F.col("h1").bitwiseXOR(rot)
+    return f"(h1 ^ (((h2 % {lo}) * {hi}) + (h2 div {lo})))"
 
 
 def recommended_minhash_bands(
@@ -774,22 +788,29 @@ def minhash_signatures(
             .cast("long")
             .alias("h2"),
         )
-        aggs = [F.min(_portable_mix(i)).alias(f"_m{i}") for i in range(num_hashes)]
+        # one parsed expression per member (see _mix: py4j construction
+        # cost dominated this family's plan-build wall)
+        aggs = [
+            F.expr(f"min({_portable_mix_sql(i)})").alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     else:
         hashed = shingles.select(
             "doc_id",
             F.xxhash64("token").alias("h1"),
             F.xxhash64("token", F.lit(1)).alias("h2"),
         )
-        aggs = [F.min(_mix(i)).alias(f"_m{i}") for i in range(num_hashes)]
+        aggs = [
+            F.expr(f"min({_mix_sql(i)})").alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    sig = F.expr(
+        "array(" + ",".join(f"_m{i}" for i in range(num_hashes)) + ")"
+    )
     return (
         hashed.groupBy("doc_id")
         .agg(*aggs, F.count(F.lit(1)).alias("n_shingles"))
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
-            "n_shingles",
-        )
+        .select("doc_id", sig.alias("sig"), "n_shingles")
     )
 
 
@@ -799,31 +820,29 @@ def band_buckets(
     """(doc_id, sig, band, bucket) — one row per signature band, bucket =
     hash of the band's signature slots. Docs sharing any (band, bucket) are
     LSH candidates. portable=md5 (DuckDB-reproducible via
-    md5(string_agg(sig, ',' ORDER BY i))); default xxhash64 (cheaper)."""
+    md5(string_agg(sig, ',' ORDER BY i))); default xxhash64 (cheaper).
 
-    def _bucket(b: int) -> Column:
-        slots = F.concat_ws(
-            ",",
-            *[
-                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)
-            ],
+    The whole banded explode is ONE parsed SQL expression (r13): the
+    per-band Column-API construction cost ~0.3-0.6 s of py4j round-trips
+    per call (see ``_mix``); the parsed tree is node-for-node the same
+    plan."""
+
+    def _bucket_sql(b: int) -> str:
+        slots = ", ".join(
+            f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
+            for r in range(rows_per_band)
         )
-        return F.md5(slots) if portable else F.xxhash64(slots).cast("string")
+        cw = f"concat_ws(',', {slots})"
+        return f"md5({cw})" if portable else f"cast(xxhash64({cw}) as string)"
 
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {_bucket_sql(b)})"
+        for b in range(bands)
+    )
     return sigs.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
 
@@ -1120,21 +1139,22 @@ def simhash_table(
         .filter(F.length("t") > 0)
         .select("doc_id", h.alias("h"))
     )
+    # parsed-SQL construction (r13): 64 per-bit agg Columns + the 64-term
+    # bit fold cost ~1 s of py4j round-trips per call (see _mix); the
+    # parsed trees are the same Catalyst expressions node for node
     aggs = [
-        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)).cast("long")).alias(
-            f"_b{i}"
-        )
+        F.expr(
+            f"sum(cast((shiftrightunsigned(h, {i}) & 1) as bigint))"
+        ).alias(f"_b{i}")
         for i in range(nbits)
     ]
     agg = hashed.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("_n"))
-    acc = None
-    for i in range(nbits):
-        bit = F.when(
-            F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        shifted = F.shiftleft(bit, i)
-        acc = shifted if acc is None else acc.bitwiseOR(shifted)
-    return agg.select("doc_id", acc.alias("sh"))
+    acc_sql = " | ".join(
+        f"shiftleft(case when (_b{i} * 2) > _n then cast(1 as bigint)"
+        f" else cast(0 as bigint) end, {i})"
+        for i in range(nbits)
+    )
+    return agg.select("doc_id", F.expr(f"({acc_sql})").alias("sh"))
 
 
 def connected_components(
