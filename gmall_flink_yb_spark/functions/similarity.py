@@ -349,15 +349,16 @@ def semantic_dedup(
     Scale design (100 TB):
     - Assignment is NARROW: the codebook is a model parameter (n_clusters
       rows); each row computes its nearest centroid in place — zero
-      shuffles, bit-identical to the oracle's sequential-fold cosine. At
-      or below ``max_folded_kdim`` (k*dim) the codebook folds into the
-      plan as literals (codegen'd struct-max); above it — SemDeDup-scale
-      codebooks, k = 10^4..10^5 — the literal payload would grow the plan
-      with a PARAMETER instead of the data (the r10 SRP-planes lesson),
-      so the codebook ships as ONE Arrow-built broadcast data row and the
-      argmax folds over it with higher-order functions. Both paths score
-      the same doubles in the same order (struct ordering == greatest
-      ordering), so assignments are identical — pytest-asserted.
+      shuffles, bit-identical to the oracle's sequential-fold cosine. The
+      codebook ships as ONE Arrow-built broadcast data row and the argmax
+      folds over it with higher-order functions at ANY k (r13): a plan is
+      O(1) in k*dim this way, where the former small-k literal fold cost
+      ~1.3 s of driver py4j construction per call at k=8, dim=64 — and a
+      SemDeDup-scale codebook (k = 10^4..10^5) would grow the plan with a
+      PARAMETER instead of the data (the r10 SRP-planes lesson). Both
+      historical paths score the same doubles in the same order (struct
+      ordering == greatest ordering) — pytest-asserted identical;
+      ``max_folded_kdim`` is accepted for API compatibility and ignored.
     - The pair search shuffles each row on (cluster_id, block-pair), then
       one GEMM per group scores its pairs (same engine as
       ``cosine_near_dup_pairs``). A cluster above ``max_cluster_rows`` is
@@ -376,55 +377,44 @@ def semantic_dedup(
     cent_rows = e.orderBy("id").limit(n_clusters).collect()
     if not cent_rows:
         raise ValueError("semantic_dedup: embeddings input is empty")
-    dim = len(cent_rows[0]["vec"])
-    if len(cent_rows) * dim <= max_folded_kdim:
-        # nearest centroid as a pure column expression: max over
-        # struct(cosine, -cid) picks highest cosine, then smallest cid on
-        # ties
-        best = F.greatest(
-            *[
-                F.struct(
-                    cosine(
-                        F.col("vec"),
-                        F.array(*[F.lit(float(x)) for x in r["vec"]]),
-                    ).alias("c"),
-                    F.lit(-int(r["id"])).cast("long").alias("nid"),
-                )
-                for r in cent_rows
-            ]
+    # codebook as ONE broadcast data row at ANY k (r13): the small-k
+    # k*dim-literal folded branch cost ~1.3 s of py4j round-trips PER
+    # CALL just to construct (the kmeans_clusters profile's twin —
+    # driver plan-build, not execution, was the wall) while this plan is
+    # O(1) in k*dim. The two paths were pytest-asserted identical since
+    # r10 (struct ordering == greatest ordering, same doubles in the
+    # same order), so the fold routes here unconditionally now;
+    # ``max_folded_kdim`` is retained for API compatibility and ignored.
+    # array_max over structs uses struct ordering = the same
+    # (cosine desc, -cid desc -> smallest cid) rule as greatest.
+    del max_folded_kdim
+    cents = _one_row_arrow_frame(
+        embeddings.sparkSession,
+        {
+            "_cent_ids": [int(r["id"]) for r in cent_rows],
+            "_cent_vecs": [
+                list(map(float, r["vec"])) for r in cent_rows
+            ],
+        },
+        "_cent_ids array<long>, "
+        "_cent_vecs array<array<double>>",
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_cent_vecs"),
+            lambda v, i: F.struct(
+                cosine(F.col("vec"), v).alias("c"),
+                (
+                    -F.element_at(F.col("_cent_ids"), i + 1)
+                ).cast("long").alias("nid"),
+            ),
         )
-        assigned_src = e.withColumn("cluster_id", -best["nid"])
-    else:
-        # codebook as ONE broadcast data row (constant-size plan in
-        # k*dim); array_max over structs uses struct ordering = the same
-        # (cosine desc, -cid desc -> smallest cid) rule as greatest
-        cents = _one_row_arrow_frame(
-            embeddings.sparkSession,
-            {
-                "_cent_ids": [int(r["id"]) for r in cent_rows],
-                "_cent_vecs": [
-                    list(map(float, r["vec"])) for r in cent_rows
-                ],
-            },
-            "_cent_ids array<long>, "
-            "_cent_vecs array<array<double>>",
-        )
-        best = F.array_max(
-            F.transform(
-                F.col("_cent_vecs"),
-                lambda v, i: F.struct(
-                    cosine(F.col("vec"), v).alias("c"),
-                    (
-                        -F.element_at(F.col("_cent_ids"), i + 1)
-                    ).cast("long").alias("nid"),
-                ),
-            )
-        )
-        assigned_src = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("cluster_id", -best["nid"])
-            .drop("_cent_ids", "_cent_vecs")
-        )
+    )
+    assigned_src = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cluster_id", -best["nid"])
+        .drop("_cent_ids", "_cent_vecs")
+    )
     assigned = assigned_src.persist(StorageLevel.MEMORY_AND_DISK)
     thr = float(threshold)
     if max_cluster_rows < 2:
