@@ -940,6 +940,26 @@ def build_srp_index(
     }
 
 
+def _vec_rows_estimate(df: DataFrame, dim: int) -> int | None:
+    """Order-of-magnitude vector row count for the pair-dedup plan gate:
+    parquet footer rows when the plan is row-preserving, else backing
+    FILE BYTES / (dim * 4) — an on-disk estimate of one compressed
+    vector row. Driver-side metadata only, never a job; ``None`` when
+    the frame has no file sources (the caller then takes the
+    bounded-worst-case plan). The gate's regimes differ by orders of
+    magnitude, so byte-estimate slop (compression, derived frames
+    re-reading one shared file) cannot flip a non-borderline choice."""
+    from gmall_flink_yb_spark.tuning import file_backed_rows, input_file_bytes
+
+    rows = file_backed_rows(df)
+    if rows is not None:
+        return rows
+    size = input_file_bytes(df)
+    if size is None:
+        return None
+    return max(1, int(size // max(dim * 4, 64)))
+
+
 def incremental_cosine_dedup_indexed(
     index_buckets: DataFrame,
     incoming: DataFrame,
@@ -1004,55 +1024,95 @@ def incremental_cosine_dedup_indexed(
     )
     right = bx.unionByName(bi)
     left = F.broadcast(bi.alias("a")) if broadcast_incoming else bi.alias("a")
-    cand = (
-        left.join(
-            right.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (~F.col("b.inc") | (F.col("b.id") < F.col("a.id"))),
-        )
-        # Dedup BARE (id, m_id) pairs, then re-attach vectors once per
-        # DISTINCT pair (r12; guide §8's "decide with small rows, move
-        # big rows once"). The r11 form shipped BOTH FULL VECTORS through
-        # the dropDuplicates exchange — measured 649 MB written + read
-        # from a 0.4 MB embeddings input at sf0.1 under 13 auto bands
-        # (78 s of the query's executor time), because every candidate
-        # OCCURRENCE (pair x colliding band) carried ~1 KB of payload.
-        # Scoring before the dedup instead is also wrong: the cosine is
-        # an interpreted sequential double fold (DuckDB bit-parity), so
-        # paying it per occurrence measured SLOWER than the shuffle it
-        # saved. This shape shuffles 16 B/occurrence, scores once per
-        # distinct pair (exactly as before, so results are unchanged),
-        # and re-attaches vectors with two joins AQE broadcasts when the
-        # vector tables are small; at scale they shuffle the corpus
-        # vectors ONCE instead of once per candidate occurrence.
-        .select(F.col("a.id").alias("id"), F.col("b.id").alias("m_id"))
-        .dropDuplicates(["id", "m_id"])
-        .join(vi.select("id", F.col("vec").alias("vec_a")), "id")
+    occurrences = left.join(
+        right.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (~F.col("b.inc") | (F.col("b.id") < F.col("a.id"))),
     )
-    if attach_vectors is not None:
-        # caller-held raw vectors: ids are unique by the operator's
-        # contract, so no dedup exchange is needed; incoming ids (also
-        # valid m_ids for the in-batch greedy order) come from vi
-        m_side = attach_vectors.select(
-            F.col("id").cast("long").alias("m_id"),
-            _as_double(F.col("vec")).alias("vec_b"),
-        ).unionByName(
-            vi.select(F.col("id").alias("m_id"), F.col("vec").alias("vec_b"))
+    # Two pair-dedup plans, gated DRIVER-SIDE on the band geometry
+    # (VERDICT r12 #7). The candidate join emits one row per
+    # (pair x colliding band) OCCURRENCE; what should ride through the
+    # dropDuplicates exchange depends on how many occurrences the
+    # geometry produces:
+    #
+    # - COLLISION-FLOOR regimes (2^P << n: random pairs band-collide
+    #   constantly) explode occurrences far past the corpus size — the
+    #   r11 payload form measured a 649 MB exchange from a 0.4 MB input
+    #   at sf0.1 under 13 auto bands. There, dedup BARE (id, m_id) pairs
+    #   (16 B/occurrence) and re-attach vectors once per DISTINCT pair
+    #   with two joins (guide §8 "decide with small rows, move big rows
+    #   once"); at scale those joins move the corpus vectors ONCE. The
+    #   r12 10x A/B: the P=8 floor stage 12.0 -> 8.5 s.
+    # - LOW-COLLISION regimes (2^P >~ n: occurrences ~ true pairs) make
+    #   the payload exchange small, and the re-attach joins' two extra
+    #   shuffles/broadcasts are pure overhead — measured ~1.0-1.3 s per
+    #   stage at 10x (r12's recorded worst-case trade). There the
+    #   occurrence rows carry both vectors straight through the dedup.
+    #
+    # The gate estimates the random floor B * n_inc * n_all / 2^P from
+    # parquet footer BYTES (driver-side, no job; ~dim*4 B/row on disk —
+    # the regimes differ by orders of magnitude, so 2-4x slop cannot
+    # flip a non-borderline choice) and takes the payload form only when
+    # the floor stays under ~2x the vector rows the re-attach joins
+    # would move. Unknown sizes (non-file frames, e.g. streaming
+    # micro-batches) default to the attach form — its overhead is
+    # bounded, the payload form's worst case is not. Scoring before the
+    # dedup is wrong in EITHER regime: the cosine is an interpreted
+    # sequential double fold (DuckDB bit-parity), and paying it per
+    # occurrence measured slower than the shuffle it saved. Both forms
+    # score once per distinct pair — results are identical.
+    n_inc_est = _vec_rows_estimate(incoming, dim)
+    n_idx_est = _vec_rows_estimate(index_buckets, dim)
+    use_attach = True
+    if n_inc_est is not None and n_idx_est is not None:
+        n_all = n_idx_est + n_inc_est
+        occ_floor = n_bands * n_inc_est * n_all / float(2**n_planes)
+        use_attach = occ_floor > 2.0 * (n_all + n_inc_est)
+    if not use_attach:
+        cand = (
+            occurrences.select(
+                F.col("a.id").alias("id"),
+                F.col("b.id").alias("m_id"),
+                F.col("a.vec").alias("vec_a"),
+                F.col("b.vec").alias("vec_b"),
+            )
+            .dropDuplicates(["id", "m_id"])
         )
     else:
-        # one vec per m_id from the index∪incoming band rows. ids are
-        # unique across the two sides by the operator's contract, but a
-        # bare dropDuplicates would pick an ARBITRARY side's row if a
-        # caller ever violated it (ADVICE r12) — min_by on the inc flag
-        # prefers the INDEX side deterministically (band rows of one id
-        # within a side all carry the identical vec, so the remaining
-        # tie is value-free), making a contract violation degrade
-        # predictably instead of nondeterministically.
-        m_side = right.groupBy(F.col("id").alias("m_id")).agg(
-            F.min_by("vec", F.col("inc").cast("int")).alias("vec_b")
+        cand = (
+            occurrences
+            .select(F.col("a.id").alias("id"), F.col("b.id").alias("m_id"))
+            .dropDuplicates(["id", "m_id"])
+            .join(vi.select("id", F.col("vec").alias("vec_a")), "id")
         )
-    cand = cand.join(m_side, "m_id")
+        if attach_vectors is not None:
+            # caller-held raw vectors: ids are unique by the operator's
+            # contract, so no dedup exchange is needed; incoming ids
+            # (also valid m_ids for the in-batch greedy order) come
+            # from vi
+            m_side = attach_vectors.select(
+                F.col("id").cast("long").alias("m_id"),
+                _as_double(F.col("vec")).alias("vec_b"),
+            ).unionByName(
+                vi.select(
+                    F.col("id").alias("m_id"), F.col("vec").alias("vec_b")
+                )
+            )
+        else:
+            # one vec per m_id from the index∪incoming band rows. ids
+            # are unique across the two sides by the operator's
+            # contract, but a bare dropDuplicates would pick an
+            # ARBITRARY side's row if a caller ever violated it (ADVICE
+            # r12) — min_by on the inc flag prefers the INDEX side
+            # deterministically (band rows of one id within a side all
+            # carry the identical vec, so the remaining tie is
+            # value-free), making a contract violation degrade
+            # predictably instead of nondeterministically.
+            m_side = right.groupBy(F.col("id").alias("m_id")).agg(
+                F.min_by("vec", F.col("inc").cast("int")).alias("vec_b")
+            )
+        cand = cand.join(m_side, "m_id")
     cos = F.round(
         _dot(F.col("vec_a"), F.col("vec_b"))
         / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
