@@ -412,6 +412,27 @@ def jaccard_prefix_pairs(
     test and by the driver's DuckDB oracle (same SQL as dedup_jaccard).
     """
     _auto_size_shingle(df, auto_partitions)
+    # tier-1 mega-doc gate probe (see below), launched on a DRIVER THREAD
+    # before the candidate plan is built (r13, VERDICT #9): the probe is
+    # a ~0.2 s blocking 1-task job per call and the candidate tree costs
+    # a comparable stretch of py4j construction — overlapping them takes
+    # the probe off the operator's critical path (guide §2.6 "overlap
+    # independent jobs"); the join() below keeps the gate decision
+    # exactly where it was.
+    import threading
+
+    probe_out: dict = {}
+
+    def _probe_max_len() -> None:
+        try:
+            probe_out["max_len"] = df.select(
+                F.max(F.length(F.col(text_col).cast("string"))).alias("_ml")
+            ).first()["_ml"]
+        except BaseException as e:  # re-raised on the main thread
+            probe_out["error"] = e
+
+    probe_t = threading.Thread(target=_probe_max_len, daemon=True)
+    probe_t.start()
     # narrow form: candidates group by token, verification by doc_id —
     # neither consumes a doc_id pre-partitioning (see shingle_rows_narrow)
     toks = shingle_rows_narrow(df, id_col, text_col, n).persist(
@@ -455,9 +476,10 @@ def jaccard_prefix_pairs(
     # In the no-mega-doc case the verification plan is byte-identical to
     # the uncapped r4 form (docsets straight off ``toks``, no cap filter,
     # no union, no extra jobs).
-    max_len = df.select(
-        F.max(F.length(F.col(text_col).cast("string"))).alias("_ml")
-    ).first()["_ml"]
+    probe_t.join()
+    if "error" in probe_out:
+        raise probe_out["error"]
+    max_len = probe_out["max_len"]
     sizes = None
     has_big = False
     if max_len is not None and max_len >= 2 * verify_array_cap - 1:
