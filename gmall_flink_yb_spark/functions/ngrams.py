@@ -829,16 +829,42 @@ def hashed_ngram_affinity(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.storagelevel import StorageLevel
+
+    from gmall_flink_yb_spark.functions.cacheutil import owns_cache
+
     bucket = (
         F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
         % n_buckets
     ).alias("_b")
 
-    corpus = gram_rows(df, id_col, text_col, n).select("doc_id", bucket)
+    # cache discipline (r13): the profile showed FIVE sequential
+    # single-task stages — the unpersisted gram streams re-tokenized the
+    # corpus for every consumer (model histogram, N_r broadcast, scoring
+    # join; the target side twice more). The gram stream persists for
+    # its two consumers, the KB-sized histograms persist for theirs, and
+    # N_r / N_t fold from the histograms (sum of per-bucket counts ==
+    # row count, provably) instead of re-scanning the gram streams.
+    # Tokenize now runs ONCE per side; measured min 2.49 -> 2.04 s,
+    # median 3.13 -> 2.22 s at sf0.1, and at scale it removes two
+    # corpus passes.
+    corpus = (
+        gram_rows(df, id_col, text_col, n)
+        .select("doc_id", bucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tgt = gram_rows(target, id_col, text_col, n).select(bucket)
 
-    r_counts = corpus.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
-    t_counts = tgt.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    r_counts = (
+        corpus.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_cr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t_counts = (
+        tgt.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     model = (
         r_counts.join(t_counts, "_b", "left")
         .select(
@@ -848,8 +874,17 @@ def hashed_ngram_affinity(
         )
         .crossJoin(
             F.broadcast(
-                corpus.agg(F.count(F.lit(1)).alias("_nr")).crossJoin(
-                    F.broadcast(tgt.agg(F.count(F.lit(1)).alias("_nt")))
+                # coalesce: an empty side sums to NULL where the old
+                # count() read 0 (an empty target must weight as ct=0,
+                # not NULL-poison every product)
+                r_counts.agg(
+                    F.coalesce(F.sum("_cr"), F.lit(0)).alias("_nr")
+                ).crossJoin(
+                    F.broadcast(
+                        t_counts.agg(
+                            F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt")
+                        )
+                    )
                 )
             )
         )
@@ -860,13 +895,16 @@ def hashed_ngram_affinity(
             ),
         )
     )
-    return (
+    return owns_cache(
         corpus.join(F.broadcast(model), "_b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.sum("_w").cast("long").alias("affinity"),
-        )
+        ),
+        corpus,
+        r_counts,
+        t_counts,  # caller releases via cacheutil.release_cache
     )
 
 
