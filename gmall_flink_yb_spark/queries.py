@@ -6273,3 +6273,51 @@ ORACLES = {
     **{k: ORACLES[k] for k in _R12_FRONT if k in ORACLES},
     **{k: v for k, v in ORACLES.items() if k not in _R12_FRONT},
 }
+
+# Round-13 rotation (VERDICT r12 #3 + this round's touches): the gate
+# window leads with every query whose implementation round 12 or round
+# 13 REWROTE but whose last driver-oracle certification predates the
+# rewrite — first the 13 r12-touched paths the r12 sample missed (in
+# the verdict's order), then the 12 further paths round 13 touched
+# (pair-expansion family, kmeans broadcast centroids, the parsed-SQL
+# MinHash/SimHash builders, the ANN dedup gate, semantic_dedup's
+# broadcast codebook, DSIR caching, cm spread). The remaining 25 slots
+# fill with the stalest surface by CORRECTNESS history: the r10-gated
+# block neither r11 nor r12 re-gated, then the oldest r11-gated queries
+# in their r11 gate order. Behind the window sit the freshest blocks
+# (everything r12 gated and the youngest r11-gated queries);
+# full-surface evidence for those is the committed full-registry
+# vanilla oracle run on this round's final HEAD (ORACLE_FULL_r13.txt).
+_R13_FRONT = [
+    # r12-rewritten, never driver-gated on the rewritten code (VERDICT
+    # r12 #3 list; many also touched again in r13):
+    "bpe_encode", "bpe_merges", "winnow_overlap", "span_dup",
+    "dup_spans", "substring_dedup", "substring_scrub_incremental",
+    "decontam_scrub", "ann_auto_bands", "q1_pricing_summary",
+    "dedup_canonical", "leakage_safe_split", "chunk_dedup",
+    # r13-touched paths not already above:
+    "dedup_jaccard_prefix", "dedup_clusters", "kmeans_clusters",
+    "dedup_minhash_lsh", "dedup_minhash_auto", "dedup_simhash",
+    "dedup_incremental", "bpe_pair_counts", "semantic_dedup",
+    "ann_incremental", "dsir_affinity", "cm_heavy_hitters",
+    # stalest surface: last gated r10 (r10 gate order):
+    "uv_daily", "new_visitor_daily", "basket_pairs",
+    "returning_users_daily", "multimodal_feature_dedup",
+    "decontam_overlap", "doc_chunks", "domain_mix", "embed_quantize",
+    "similarity_topk_int8", "distinctive_terms", "quality_classifier",
+    "funnel_conversion", "retention_cohorts",
+    # oldest r11-gated (r11 gate order):
+    "seq_pack", "source_token_caps", "profile_documents",
+    "bloom_semi_join", "zorder_cells", "shard_manifest", "events_pivot",
+    "value_percentiles_approx", "q3_shipping_priority",
+    "q5_local_supplier", "q18_large_orders",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _R13_FRONT if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in _R13_FRONT},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _R13_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in _R13_FRONT},
+}
